@@ -1,0 +1,48 @@
+"""Query catalog: named (PySpark query, DuckDB oracle SQL) pairs.
+
+This is the engine's differential-test surface (SURVEY.md §5.1): every
+SQL-expressible operator registers a PySpark implementation and an ANSI
+SQL equivalent the driver runs in DuckDB over the same parquet tables.
+Non-SQL-expressible operators register the query only (rows-only check).
+
+Contract notes (driver: /root/repo/__spark_entry__.py):
+- every computed column is aliased identically in both forms;
+- float aggregates are rounded identically on both sides so the
+  order-insensitive value hash is stable across engines;
+- every ORDER BY ... LIMIT uses a total order (key tiebreak) so top-k
+  is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_modules() -> None:
+    # Import for registration side effects. Keep alphabetical-ish; each
+    # module covers one SURVEY.md §2 operator family.
+    from hummingbirddatapipeline_spark.catalog import (  # noqa: F401
+        relational,
+    )
+
+
+_load_modules()

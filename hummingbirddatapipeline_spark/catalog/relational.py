@@ -1,0 +1,680 @@
+"""Core relational operators (SURVEY.md §2.1–2.4, §2.6–2.9) as catalog
+queries over the TPC-H-ish test tables, each with a DuckDB oracle.
+
+Parity notes cite the reference operator each query re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.functions.scalar import bucket, hhi, safe_divide
+from hummingbirddatapipeline_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# A1/A3/F15 — grouped aggregation with means + rounding
+# (value_counts / describe parity: 990.py:642-645,1243-1246)
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+      ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+      ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+      ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+      COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1-shape multi-join + group + deterministic top-k
+# (join+writeback parity: 990.py:1287-1365; top-k O2/O3)
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deep multi-join star query (region->nation->customer+supplier colocated)
+# --------------------------------------------------------------------------
+@query(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name IN ('REGION0', 'REGION1', 'AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("REGION0", "REGION1", "AMERICA", "ASIA")
+    )
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# P4/U4 — broadcast LEFT SEMI join (key-set filter)
+# (parity: EIN set filter at load, 990.py:686-688)
+# --------------------------------------------------------------------------
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# U3/J7/J8 — LEFT ANTI join (except-by-key; dedup/resume contract)
+# (parity: append_priorities.py:222-243; chat_acreage_bot.py:891-895)
+# --------------------------------------------------------------------------
+@query(
+    "anti_join_idle_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — conditional counters in a single pass
+# (parity: showMarkers tallies, master_map2.html:371-425)
+# --------------------------------------------------------------------------
+@query(
+    "conditional_counters",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
+      ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_filled_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def conditional_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_filled"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_large"),
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+            ).alias("avg_filled_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — distinct counts per group (990.py:717 nunique parity)
+# --------------------------------------------------------------------------
+@query(
+    "distinct_customers_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT o.o_custkey) AS n_active_customers,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def distinct_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4/W4 — latest/argmax row per entity via window (as-of selection)
+# (parity: most-recent-year pick, 990.py:1226-1236; ipeds_v5.py:1443-1444)
+# --------------------------------------------------------------------------
+@query(
+    "asof_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           o_orderdate AS latest_orderdate,
+           ROUND(o_totalprice, 2) AS latest_totalprice
+    FROM (
+      SELECT o.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders o
+    )
+    WHERE rn = 1
+    """,
+)
+def asof_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.round("o_totalprice", 2).alias("latest_totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — lag + gap-aware growth rate per entity-year
+# (parity: annualized trend kernels, 990.py:974-1058)
+# --------------------------------------------------------------------------
+@query(
+    "window_yoy_nation_revenue_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT c.c_nationkey AS nationkey,
+             EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           order_year,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(
+             POW(revenue / LAG(revenue) OVER w,
+                 1.0 / (order_year - LAG(order_year) OVER w)) - 1,
+             6
+           ) AS annualized_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY nationkey ORDER BY order_year)
+    ORDER BY nationkey, order_year
+    """,
+)
+def window_yoy_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("order_year")
+    growth = (
+        F.pow(
+            F.col("revenue") / F.lag("revenue").over(w),
+            F.lit(1.0) / (F.col("order_year") - F.lag("order_year").over(w)),
+        )
+        - 1
+    )
+    return (
+        yearly.withColumn("annualized_growth", F.round(growth, 6))
+        .withColumn("revenue", F.round("revenue", 2))
+        .select("nationkey", "order_year", "revenue", "annualized_growth")
+        .orderBy("nationkey", "order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# R1 — long -> wide pivot (per-year flat columns)
+# (parity: master's revenue_2024-style columns, master_standalone.py:52-60)
+# --------------------------------------------------------------------------
+@query(
+    "pivot_nation_revenue_by_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1998 THEN o.o_totalprice END), 2) AS revenue_1998,
+      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1999 THEN o.o_totalprice END), 2) AS revenue_1999,
+      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 2000 THEN o.o_totalprice END), 2) AS revenue_2000,
+      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 2001 THEN o.o_totalprice END), 2) AS revenue_2001
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def pivot_nation_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    years = [1998, 1999, 2000, 2001]
+    pivoted = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("order_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("order_year", years)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renamed = pivoted.select(
+        "nation", *[F.col(str(y)).alias(f"revenue_{y}") for y in years]
+    )
+    return renamed.orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# R2 — wide -> long melt/unpivot
+# (parity: detail export entity x year rows, 990.py:1250-1256)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_returnflag_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS total_qty,
+             ROUND(SUM(l_extendedprice), 2) AS total_price,
+             ROUND(SUM(l_discount * l_extendedprice), 2) AS total_discount
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'total_price', total_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'total_discount', total_discount FROM wide
+    )
+    ORDER BY l_returnflag, metric
+    """,
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 2).alias(
+            "total_discount"
+        ),
+    )
+    melted = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["total_qty", "total_price", "total_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return melted.orderBy("l_returnflag", "metric")
+
+
+# --------------------------------------------------------------------------
+# F3 — bucket/step function scoring (histogram over buckets)
+# (parity: size buckets ipeds.py:746-758; priority buckets
+#  append_priorities.py:73-102)
+# --------------------------------------------------------------------------
+@query(
+    "bucket_customer_balance",
+    oracle="""
+    SELECT
+      CASE
+        WHEN c_acctbal IS NULL THEN NULL
+        WHEN c_acctbal >= 7500 THEN 'high'
+        WHEN c_acctbal >= 2500 THEN 'mid'
+        WHEN c_acctbal >= 0 THEN 'low'
+        ELSE 'negative'
+      END AS balance_tier,
+      COUNT(*) AS n_customers,
+      ROUND(AVG(c_acctbal), 2) AS avg_balance
+    FROM customer
+    GROUP BY 1
+    ORDER BY balance_tier NULLS FIRST
+    """,
+)
+def bucket_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("c_acctbal") >= 7500, "high")
+        .when(F.col("c_acctbal") >= 2500, "mid")
+        .when(F.col("c_acctbal") >= 0, "low")
+        .otherwise("negative")
+    )
+    return (
+        cust.withColumn("balance_tier", tier)
+        .groupBy("balance_tier")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+        .orderBy(F.col("balance_tier").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 + F1 — HHI concentration index with null-safe shares
+# (parity: revenue concentration, 990.py:924-939)
+# --------------------------------------------------------------------------
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH supplier_rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT nationkey, suppkey,
+             revenue / SUM(revenue) OVER (PARTITION BY nationkey) AS share
+      FROM supplier_rev
+    )
+    SELECT nationkey,
+           ROUND(SUM(COALESCE(share * share, 0)), 6) AS hhi,
+           COUNT(*) AS n_suppliers
+    FROM shares
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    supplier_rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("nationkey")
+    shares = supplier_rev.withColumn(
+        "share", safe_divide(F.col("revenue"), F.sum("revenue").over(w))
+    )
+    return (
+        shares.groupBy("nationkey")
+        .agg(
+            F.round(F.sum(hhi([F.col("share")])), 6).alias("hhi"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F1 — safe division (try_divide) with zero/NULL denominators
+# --------------------------------------------------------------------------
+@query(
+    "safe_divide_discount_rate",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_discount * l_extendedprice)
+                 / NULLIF(SUM(l_extendedprice), 0), 6) AS effective_discount,
+           ROUND(AVG(CASE WHEN l_quantity = 0 THEN NULL
+                          ELSE l_extendedprice / l_quantity END), 4) AS avg_unit_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def safe_divide_discount_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                safe_divide(
+                    F.sum(F.col("l_discount") * F.col("l_extendedprice")),
+                    F.sum("l_extendedprice"),
+                ),
+                6,
+            ).alias("effective_discount"),
+            F.round(
+                F.avg(safe_divide(F.col("l_extendedprice"), F.col("l_quantity"))), 4
+            ).alias("avg_unit_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# O1-O3 — deterministic top-k with key tiebreak
+# --------------------------------------------------------------------------
+@query(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U1 — union with dedup by composite key (anti-join append contract)
+# (parity: append_priorities.py:222-247)
+# --------------------------------------------------------------------------
+@query(
+    "union_dedup_segments",
+    oracle="""
+    WITH building AS (
+      SELECT c_custkey, c_name, 'BUILDING' AS batch FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    rich AS (
+      SELECT c_custkey, c_name, 'RICH' AS batch FROM customer
+      WHERE c_acctbal > 5000
+    )
+    SELECT c_custkey, c_name, batch FROM building
+    UNION ALL
+    SELECT r.c_custkey, r.c_name, r.batch FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM building b WHERE b.c_custkey = r.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def union_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", F.lit("BUILDING").alias("batch")
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", F.lit("RICH").alias("batch")
+    )
+    new_rows = rich.join(building, on="c_custkey", how="left_anti")
+    return building.unionByName(new_rows).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# J6 — self-join band predicate (subsidiary detection shape)
+# (parity: shared-EIN groups, parent = max revenue, siblings within 1%
+#  of parent assets — ipeds_v5.py:375-437)
+# --------------------------------------------------------------------------
+@query(
+    "band_join_balance_siblings",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             FIRST_VALUE(c_acctbal) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS parent_bal,
+             FIRST_VALUE(c_custkey) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS parent_key
+      FROM customer
+      WHERE c_acctbal > 0
+    )
+    SELECT c_custkey, c_nationkey,
+           ROUND(c_acctbal, 2) AS c_acctbal,
+           parent_key,
+           ROUND(parent_bal, 2) AS parent_bal
+    FROM ranked
+    WHERE c_custkey <> parent_key
+      AND ABS(c_acctbal - parent_bal) / ABS(parent_bal) < 0.05
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def band_join_balance_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cust.withColumn("parent_bal", F.first("c_acctbal").over(w)).withColumn(
+        "parent_key", F.first("c_custkey").over(w)
+    )
+    return (
+        ranked.filter(
+            (F.col("c_custkey") != F.col("parent_key"))
+            & (
+                F.abs(F.col("c_acctbal") - F.col("parent_bal"))
+                / F.abs(F.col("parent_bal"))
+                < 0.05
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "parent_key",
+            F.round("parent_bal", 2).alias("parent_bal"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are
+what we would set cluster-side for the 100 TB deployment (AQE on, skew
+join handling, sane shuffle partitioning, Arrow for the few pandas-UDF
+paths). Everything else is left to Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hummingbird-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Session timezone is pinned to UTC so timestamp semantics match the
+    DuckDB oracle (naive timestamps) exactly.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, dynamic broadcast.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # One shuffle partition per core locally; on a real cluster this
+        # is sized to ~128MB per task and AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(int(cpus)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
+    """Adjust runtime-settable knobs for a given scale factor directory."""
+    # Nothing needed at test scale; placeholder for cluster-side sizing
+    # (spark.sql.files.maxPartitionBytes, shuffle partitions) decisions.
+    _ = spark, sf_dir

@@ -1,0 +1,52 @@
+"""Canonical table loaders for the driver's parquet test tables.
+
+Mirrors the reference's load layer (CSV scan + header probe + projected
+read — ``Hummingbird_Master_engine_990.py:657-717``) but Spark-first:
+parquet scans get column pruning and predicate pushdown from Catalyst
+for free, so loaders stay declarative. At 100 TB these tables would be
+year/date-partitioned parquet or Delta; the API is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table as a DataFrame."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every canonical table present in ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` can use them."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

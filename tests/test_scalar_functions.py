@@ -1,0 +1,120 @@
+"""Unit tests for the scalar expression library (SURVEY.md §2.8),
+including the F2 boundary matrix from SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.functions.scalar import (
+    bucket,
+    clamp_min,
+    flag_parse,
+    hhi,
+    linear_interp_score,
+    normalize_key,
+    normalize_name,
+    ratio_to_cap,
+    safe_divide,
+    year_from_yyyymm,
+)
+
+
+def one_col(spark, rows, schema, expr):
+    df = spark.createDataFrame(rows, schema)
+    return [r[0] for r in df.select(expr).collect()]
+
+
+class TestLinearInterpScore:
+    """Parity with _interpolate_score (990.py:736-769): 0 at/above
+    healthy, 1 at/below distress (normal direction), linear between."""
+
+    def test_normal_direction(self, spark):
+        # healthy=1.5, distress=0.5 (higher is better, e.g. current ratio)
+        rows = [(2.0,), (1.5,), (1.0,), (0.5,), (0.0,), (None,)]
+        out = one_col(
+            spark, rows, "v double", linear_interp_score(F.col("v"), 1.5, 0.5)
+        )
+        assert out[0] == 0.0  # beyond healthy
+        assert out[1] == 0.0  # at healthy
+        assert out[2] == pytest.approx(0.5)  # midpoint
+        assert out[3] == 1.0  # at distress
+        assert out[4] == 1.0  # beyond distress
+        assert out[5] is None  # NULL propagates
+
+    def test_inverted_direction(self, spark):
+        # healthy=0.3, distress=0.9 (higher is worse, e.g. debt ratio)
+        rows = [(0.1,), (0.3,), (0.6,), (0.9,), (1.2,)]
+        out = one_col(
+            spark,
+            rows,
+            "v double",
+            linear_interp_score(F.col("v"), 0.3, 0.9, invert=True),
+        )
+        assert out == [0.0, 0.0, pytest.approx(0.5), 1.0, 1.0]
+
+
+class TestSafeDivide:
+    def test_zero_and_null(self, spark):
+        rows = [(10.0, 2.0), (10.0, 0.0), (10.0, None), (None, 2.0)]
+        out = one_col(
+            spark, rows, "a double, b double", safe_divide(F.col("a"), F.col("b"))
+        )
+        assert out == [5.0, None, None, None]
+
+
+class TestBucket:
+    def test_steps_and_null(self, spark):
+        # months-of-reserve style: >=12 -> 0.0, >=6 -> 0.3, >=3 -> 0.6, else 1.0
+        edges = [(12, 0.0), (6, 0.3), (3, 0.6)]
+        rows = [(15.0,), (12.0,), (7.0,), (3.0,), (1.0,), (None,)]
+        out = one_col(spark, rows, "v double", bucket(F.col("v"), edges, 1.0))
+        assert out == [0.0, 0.0, 0.3, 0.6, 1.0, None]
+
+
+class TestHHI:
+    def test_null_terms_contribute_zero(self, spark):
+        rows = [(0.5, 0.3, 0.2), (0.9, None, 0.1), (None, None, None)]
+        out = one_col(
+            spark,
+            rows,
+            "a double, b double, c double",
+            hhi([F.col("a"), F.col("b"), F.col("c")]),
+        )
+        assert out[0] == pytest.approx(0.25 + 0.09 + 0.04)
+        assert out[1] == pytest.approx(0.81 + 0.01)
+        assert out[2] == 0.0
+
+
+class TestKeyAndNameNormalization:
+    def test_normalize_key(self, spark):
+        rows = [("001234567",), (" 42.0 ",), ("0",), (None,), ("9",)]
+        out = one_col(spark, rows, "k string", normalize_key(F.col("k")))
+        assert out == ["1234567", "42", None, None, "9"]
+
+    def test_normalize_name(self, spark):
+        rows = [("  The ACME—Café, Inc. ",), ("A  B\tC",)]
+        out = one_col(spark, rows, "n string", normalize_name(F.col("n")))
+        assert out == ["the acme caf inc", "a b c"]
+
+
+class TestMisc:
+    def test_flag_parse(self, spark):
+        rows = [("Y",), ("yes",), ("1",), ("TRUE",), ("N",), (None,)]
+        out = one_col(spark, rows, "f string", flag_parse(F.col("f")))
+        assert out == [True, True, True, True, False, False]
+
+    def test_year_from_yyyymm(self, spark):
+        out = one_col(spark, [(202312,), (199501,)], "p long", year_from_yyyymm(F.col("p")))
+        assert out == [2023, 1995]
+
+    def test_ratio_to_cap_and_clamp(self, spark):
+        out = one_col(
+            spark, [(0.05,), (0.2,)], "r double", ratio_to_cap(F.col("r"), 0.10)
+        )
+        assert out == [pytest.approx(0.5), 1.0]
+        out = one_col(spark, [(-3.0,), (4.0,)], "v double", clamp_min(F.col("v")))
+        assert out == [0.0, 4.0]
+        assert math.isfinite(out[1])
