@@ -1,0 +1,126 @@
+"""Window / time-series operators (SURVEY.md §2.5 W1–W7).
+
+All trend logic in the reference partitions by entity and orders by
+year — textbook Spark window functions. These helpers are the building
+blocks for the 990/IPEDS trend domains and reusable for any entity-year
+long table. No UDFs; a single shuffle on the entity key serves every
+window in the stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def entity_year_window(entity_col: str, year_col: str) -> Window:
+    return Window.partitionBy(entity_col).orderBy(year_col)
+
+
+def with_prior_fields(
+    df: DataFrame, entity_col: str, year_col: str, fields: Sequence[str]
+) -> DataFrame:
+    """W1 prep — add ``prior_<field>`` (previous available year's value)
+    and ``years_gap`` columns.
+
+    Parity: "use most recent prior year" (990.py:1000-1004) — lag over
+    year ordering is exactly the most recent prior filing, even with
+    gaps; ``years_gap`` feeds gap-annualized growth.
+    """
+    w = entity_year_window(entity_col, year_col)
+    cols: dict[str, Column] = {f"prior_{f}": F.lag(f).over(w) for f in fields}
+    cols["years_gap"] = (F.col(year_col) - F.lag(year_col).over(w)).cast("int")
+    return df.withColumns(cols)
+
+
+def annualized_growth(curr: Column, prior: Column, years_gap: Column) -> Column:
+    """W1 — gap-annualized growth ``(curr/prior)^(1/gap) - 1``.
+
+    NULL when prior is NULL/0; NaN (negative base, fractional exponent —
+    the reference's complex-number case, 990.py:751) mapped to NULL.
+    """
+    growth = F.pow(curr / prior, F.lit(1.0) / years_gap) - F.lit(1.0)
+    guarded = F.when(F.isnan(growth), F.lit(None).cast("double")).otherwise(growth)
+    return F.when(
+        prior.isNull() | (prior == 0) | curr.isNull(), F.lit(None).cast("double")
+    ).otherwise(guarded)
+
+
+def signed_crossing_trend(curr: Column, prior: Column, years_gap: Column) -> Column:
+    """W3 — net-asset-style trend with sign-crossing special cases.
+
+    Parity: 990.py:1013-1023 / ipeds_v5.py:1007-1017:
+      +/+   -> annualized growth
+      + -> - -> -0.30 (severe)
+      - and worse -> -0.20; - and better -> 0.05
+      else -> -0.10 if curr <= 0 else 0.0
+    """
+    growth = F.pow(curr / prior, F.lit(1.0) / years_gap) - F.lit(1.0)
+    growth = F.when(F.isnan(growth), F.lit(None).cast("double")).otherwise(growth)
+    return (
+        F.when(curr.isNull() | prior.isNull(), F.lit(None).cast("double"))
+        .when((prior > 0) & (curr > 0), growth)
+        .when((prior > 0) & (curr <= 0), F.lit(-0.30))
+        .when((prior < 0) & (curr < prior), F.lit(-0.20))
+        .when((prior < 0) & (curr > prior), F.lit(0.05))
+        .when(curr <= 0, F.lit(-0.10))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def long_window_change(
+    df: DataFrame, entity_col: str, year_col: str, field: str, out_col: str
+) -> DataFrame:
+    """W2 — oldest-available vs current value ratio change
+    (4-yr enrollment trend parity: ipeds.py:722-737)."""
+    w = (
+        entity_year_window(entity_col, year_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first = F.first(field, ignorenulls=True).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(
+            first.isNull() | (first == 0) | F.col(field).isNull(),
+            F.lit(None).cast("double"),
+        ).otherwise((F.col(field) - first) / F.abs(first)),
+    )
+
+
+def diff_per_year(curr: Column, prior: Column, years_gap: Column) -> Column:
+    """W6 — points-per-year difference trend (retention parity:
+    ipeds.py:862-869)."""
+    return F.when(
+        curr.isNull() | prior.isNull() | years_gap.isNull() | (years_gap == 0),
+        F.lit(None).cast("double"),
+    ).otherwise((curr - prior) / years_gap)
+
+
+def latest_per_entity(
+    df: DataFrame,
+    entity_col: str,
+    year_col: str,
+    prefer_year: int | None = None,
+    usable_col: str | None = None,
+) -> DataFrame:
+    """W4/W5 — as-of selection: one row per entity, preferring the
+    target year, then usability, then recency.
+
+    Parity: score most recent year preferring target (990.py:1226-1236,
+    1302-1307); usable-year fallback (ipeds_v5.py:1443-1458).
+    """
+    order = []
+    if prefer_year is not None:
+        order.append(F.when(F.col(year_col) == prefer_year, 1).otherwise(0).desc())
+    if usable_col is not None:
+        order.append(F.col(usable_col).cast("int").desc())
+    order.append(F.col(year_col).desc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
