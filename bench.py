@@ -23,6 +23,12 @@ HEADLINE = [
     "pivot_nation_revenue_by_year",
     "hhi_supplier_concentration",
     "band_join_balance_siblings",
+    "scoring_customer_health",
+    "events_hourly_tumbling",
+    "events_sessionization",
+    "similarity_cosine_topk",
+    "text_exact_dedup",
+    "dedup_minhash_near_dups",
 ]
 
 

@@ -41,8 +41,12 @@ def _load_modules() -> None:
     # Import for registration side effects. Keep alphabetical-ish; each
     # module covers one SURVEY.md §2 operator family.
     from hummingbirddatapipeline_spark.catalog import (  # noqa: F401
+        dedup_q,
+        events_q,
         relational,
         scoring_q,
+        similarity_q,
+        text_q,
     )
 
 

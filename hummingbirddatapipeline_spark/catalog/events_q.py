@@ -1,0 +1,195 @@
+"""Event-stream catalog queries (batch form) over ``events``.
+
+Event time is kept as integer epoch arithmetic (ts arrives as BIGINT
+nanos — see tables.load) so results are timezone-proof and identical
+across Spark and DuckDB. The streaming twins of these queries live in
+hummingbirddatapipeline_spark/streaming/ (same logic over readStream;
+SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.tables import load
+
+_HOUR_MS = 3_600_000
+_GAP_MS = 30 * 60 * 1000  # 30-minute session gap
+
+
+def _with_ts_ms(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts_ms", (F.col("ts") / F.lit(1_000_000)).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Tumbling window aggregation (streaming capability, batch twin)
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_tumbling",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS hour_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total_value,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4)
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start_ms, event_type
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    # value has 2dp; summing exact integer cents makes the aggregate
+    # order-independent (float sums can flip a rounding boundary).
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn(
+            "hour_start_ms",
+            (F.floor(F.col("ts_ms") / _HOUR_MS) * _HOUR_MS).cast("long"),
+        )
+        .groupBy("hour_start_ms", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
+            F.round(F.sum(cents) / 100.0 / F.count("*"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_start_ms", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-min-gap sessions via lag + running sum (batch form
+# of session_window; the reference's nearest analogue is the resumable
+# incremental scraper contract, SURVEY.md §2.10)
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {_GAP_MS}
+                  OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_ms,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events_per_session,
+           ROUND(AVG(duration_ms) / 1000.0, 2) AS avg_duration_sec,
+           MAX(n_events) AS max_session_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w) > _GAP_MS)
+            | F.lag("ts_ms").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_sess").over(wrun))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+            F.round(F.avg("duration_ms") / 1000.0, 2).alias("avg_duration_sec"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (MapType/JSON handling, SURVEY.md §1.2)
+# --------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stateful dedup (batch twin of dropDuplicatesWithinWatermark): first
+# event per (user_id, event_type) in event-time order
+# --------------------------------------------------------------------------
+@query(
+    "events_first_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           epoch_ms(ts) AS first_ts_ms
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts_ms").alias("first_ts_ms"),
+        )
+        .orderBy("user_id", "event_type")
+    )

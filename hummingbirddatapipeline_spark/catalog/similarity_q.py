@@ -1,0 +1,91 @@
+"""Similarity-search catalog queries over ``embeddings`` (north-star
+extension): brute-force cosine top-k (exact baseline, DuckDB-verified)
+plus the LSH-bucketed approximate variant (rows-only — approximation
+is seed-dependent, verified by recall tests in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from hummingbirddatapipeline_spark.tables import load
+
+_N_QUERIES = 5
+_K = 10
+
+_DUCK_DOT = (
+    "list_dot_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+)
+
+
+def _as_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id,
+             ROUND({_DUCK_DOT}, 6) AS sim
+      FROM embeddings a
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+      WHERE a.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=_K).orderBy("query_id", "rank")
+
+
+@query(
+    "similarity_near_dup_embeddings",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, q.vec_id AS id_b,
+           ROUND({_DUCK_DOT}, 6) AS sim
+    FROM embeddings a
+    JOIN embeddings q ON a.vec_id < q.vec_id
+    WHERE ROUND({_DUCK_DOT}, 6) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    # testdata embeddings are near-orthogonal random vectors (max cosine
+    # ~0.51), so the demo threshold is 0.35; real corpora use ~0.95.
+    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+@query("similarity_lsh_topk")  # rows-only: approximate, seed-dependent
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, dim=dim, k=_K).orderBy("query_id", "rank")

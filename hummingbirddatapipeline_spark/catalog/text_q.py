@@ -1,0 +1,200 @@
+"""Text-analysis catalog queries over ``documents`` (north-star
+extensions: token counting, quality scoring, language ID,
+fingerprint/exact dedup, n-gram Jaccard near-dup). Each is backed by
+the expression library in functions/text.py and differentially tested
+against a hand-written DuckDB equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.functions import text as TX
+from hummingbirddatapipeline_spark.operators.dedup import exact_dedup, jaccard_pairs_all
+from hummingbirddatapipeline_spark.tables import load
+
+# DuckDB fragment: whitespace tokens with empties dropped
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+_DUCK_TOKS_CASED = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKS_CASED}) AS n_tokens,
+           length(text) AS n_chars,
+           ROUND(list_sum(list_transform({_DUCK_TOKS_CASED}, t -> length(t)))
+                 / NULLIF(len({_DUCK_TOKS_CASED}), 0), 4) AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(TX.mean_token_len(t), 4).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        len({_DUCK_TOKS_CASED}) AS n_tok,
+        length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+        length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+        len(list_filter({_DUCK_TOKS},
+            t -> t IN ('the','and','of','to','a','in','is','that','for','it')))
+          AS stop_hits,
+        list_sum(list_transform({_DUCK_TOKS_CASED}, t -> length(t))) AS tok_chars
+      FROM documents
+    )
+    SELECT doc_id,
+      ROUND((nonspace - alnum) / NULLIF(nonspace, 0), 6) AS punct_ratio,
+      ROUND(stop_hits / NULLIF(n_tok, 0), 6) AS stopword_ratio,
+      ROUND(CAST(
+        (CASE WHEN n_tok >= 20 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+        + (CASE WHEN COALESCE((nonspace - alnum) / NULLIF(nonspace, 0), 0) <= 0.2
+                THEN 1.0 ELSE 0.0 END) * 0.2
+        + (CASE WHEN COALESCE(stop_hits / NULLIF(n_tok, 0), 0) >= 0.05
+                THEN 1.0 ELSE 0.0 END) * 0.2
+        + (CASE WHEN COALESCE(tok_chars / NULLIF(n_tok, 0), 0) BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.0 END) * 0.2
+        AS DOUBLE), 2) AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.quality_score(t), 2).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _duck_hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_DUCK_TOKS}, t -> t IN ({lst})))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+        {_duck_hits(TX.LANG_MARKERS['de'])} AS h_de,
+        {_duck_hits(TX.LANG_MARKERS['en'])} AS h_en,
+        {_duck_hits(TX.LANG_MARKERS['es'])} AS h_es,
+        {_duck_hits(TX.LANG_MARKERS['fr'])} AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM h
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_match
+    FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)).alias(
+                "n_match"
+            ),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+@query(
+    "text_exact_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+               AS dup_count
+      FROM documents
+    )
+    SELECT doc_id, dup_count FROM fp WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_jaccard_near_dups",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.85
+    ORDER BY id_a, id_b
+    """,
+)
+def text_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs_all(
+        docs, "text", "doc_id", threshold=0.85, shingle_size=1
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,122 @@
+"""Text-analysis expression library (north-star extensions + SURVEY.md
+§2.8 F8–F12): token counting, quality scoring, language ID, document
+fingerprinting. All native Column expressions — no Python UDFs — so they
+hold up on 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword lexicons for the n-gram/stopword language heuristic.
+# Deliberately small: language ID at scale is a marker-hit argmax, and
+# the lexicon is a broadcast-free literal baked into the plan.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour"),
+}
+
+# \w+ runs or single non-space punctuation — a BPE-ish tokenizer shape.
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array of tokens (empty strings dropped)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of regex 'BPE-ish' tokens (word runs + punctuation marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    return F.try_divide(nonspace - alnum, nonspace)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords for ``lang``."""
+    markers = list(LANG_MARKERS[lang])
+    toks = ws_tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+    return F.try_divide(hits, F.size(toks))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.try_divide(total, F.size(toks))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-1 heuristic quality score for training-data filtering:
+    rewards moderate length, low punctuation density, presence of
+    stopwords (prose-likeness), sane mean token length."""
+    n_tok = ws_token_count(text).cast("double")
+    length_ok = F.when(n_tok >= 20, 1.0).when(n_tok >= 5, 0.5).otherwise(0.0)
+    punct_ok = F.when(F.coalesce(punct_ratio(text), F.lit(0.0)) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(F.coalesce(stopword_ratio(text), F.lit(0.0)) >= 0.05, 1.0).otherwise(0.0)
+    mtl = F.coalesce(mean_token_len(text), F.lit(0.0))
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    return (length_ok * 0.4 + punct_ok * 0.2 + stop_ok * 0.2 + mtl_ok * 0.2)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word argmax language ID; 'und' when no marker hits.
+
+    Deterministic tiebreak: highest hit count wins, then lexicographic
+    language code.
+    """
+    toks = ws_tokens(F.lower(text))
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        ms = list(markers)
+        # NOTE: no default-arg lambdas here — PySpark treats a 2-param
+        # lambda as (element, index) and silently changes semantics.
+        return F.size(F.filter(toks, lambda t: t.isin(ms)))
+
+    pairs = [
+        F.struct(_hits(markers).alias("hits"), F.lit(code).alias("code"))
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on structs orders by first field then second; we want max
+    # hits with min code, so invert the code ordering via greatest over
+    # (hits, negated rank) — simpler: reduce with explicit comparison.
+    best = F.aggregate(
+        F.array(*pairs[1:]),
+        pairs[0],
+        lambda acc, x: F.when(
+            (x["hits"] > acc["hits"]), x
+        ).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace/case-normalized text (F8 normalization + hashing)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (distinct) for MinHash / Jaccard dedup."""
+    toks = ws_tokens(F.lower(text))
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.when(count >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.when(count > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )

@@ -30,9 +30,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one canonical table as a DataFrame."""
+    """Load one canonical table as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark rejects by
+    default; we read it as BIGINT nanos (legacy conf) and keep event
+    time as integer epoch arithmetic — timezone-proof by construction.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
