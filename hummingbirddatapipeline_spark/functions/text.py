@@ -112,6 +112,11 @@ def fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-word shingles (distinct) for MinHash / Jaccard dedup."""
     toks = ws_tokens(F.lower(text))
+    if n == 1:
+        # the general path builds each shingle with an interpreted
+        # slice+join lambda per position; for unigrams it's just the
+        # distinct token set
+        return F.array_distinct(toks)
     count = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
     shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731

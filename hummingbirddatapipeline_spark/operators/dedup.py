@@ -42,20 +42,6 @@ def exact_dedup(
     )
 
 
-def _minhash_columns(shingles: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` min-hash values over a shingle array.
-
-    Uses native xxhash64 with per-function seeds — JVM-side, no UDF.
-    Empty shingle set -> array of NULLs (never matches anything).
-    """
-    def _minhash(seed: int) -> Column:
-        # closure (not default-arg lambda: PySpark reads 2-param lambdas
-        # as (element, index))
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
-
-    return F.array(*[_minhash(i) for i in range(num_hashes)])
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -63,32 +49,66 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """id + minhash signature array + shingle count."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("__sh")
+    """id + minhash signature array + (distinct) shingle count.
+
+    Shape matters here: explode shingles to rows, hash each string to a
+    long ONCE, then compute the K hash functions as ``min(xxhash64(h,
+    seed))`` hash-aggregates. Array ``transform`` lambdas are
+    interpreted per element; this form keeps everything inside
+    whole-stage codegen, and the doc_id shuffle ships only K longs per
+    doc thanks to map-side partial aggregation.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("__s"),
     )
-    return sh.select(
+    hashed = tok.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)],
+        F.count("*").alias("n_shingles"),
+    )
+    sigs = agg.select(
         id_col,
-        _minhash_columns(F.col("__sh"), num_hashes).alias("signature"),
-        F.size("__sh").alias("n_shingles"),
+        F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("signature"),
+        "n_shingles",
     )
+    # docs with no shingles vanish at explode; restore them with an
+    # all-NULL signature so the contract (one row per input id) holds
+    empty = df.select(F.col(id_col)).join(
+        sigs.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col,
+        F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)]).alias(
+            "signature"
+        ),
+        F.lit(0).alias("n_shingles"),
+    )
+    return sigs.unionByName(empty)
 
 
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str,
     bands: int = 8,
+    num_hashes: int = 32,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each
-    band to a bucket, self-join per bucket -> candidate pairs (id_a < id_b).
+    band to a bucket, emit all within-bucket pairs (id_a < id_b).
+
+    One shuffle total: explode band keys -> groupBy(band, bucket) with
+    collect_list -> generate pairs from each bucket's (bounded) id
+    array. This beats the textbook bucket self-join, which shuffles the
+    banded table twice more and re-evaluates the signature plan per
+    branch.
 
     ``max_bucket`` caps pathological buckets (boilerplate skew) — the
-    standard guard at web scale; capped buckets are dropped, trading
-    recall for bounded work. Candidates are distinct pairs.
+    standard guard at web scale; oversize buckets are dropped, trading
+    recall for bounded work, and also bounds the collected arrays so
+    no executor materializes an unbounded group. Candidates are
+    distinct pairs.
     """
-    n = signatures.select(F.size("signature")).first()[0]
-    rows_per_band = max(1, n // bands)
+    rows_per_band = max(1, num_hashes // bands)
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -97,15 +117,10 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        "signature", b * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -114,19 +129,29 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    bucket_sizes = banded.groupBy("band", "bucket").count()
-    small = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"), F.collect_list(id_col).alias("ids"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
     )
-    a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-    b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # all ordered pairs from each bucket's sorted id array
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_verify(
@@ -136,15 +161,23 @@ def jaccard_verify(
     id_col: str,
     threshold: float = 0.8,
     shingle_size: int = 3,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (the verify stage).
 
     Joins shingle sets onto the pair list and computes
-    |A ∩ B| / |A ∪ B| with native array ops.
+    |A ∩ B| / |A ∪ B| with native array ops. With ``hash_shingles``
+    the sets are xxhash64'd to bigint arrays first: set semantics are
+    preserved up to negligible 64-bit collisions, and the intersect
+    runs on 8-byte longs instead of strings — the right trade in a
+    verify stage fed by LSH candidates.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("sh")
-    )
+    shingles = word_shingles(F.col(text_col), shingle_size)
+    if hash_shingles:
+        shingles = F.array_distinct(
+            F.transform(shingles, lambda s: F.xxhash64(s))
+        )
+    sh = df.select(F.col(id_col), shingles.alias("sh"))
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -173,10 +206,18 @@ def near_dup_pairs_minhash(
     shingle_size: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
-    candidates -> exact Jaccard verification at ``threshold``."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    cands = minhash_lsh_candidates(sigs, id_col, bands)
-    return jaccard_verify(df, cands, text_col, id_col, threshold, shingle_size)
+    candidates -> exact Jaccard verification at ``threshold``.
+
+    Empty documents are dropped before banding: their signatures are
+    all-NULL, which would otherwise collide into one degenerate bucket.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).filter(
+        F.col("n_shingles") > 0
+    )
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes)
+    return jaccard_verify(
+        df, cands, text_col, id_col, threshold, shingle_size, hash_shingles=True
+    )
 
 
 def jaccard_pairs_all(
@@ -230,29 +271,33 @@ def simhash64(text: Column, shingle_size: int = 2) -> Column:
     """64-bit SimHash over word shingles, all native bit ops.
 
     For each bit position, sum +1/-1 votes from each shingle's xxhash64
-    bit; the sign of the sum gives the output bit.
+    bit; the sign of the sum gives the output bit. Single pass over the
+    shingle array: the accumulator is a 64-slot vote array, updated with
+    ``zip_with`` — not 64 separate array traversals.
     """
+    # bit 63 as a Python literal overflows signed long; same bit pattern
+    # as the negative value
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+
     sh = word_shingles(text, shingle_size)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def bit_expr(i: int) -> Column:
-        # bit 63 as a Python literal overflows signed long; same bit
-        # pattern as the negative value
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-
-    out = bit_expr(0)
-    for i in range(1, 64):
-        out = out.bitwiseOR(bit_expr(i))
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            mask_arr,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, mask_arr, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_dedup(
