@@ -42,6 +42,7 @@ def _load_modules() -> None:
     # module covers one SURVEY.md §2 operator family.
     from hummingbirddatapipeline_spark.catalog import (  # noqa: F401
         dedup_q,
+        entity_q,
         events_q,
         relational,
         scoring_q,

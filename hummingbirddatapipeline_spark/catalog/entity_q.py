@@ -1,0 +1,308 @@
+"""Entity-resolution / merge catalog queries (SURVEY.md §2.3 J3-J5,
+J7, J10; §2.8 F17).
+
+Dirty inputs are derived deterministically from the supplier/customer
+tables with the same SQL on both engines (case+whitespace noise, alias
+identities, truncated names, dropped-character typos), so the multipass
+matcher, the conditional upsert, and the blocked fuzzy join are all
+hash-checkable against DuckDB. The LSH fuzzy join is rows-only (banded
+hashing isn't SQL-expressible); its recall vs the exact form is covered
+in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.operators.entity_resolution import (
+    fuzzy_join_levenshtein,
+    fuzzy_join_lsh,
+    multipass_name_match,
+)
+from hummingbirddatapipeline_spark.operators.merge import (
+    conditional_upsert,
+    upsert_changelog,
+)
+from hummingbirddatapipeline_spark.tables import load
+
+# DuckDB needs the 'g' flag for replace-all; Spark's regexp_replace is
+# global by default. Same normalization as functions.scalar.normalize_name.
+_DUCK_NORM = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({x}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+# dirty-source derivation shared by Spark and the oracle: one third
+# case/space noise (pass 1), one third alias identities (pass 2), one
+# third truncated names (pass 3 prefix + state tie-break)
+_SRC_CASE = (
+    "CASE WHEN s_suppkey % 3 = 0 THEN UPPER(s_name) || '  ' "
+    "WHEN s_suppkey % 3 = 1 THEN 'ALIAS ' || CAST(s_suppkey AS STRING) "
+    "ELSE SUBSTRING(s_name, 1, 16) END"
+)
+
+
+@query(
+    "er_multipass_name_match",
+    oracle=f"""
+    WITH src AS (
+      SELECT s_suppkey AS src_id, s_nationkey AS src_nation,
+             {_SRC_CASE} AS raw_name
+      FROM supplier
+    ),
+    nsrc AS (
+      SELECT *, {_DUCK_NORM.format(x="raw_name")} AS nname FROM src
+    ),
+    tgt AS (
+      SELECT s_suppkey AS tgt_key, s_nationkey AS tgt_nation,
+             {_DUCK_NORM.format(x="s_name")} AS nname,
+             'alias ' || CAST(s_suppkey AS VARCHAR) AS alias_norm
+      FROM supplier
+    ),
+    p1 AS (
+      SELECT nsrc.*, tgt.tgt_key AS m1
+      FROM nsrc LEFT JOIN tgt ON nsrc.nname = tgt.nname
+    ),
+    p2 AS (
+      SELECT p1.*, tgt.tgt_key AS m2
+      FROM p1 LEFT JOIN tgt ON p1.m1 IS NULL AND p1.nname = tgt.alias_norm
+    ),
+    p3cand AS (
+      SELECT p2.src_id, tgt.tgt_key AS m3,
+             ROW_NUMBER() OVER (
+               PARTITION BY p2.src_id
+               ORDER BY CASE WHEN p2.src_nation = tgt.tgt_nation THEN 1 ELSE 0 END DESC,
+                        tgt.tgt_key
+             ) AS rn
+      FROM p2 JOIN tgt ON SUBSTRING(p2.nname, 1, 16) = SUBSTRING(tgt.nname, 1, 16)
+      WHERE p2.m1 IS NULL AND p2.m2 IS NULL
+    ),
+    p3 AS (SELECT src_id, m3 FROM p3cand WHERE rn = 1)
+    SELECT p2.src_id, p2.raw_name,
+           COALESCE(p2.m1, p2.m2, p3.m3) AS matched_s_suppkey,
+           CASE WHEN p2.m1 IS NOT NULL THEN 1
+                WHEN p2.m2 IS NOT NULL THEN 2
+                WHEN p3.m3 IS NOT NULL THEN 3 END AS match_pass
+    FROM p2 LEFT JOIN p3 USING (src_id)
+    ORDER BY src_id
+    """,
+)
+def er_multipass_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    source = sup.select(
+        F.col("s_suppkey").alias("src_id"),
+        F.col("s_nationkey").alias("src_nation"),
+        F.expr(_SRC_CASE).alias("raw_name"),
+    )
+    target = sup.withColumn(
+        "alias_name", F.concat(F.lit("alias "), F.col("s_suppkey").cast("string"))
+    )
+    out = multipass_name_match(
+        source,
+        target,
+        source_name="raw_name",
+        target_name="s_name",
+        source_key="src_id",
+        target_key="s_suppkey",
+        alias_cols=("alias_name",),
+        prefix_len=16,
+        source_secondary="src_nation",
+        target_secondary="s_nationkey",
+    )
+    return out.select(
+        "src_id",
+        "raw_name",
+        F.col("matched_s_suppkey"),
+        F.col("match_pass"),
+    ).orderBy("src_id")
+
+
+# F17 matrix on customer: value NULLs every 10th row, confidence ladder
+# NULL/LOW/MEDIUM/HIGH by key % 4, updates for even keys at rotating
+# confidence; integer-valued cells so old/new strings hash identically
+# across engines.
+_MASTER_SQL = (
+    "SELECT c_custkey, "
+    "CASE WHEN c_custkey % 10 = 0 THEN NULL "
+    "ELSE CAST(ROUND(c_acctbal, 0) AS BIGINT) END AS acct_value, "
+    "CASE WHEN c_custkey % 4 = 0 THEN NULL "
+    "WHEN c_custkey % 4 = 1 THEN 'LOW' "
+    "WHEN c_custkey % 4 = 2 THEN 'MEDIUM' ELSE 'HIGH' END AS confidence "
+    "FROM customer"
+)
+_UPDATES_SQL = (
+    "SELECT c_custkey, "
+    "CAST(ROUND(c_acctbal, 0) + 7 AS BIGINT) AS acct_value, "
+    "CASE WHEN c_custkey % 3 = 0 THEN 'HIGH' "
+    "WHEN c_custkey % 3 = 1 THEN 'MEDIUM' ELSE 'LOW' END AS confidence "
+    "FROM customer WHERE c_custkey % 2 = 0"
+)
+_RANK_SQL = (
+    "CASE WHEN UPPER({c}) = 'HIGH' THEN 3 WHEN UPPER({c}) = 'MEDIUM' THEN 2 "
+    "WHEN UPPER({c}) = 'LOW' THEN 1 ELSE 0 END"
+)
+
+
+@query(
+    "merge_conditional_upsert",
+    oracle=f"""
+    WITH master AS ({_MASTER_SQL}),
+    upd AS ({_UPDATES_SQL}),
+    j AS (
+      SELECT m.c_custkey, m.acct_value AS old_value, u.acct_value AS new_value,
+             m.confidence AS old_confidence, u.confidence AS new_confidence,
+             {_RANK_SQL.format(c="m.confidence")} AS old_rank,
+             {_RANK_SQL.format(c="u.confidence")} AS new_rank
+      FROM master m JOIN upd u USING (c_custkey)
+    )
+    SELECT c_custkey, 'acct_value' AS column_name,
+           CAST(old_value AS VARCHAR) AS old_value,
+           CAST(new_value AS VARCHAR) AS new_value,
+           old_confidence, new_confidence
+    FROM j
+    WHERE new_value IS NOT NULL AND (old_value IS NULL OR new_rank > old_rank)
+    ORDER BY c_custkey
+    """,
+)
+def merge_conditional_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    master = spark.sql(_MASTER_SQL)
+    updates = spark.sql(_UPDATES_SQL)
+    log = upsert_changelog(master, updates, "c_custkey", "acct_value", "confidence")
+    return log.orderBy("c_custkey")
+
+
+# dropped-character typos for even keys; block on nation
+_DIRTY_SQL = (
+    "SELECT s_suppkey AS left_id, s_nationkey AS left_nation, "
+    "CASE WHEN s_suppkey % 2 = 0 THEN SUBSTRING(s_name, 1, 10) || SUBSTRING(s_name, 12) "
+    "ELSE s_name END AS dirty_name "
+    "FROM supplier"
+)
+
+
+@query(
+    "er_fuzzy_join_levenshtein",
+    oracle=f"""
+    WITH dirty AS ({_DIRTY_SQL}),
+    nd AS (SELECT *, {_DUCK_NORM.format(x="dirty_name")} AS lnorm FROM dirty),
+    tgt AS (
+      SELECT s_suppkey AS r_key, s_nationkey AS r_nation,
+             {_DUCK_NORM.format(x="s_name")} AS rnorm
+      FROM supplier
+    ),
+    cand AS (
+      SELECT nd.left_id, nd.dirty_name, tgt.r_key,
+             levenshtein(nd.lnorm, tgt.rnorm) AS lev_distance
+      FROM nd JOIN tgt ON nd.left_nation = tgt.r_nation
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY left_id ORDER BY lev_distance, r_key
+      ) AS rn
+      FROM cand WHERE lev_distance <= 2
+    )
+    SELECT left_id, dirty_name, r_key AS matched_s_suppkey, lev_distance
+    FROM ranked WHERE rn = 1 ORDER BY left_id
+    """,
+)
+def er_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    sup.createOrReplaceTempView("supplier")
+    dirty = spark.sql(_DIRTY_SQL)
+    out = fuzzy_join_levenshtein(
+        dirty,
+        sup,
+        left_name="dirty_name",
+        right_name="s_name",
+        left_key="left_id",
+        right_key="s_suppkey",
+        block_left="left_nation",
+        block_right="s_nationkey",
+        max_distance=2,
+    )
+    return out.select(
+        "left_id", "dirty_name", "matched_s_suppkey", "lev_distance"
+    ).orderBy("left_id")
+
+
+@query("er_fuzzy_join_lsh")  # rows-only: LSH banding isn't SQL-expressible
+def er_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    sup.createOrReplaceTempView("supplier")
+    dirty = spark.sql(_DIRTY_SQL)
+    out = fuzzy_join_lsh(
+        dirty,
+        sup,
+        left_name="dirty_name",
+        right_name="s_name",
+        left_key="left_id",
+        right_key="s_suppkey",
+        max_distance=2,
+    )
+    return out.orderBy("left_id")
+
+
+@query(
+    "merge_upsert_idempotent",
+    oracle="""
+    SELECT COUNT(*) AS residual_changes FROM (
+      WITH master AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN NULL
+               ELSE CAST(ROUND(c_acctbal, 0) AS BIGINT) END AS acct_value,
+               CASE WHEN c_custkey % 4 = 0 THEN NULL
+               WHEN c_custkey % 4 = 1 THEN 'LOW'
+               WHEN c_custkey % 4 = 2 THEN 'MEDIUM' ELSE 'HIGH' END AS confidence
+        FROM customer
+      ),
+      upd AS (
+        SELECT c_custkey,
+               CAST(ROUND(c_acctbal, 0) + 7 AS BIGINT) AS acct_value,
+               CASE WHEN c_custkey % 3 = 0 THEN 'HIGH'
+               WHEN c_custkey % 3 = 1 THEN 'MEDIUM' ELSE 'LOW' END AS confidence
+        FROM customer WHERE c_custkey % 2 = 0
+      ),
+      rank_of AS (SELECT 1),
+      applied AS (
+        SELECT m.c_custkey,
+               CASE WHEN u.acct_value IS NOT NULL AND (m.acct_value IS NULL OR
+                 (CASE WHEN UPPER(u.confidence)='HIGH' THEN 3 WHEN UPPER(u.confidence)='MEDIUM' THEN 2
+                       WHEN UPPER(u.confidence)='LOW' THEN 1 ELSE 0 END) >
+                 (CASE WHEN UPPER(m.confidence)='HIGH' THEN 3 WHEN UPPER(m.confidence)='MEDIUM' THEN 2
+                       WHEN UPPER(m.confidence)='LOW' THEN 1 ELSE 0 END))
+               THEN u.acct_value ELSE m.acct_value END AS acct_value,
+               CASE WHEN u.acct_value IS NOT NULL AND (m.acct_value IS NULL OR
+                 (CASE WHEN UPPER(u.confidence)='HIGH' THEN 3 WHEN UPPER(u.confidence)='MEDIUM' THEN 2
+                       WHEN UPPER(u.confidence)='LOW' THEN 1 ELSE 0 END) >
+                 (CASE WHEN UPPER(m.confidence)='HIGH' THEN 3 WHEN UPPER(m.confidence)='MEDIUM' THEN 2
+                       WHEN UPPER(m.confidence)='LOW' THEN 1 ELSE 0 END))
+               THEN u.confidence ELSE m.confidence END AS confidence
+        FROM master m LEFT JOIN upd u USING (c_custkey)
+      )
+      SELECT a.c_custkey
+      FROM applied a JOIN upd u USING (c_custkey)
+      WHERE u.acct_value IS NOT NULL AND (a.acct_value IS NULL OR
+        (CASE WHEN UPPER(u.confidence)='HIGH' THEN 3 WHEN UPPER(u.confidence)='MEDIUM' THEN 2
+              WHEN UPPER(u.confidence)='LOW' THEN 1 ELSE 0 END) >
+        (CASE WHEN UPPER(a.confidence)='HIGH' THEN 3 WHEN UPPER(a.confidence)='MEDIUM' THEN 2
+              WHEN UPPER(a.confidence)='LOW' THEN 1 ELSE 0 END))
+    ) t
+    """,
+)
+def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's idempotency contract (master_acreage_merge.py:5-12)
+    as a query: apply the upsert, then count the changes a second
+    identical run would make — must be 0."""
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    master = spark.sql(_MASTER_SQL)
+    updates = spark.sql(_UPDATES_SQL)
+    merged = conditional_upsert(master, updates, "c_custkey", "acct_value", "confidence")
+    residual = upsert_changelog(
+        merged, updates, "c_custkey", "acct_value", "confidence"
+    )
+    return residual.agg(F.count("*").alias("residual_changes"))

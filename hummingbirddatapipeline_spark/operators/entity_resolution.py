@@ -1,0 +1,304 @@
+"""Entity-resolution operators (SURVEY.md §2.3 J3-J5, J9-J10; §7 M5).
+
+The reference resolves institution identity with a multi-pass pandas
+loop: normalized-name equi-join, alias-column retry, state tie-break on
+ambiguity (master_acreage_merge.py:49-112), plus README-specified exact
+and fuzzy EIN-assignment joins (README.md:41-47). Here each pass is a
+join over a computed key, chained with anti-join carry-forward, and the
+fuzzy path gets two forms:
+
+- blocked levenshtein join — exact, oracle-checkable, right when a
+  natural blocking key (state/nation, name prefix) bounds the
+  candidate space;
+- char-ngram MinHash-LSH join — the 100 TB path: no cross join ever
+  materializes; candidates come from shared LSH buckets and are then
+  verified with levenshtein.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbirddatapipeline_spark.functions.scalar import normalize_name
+
+
+def best_match_per_source(
+    matched: DataFrame,
+    source_key: str,
+    prefer_equal: tuple[str, str] | None,
+    target_order: str,
+) -> DataFrame:
+    """J5 — collapse multiple target candidates per source row: prefer a
+    secondary-key match (e.g. same state), then lowest target key.
+
+    Parity: master_acreage_merge.py:92-99 (prefer matching state, else
+    first candidate).
+    """
+    order = []
+    if prefer_equal is not None:
+        a, b = prefer_equal
+        order.append(
+            F.when(F.col(a) == F.col(b), 1).otherwise(0).desc()
+        )
+    order.append(F.col(target_order).asc())
+    w = Window.partitionBy(source_key).orderBy(*order)
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def multipass_name_match(
+    source: DataFrame,
+    target: DataFrame,
+    source_name: str,
+    target_name: str,
+    source_key: str,
+    target_key: str,
+    alias_cols: tuple[str, ...] = (),
+    prefix_len: int | None = None,
+    source_secondary: str | None = None,
+    target_secondary: str | None = None,
+) -> DataFrame:
+    """J3+J4+J5 — resolve each source row to at most one target row.
+
+    Pass 1: normalized-name equality (J3).
+    Pass 2: unmatched rows retry against the target's alias columns,
+            melted to a long alias table (J4).
+    Pass 3: unmatched rows retry on a normalized-name prefix of
+            ``prefix_len`` characters; ambiguity resolved by preferring
+            a secondary-key match then the lowest target key (J5).
+
+    Returns source rows + ``matched_<target_key>`` + ``match_pass``
+    (1/2/3, NULL when unresolved). Each pass is an equi-join on a
+    computed key — broadcast or shuffle-hash as the planner chooses;
+    no pass ever cross-joins.
+    """
+    src = source.withColumn("__src_norm", normalize_name(F.col(source_name)))
+    tgt = target.select(
+        F.col(target_key).alias("__tgt_key"),
+        normalize_name(F.col(target_name)).alias("__tgt_norm"),
+        *(
+            [F.col(target_secondary).alias("__tgt_sec")]
+            if target_secondary is not None
+            else []
+        ),
+        *[normalize_name(F.col(c)).alias(f"__alias_{c}") for c in alias_cols],
+    )
+
+    # pass 1: exact normalized name
+    t1 = tgt.select("__tgt_key", "__tgt_norm").dropDuplicates(["__tgt_norm"])
+    p1 = src.join(
+        t1, src["__src_norm"] == t1["__tgt_norm"], "left"
+    ).select(src["*"], t1["__tgt_key"].alias("__m1"))
+
+    # pass 2: alias table (melted long) for rows pass 1 missed
+    if alias_cols:
+        alias_long = tgt.select(
+            "__tgt_key",
+            F.explode(
+                F.array(*[F.col(f"__alias_{c}") for c in alias_cols])
+            ).alias("__alias_norm"),
+        ).filter(F.col("__alias_norm").isNotNull() & (F.col("__alias_norm") != ""))
+        alias_long = alias_long.dropDuplicates(["__alias_norm"])
+        p2 = p1.join(
+            alias_long,
+            (p1["__m1"].isNull()) & (p1["__src_norm"] == alias_long["__alias_norm"]),
+            "left",
+        ).select(p1["*"], F.col("__tgt_key").alias("__m2"))
+    else:
+        p2 = p1.withColumn("__m2", F.lit(None).cast(p1.schema["__m1"].dataType))
+
+    # pass 3: prefix match with J5 tie-break
+    if prefix_len is not None:
+        cand = tgt.select(
+            "__tgt_key",
+            F.substring("__tgt_norm", 1, prefix_len).alias("__tgt_pfx"),
+            *(["__tgt_sec"] if target_secondary is not None else []),
+        )
+        unres = p2.filter(F.col("__m1").isNull() & F.col("__m2").isNull())
+        hit = unres.join(
+            cand,
+            F.substring(unres["__src_norm"], 1, prefix_len) == cand["__tgt_pfx"],
+        )
+        hit = best_match_per_source(
+            hit,
+            source_key,
+            (source_secondary, "__tgt_sec")
+            if source_secondary is not None and target_secondary is not None
+            else None,
+            "__tgt_key",
+        ).select(F.col(source_key).alias("__p3_key"), F.col("__tgt_key").alias("__m3"))
+        p3 = p2.join(hit, p2[source_key] == hit["__p3_key"], "left").drop("__p3_key")
+    else:
+        p3 = p2.withColumn("__m3", F.lit(None).cast(p2.schema["__m1"].dataType))
+
+    out = p3.withColumn(
+        f"matched_{target_key}", F.coalesce("__m1", "__m2", "__m3")
+    ).withColumn(
+        "match_pass",
+        F.when(F.col("__m1").isNotNull(), 1)
+        .when(F.col("__m2").isNotNull(), 2)
+        .when(F.col("__m3").isNotNull(), 3),
+    )
+    return out.drop("__m1", "__m2", "__m3", "__src_norm")
+
+
+def fuzzy_join_levenshtein(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    left_key: str,
+    right_key: str,
+    block_left: str,
+    block_right: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """J10 (exact form) — fuzzy name join with a blocking key.
+
+    Candidates = equi-join on the block column (never a cross join);
+    match = levenshtein(normalized names) <= max_distance; best match
+    per left row by (distance, right key). Right when block cardinality
+    bounds group size (state, nation, zip prefix).
+    """
+    l = left.withColumn("__l_norm", normalize_name(F.col(left_name)))
+    r = right.select(
+        F.col(right_key).alias("__r_key"),
+        F.col(block_right).alias("__r_block"),
+        normalize_name(F.col(right_name)).alias("__r_norm"),
+    )
+    cand = l.join(r, l[block_left] == r["__r_block"])
+    cand = cand.withColumn(
+        "lev_distance", F.levenshtein(F.col("__l_norm"), F.col("__r_norm"))
+    ).filter(F.col("lev_distance") <= max_distance)
+    w = Window.partitionBy(left_key).orderBy(
+        F.col("lev_distance").asc(), F.col("__r_key").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            left["*"],
+            F.col("__r_key").alias(f"matched_{right_key}"),
+            "lev_distance",
+        )
+    )
+
+
+def _char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a (normalized) string, padded with
+    one leading/trailing space so short strings still produce grams."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(padded, i, F.lit(n))))
+
+
+def fuzzy_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    left_key: str,
+    right_key: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    max_distance: int = 2,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """J10 (scale form) — MinHash-LSH blocked fuzzy join, no natural
+    blocking key required and no cross join at any scale.
+
+    Char-``ngram`` shingles of each normalized name -> minhash
+    signature (explode + codegen'd min aggregates, same shape as
+    operators.dedup) -> banded buckets -> left x right pairs within a
+    bucket -> levenshtein verify -> best match per left row.
+
+    ``bands`` with ``num_hashes/bands`` rows per band at 16/8 keeps
+    recall high for edit-distance-2 typos on short strings (high
+    Jaccard overlap of char trigrams).
+    """
+    lt = left.select(
+        F.col(left_key).alias("__id"),
+        normalize_name(F.col(left_name)).alias("__norm"),
+        F.lit("L").alias("__side"),
+    )
+    rt = right.select(
+        F.col(right_key).alias("__id"),
+        normalize_name(F.col(right_name)).alias("__norm"),
+        F.lit("R").alias("__side"),
+    )
+    both = lt.unionByName(rt)
+    tok = both.select(
+        "__id", "__side", F.explode(_char_ngrams(F.col("__norm"), ngram)).alias("__s")
+    )
+    hashed = tok.select("__id", "__side", F.xxhash64("__s").alias("__h"))
+    sigs = hashed.groupBy("__id", "__side").agg(
+        *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    banded = sigs.select(
+        "__id",
+        "__side",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"__m{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("__bucket")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    buckets = (
+        banded.groupBy("__bucket")
+        .agg(
+            F.collect_list(
+                F.when(F.col("__side") == "L", F.col("__id"))
+            ).alias("ls"),
+            F.collect_list(
+                F.when(F.col("__side") == "R", F.col("__id"))
+            ).alias("rs"),
+        )
+        .filter(
+            (F.size("ls") >= 1)
+            & (F.size("rs") >= 1)
+            & ((F.size("ls") + F.size("rs")) <= max_bucket)
+        )
+    )
+    pairs = (
+        buckets.select(
+            F.explode("ls").alias("__l_id"), F.col("rs")
+        )
+        .select("__l_id", F.explode("rs").alias("__r_id"))
+        .distinct()
+    )
+    l_names = lt.select(F.col("__id").alias("__l_id"), F.col("__norm").alias("__l_norm"))
+    r_names = rt.select(F.col("__id").alias("__r_id"), F.col("__norm").alias("__r_norm"))
+    verified = (
+        pairs.join(l_names, "__l_id")
+        .join(r_names, "__r_id")
+        .withColumn("lev_distance", F.levenshtein("__l_norm", "__r_norm"))
+        .filter(F.col("lev_distance") <= max_distance)
+    )
+    w = Window.partitionBy("__l_id").orderBy(
+        F.col("lev_distance").asc(), F.col("__r_id").asc()
+    )
+    return (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__l_id").alias(left_key),
+            F.col("__r_id").alias(f"matched_{right_key}"),
+            "lev_distance",
+        )
+    )

@@ -25,3 +25,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_dir_small() -> str:
+    return SF_CORRECT

@@ -1,0 +1,163 @@
+"""Entity-resolution & merge toolkit unit tests (SURVEY.md §5.2):
+multipass match pass attribution, J5 tie-break, F17 upsert decision
+matrix, changelog/idempotency contract, fuzzy join recall.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from hummingbirddatapipeline_spark.operators.entity_resolution import (
+    fuzzy_join_levenshtein,
+    fuzzy_join_lsh,
+    multipass_name_match,
+)
+from hummingbirddatapipeline_spark.operators.merge import (
+    conditional_upsert,
+    dedup_append,
+    upsert_changelog,
+)
+
+
+@pytest.fixture(scope="module")
+def er_frames(spark):
+    target = spark.createDataFrame(
+        [
+            Row(tid=1, name="Acme College", alias_name=None, state="NY"),
+            Row(tid=2, name="Bolt University", alias_name="bolt u", state="CA"),
+            Row(tid=3, name="Acme Institute", alias_name=None, state="TX"),
+            Row(tid=4, name="Acme Seminary", alias_name=None, state="CA"),
+        ]
+    )
+    source = spark.createDataFrame(
+        [
+            # pass 1: case/punct noise
+            Row(sid=10, name="ACME   COLLEGE!!", state="NY"),
+            # pass 2: alias only
+            Row(sid=11, name="Bolt U", state="CA"),
+            # pass 3: shared 4-char prefix 'acme' -> ambiguous; prefer
+            # state CA -> tid=4 (not lowest tid)
+            Row(sid=12, name="acme", state="CA"),
+            # unresolved
+            Row(sid=13, name="zzz nowhere", state="WA"),
+        ]
+    )
+    return source, target
+
+
+def test_multipass_pass_attribution(er_frames):
+    source, target = er_frames
+    out = multipass_name_match(
+        source,
+        target,
+        source_name="name",
+        target_name="name",
+        source_key="sid",
+        target_key="tid",
+        alias_cols=("alias_name",),
+        prefix_len=4,
+        source_secondary="state",
+        target_secondary="state",
+    )
+    got = {r["sid"]: (r["matched_tid"], r["match_pass"]) for r in out.collect()}
+    assert got[10] == (1, 1)
+    assert got[11] == (2, 2)
+    # J5: state CA preferred over lower tid 1/3
+    assert got[12] == (4, 3)
+    assert got[13] == (None, None)
+
+
+UPSERT_MASTER = [
+    # (key, old_val, old_conf)
+    (1, None, None),      # empty target -> update
+    (2, 10, "LOW"),       # HIGH beats LOW -> update
+    (3, 10, "HIGH"),      # LOW does not beat HIGH -> keep
+    (4, 10, "MEDIUM"),    # equal rank -> keep (strictly-higher rule)
+    (5, 10, "MEDIUM"),    # no update row -> keep
+    (6, 10, None),        # NULL conf rank 0, update LOW rank 1 -> update
+]
+UPSERT_UPDATES = [
+    # (key, new_val, new_conf)
+    (1, 100, "LOW"),
+    (2, 200, "HIGH"),
+    (3, 300, "LOW"),
+    (4, 400, "MEDIUM"),
+    (6, 600, "LOW"),
+    (7, 700, "HIGH"),     # key absent from master -> no row, no change
+]
+
+
+def test_conditional_upsert_matrix(spark):
+    master = spark.createDataFrame(UPSERT_MASTER, "key int, val int, conf string")
+    updates = spark.createDataFrame(UPSERT_UPDATES, "key int, val int, conf string")
+    merged = conditional_upsert(master, updates, "key", "val", "conf")
+    got = {r["key"]: (r["val"], r["conf"]) for r in merged.collect()}
+    assert got[1] == (100, "LOW")
+    assert got[2] == (200, "HIGH")
+    assert got[3] == (10, "HIGH")
+    assert got[4] == (10, "MEDIUM")
+    assert got[5] == (10, "MEDIUM")
+    assert got[6] == (600, "LOW")
+    assert 7 not in got  # upsert never inserts; J7 dedup_append does
+
+
+def test_upsert_changelog_and_idempotency(spark):
+    master = spark.createDataFrame(UPSERT_MASTER, "key int, val int, conf string")
+    updates = spark.createDataFrame(UPSERT_UPDATES, "key int, val int, conf string")
+    log = upsert_changelog(master, updates, "key", "val", "conf")
+    rows = {r["key"]: r for r in log.collect()}
+    assert set(rows) == {1, 2, 6}
+    assert rows[2]["old_value"] == "10" and rows[2]["new_value"] == "200"
+    assert rows[2]["column_name"] == "val"
+    # idempotency: re-running against the merged result changes nothing
+    merged = conditional_upsert(master, updates, "key", "val", "conf")
+    assert upsert_changelog(merged, updates, "key", "val", "conf").count() == 0
+
+
+def test_dedup_append(spark):
+    existing = spark.createDataFrame(
+        [("a", "ny", 1)], "name string, state string, v int"
+    )
+    new = spark.createDataFrame(
+        [("a", "ny", 99), ("a", "ca", 2), ("b", None, 3), ("b", None, 4)],
+        "name string, state string, v int",
+    )
+    out = dedup_append(existing, new, ["name", "state"])
+    vals = sorted(r["v"] for r in out.collect())
+    # ('a','ny') dup dropped; both ('b',NULL) survive vs existing (no
+    # NULL-key row there) — NULL-safe equality only guards vs existing
+    assert vals == [1, 2, 3, 4]
+
+
+def test_fuzzy_join_levenshtein_blocked(spark):
+    left = spark.createDataFrame(
+        [(1, "Acme Colege", "NY"), (2, "Bolt Universty", "CA"), (3, "Xyz", "NY")],
+        "lid int, name string, state string",
+    )
+    right = spark.createDataFrame(
+        [(101, "Acme College", "NY"), (102, "Bolt University", "CA"),
+         (103, "Acme Collage", "NY")],
+        "rid int, name string, state string",
+    )
+    out = fuzzy_join_levenshtein(
+        left, right, "name", "name", "lid", "rid", "state", "state", max_distance=2
+    )
+    got = {r["lid"]: (r["matched_rid"], r["lev_distance"]) for r in out.collect()}
+    assert got[1] == (101, 1)  # dist 1 beats 103's dist 2
+    assert got[2] == (102, 1)
+    assert 3 not in got
+
+
+def test_fuzzy_join_lsh_matches_exact_recall(spark, sf_dir_small):
+    """LSH-blocked fuzzy join must recover (nearly) all matches the
+    exhaustive blocked form finds on the dirty-supplier workload."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    exact = QUERIES["er_fuzzy_join_levenshtein"](spark, sf_dir_small)
+    lsh = QUERIES["er_fuzzy_join_lsh"](spark, sf_dir_small)
+    e = {(r["left_id"], r["matched_s_suppkey"]) for r in exact.collect()}
+    l = {(r["left_id"], r["matched_s_suppkey"]) for r in lsh.collect()}
+    assert len(e) > 0
+    recall = len(e & l) / len(e)
+    assert recall >= 0.95, f"LSH fuzzy join recall {recall:.3f} < 0.95"
