@@ -47,6 +47,7 @@ def _load_modules() -> None:
         relational,
         scoring_q,
         similarity_q,
+        stream_q,
         text_q,
     )
 

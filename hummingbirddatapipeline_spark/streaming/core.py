@@ -1,0 +1,231 @@
+"""Structured Streaming layer (SURVEY.md §2.10, §7 M7).
+
+The reference's streaming story is an incremental, resumable scraper:
+append-only sink, checkpoint file, anti-join resume
+(chat_acreage_bot.py:816-837,793-801,891-895) and a re-runnable merge
+contract (master_acreage_merge.py:5-12). Here that becomes real
+Structured Streaming over the ``events`` table:
+
+- file source + checkpointLocation  = the resume contract (S7)
+- tumbling / session windows + watermark = the engine's event-time set
+- dropDuplicatesWithinWatermark     = stateful dedup (J7/J8 done properly)
+- foreachBatch + conditional upsert = the streaming merge sink
+
+Every streaming aggregation here has a batch twin in
+catalog/events_q.py; batch-stream parity is asserted in tests and the
+streaming results themselves are DuckDB-verified through the catalog
+(run with ``Trigger.AvailableNow`` into a memory sink, then read back).
+
+Event time: ``ts`` arrives as BIGINT nanoseconds (see tables.load);
+``event_time`` = exact integer-division to microseconds cast to
+timestamp. Window arithmetic stays on epoch integers end-to-end, so
+results are independent of the driver session's timezone.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (legacy nanosAsLong read)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def stage_stream_dir(*files: str) -> str:
+    """Spark's file stream source wants a directory; stage the given
+    parquet file(s) into a temp dir via symlinks (cached per file set)."""
+    key = "|".join(files)
+    if key not in _STAGED_DIRS:
+        d = tempfile.mkdtemp(prefix="sg_stream_src_")
+        for f in files:
+            os.symlink(os.path.abspath(f), os.path.join(d, os.path.basename(f)))
+        _STAGED_DIRS[key] = d
+    return _STAGED_DIRS[key]
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet (a file, glob, or dir).
+
+    Adds ``event_time`` (exact micros-precision timestamp) and
+    ``ts_ms`` (epoch millis) columns.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if not os.path.isdir(path):
+        path = stage_stream_dir(path)
+    stream = reader.parquet(path)
+    # timestamp_micros -> an absolute instant; all downstream windowing
+    # and the epoch-integer projections are session-TZ-independent
+    return stream.withColumn(
+        "event_time", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    ).withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS LONG)"))
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str,
+    checkpoint: str | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (Trigger.AvailableNow)
+    into a memory sink and return the materialized result.
+
+    The checkpoint directory is the S7 resume contract: re-running with
+    the same checkpoint processes only new files.
+    """
+    spark = df.sparkSession
+    name = name or f"sg_mem_{uuid.uuid4().hex[:10]}"
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def hourly_tumbling(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type: counts and
+    exact-cents value sums (same arithmetic as the batch twin)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+    )
+
+
+def tumbling_to_batch(result: DataFrame) -> DataFrame:
+    """Project a finished tumbling aggregation to the TZ-proof epoch-ms
+    shape shared with the batch twin / DuckDB oracle."""
+    return result.select(
+        F.expr("CAST(window.start AS LONG) * 1000").alias("hour_start_ms"),
+        "event_type",
+        "n_events",
+        F.round(F.col("value_cents") / 100.0, 2).alias("total_value"),
+    )
+
+
+def sessionize(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events whose gaps are < ``gap`` merge
+    into one session (boundary: an event exactly ``gap`` later starts a
+    new session)."""
+    return (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+    )
+
+
+def sessions_to_user_rollup(sessions: DataFrame) -> DataFrame:
+    """Batch rollup of finished per-session rows to per-user stats."""
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg(F.col("end_ms") - F.col("start_ms")) / 1000.0, 2).alias(
+                "avg_duration_sec"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def dedup_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark
+    horizon — dropDuplicatesWithinWatermark, the streaming form of the
+    reference's anti-join resume (J8)."""
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def foreach_batch_latest_upsert(stream: DataFrame, target_dir: str) -> DataFrame:
+    """Streaming upsert sink: keep one row per user with the latest
+    event (by ts_ms, event_id) in a parquet 'master', merged per batch.
+
+    foreachBatch + merge is the Structured Streaming form of the
+    reference's idempotent master merge; on Delta this body becomes a
+    single ``MERGE INTO``. Returns the started query's stream for the
+    caller to await.
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts_ms", "event_id", "event_type", "value"),
+                    F.struct("ts_ms", "event_id"),
+                ).alias("s")
+            )
+            .select("user_id", "s.ts_ms", "s.event_id", "s.event_type", "s.value")
+        )
+        out = os.path.join(target_dir, "latest_per_user")
+        try:
+            existing = spark.read.parquet(out)
+        except Exception:
+            existing = None
+        if existing is not None:
+            merged = (
+                existing.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("ts_ms", "event_id", "event_type", "value"),
+                        F.struct("ts_ms", "event_id"),
+                    ).alias("s")
+                )
+                .select("user_id", "s.ts_ms", "s.event_id", "s.event_type", "s.value")
+            )
+        else:
+            merged = latest
+        # write-new-then-swap (never mutate inputs mid-read)
+        tmp = out + f".tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(out)
+
+    return stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)

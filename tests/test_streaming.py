@@ -1,0 +1,167 @@
+"""Structured Streaming semantics tests (SURVEY.md §2.10):
+batch-stream parity, watermark late-data drop, checkpoint resume (the
+S7 contract), and the foreachBatch upsert sink.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.streaming.core import (
+    foreach_batch_latest_upsert,
+    hourly_tumbling,
+    read_events_stream,
+    run_available_now,
+    tumbling_to_batch,
+)
+
+HOUR_US = 3_600_000_000  # microseconds
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_millis, user_id, event_type, value); stored
+    ts is nanos, matching the canonical events schema."""
+    df = spark.createDataFrame(
+        [(e, t * 1_000_000, u, ty, v, None) for e, t, u, ty, v in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir):
+    from hummingbirddatapipeline_spark.tables import load
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = tumbling_to_batch(
+        run_available_now(hourly_tumbling(stream), "complete")
+    )
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    batch = (
+        ev.withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS LONG)"))
+        .withColumn(
+            "hour_start_ms", (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("long")
+        )
+        .groupBy("hour_start_ms", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def _flatten_parquet(src_subdir, flat_dir, name):
+    for f in os.listdir(src_subdir):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(src_subdir, f), os.path.join(flat_dir, name))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Run 1 (file A) advances the watermark past window 0's end; run 2
+    (file B, same checkpoint) finalizes window 0 WITHOUT file B's late
+    event — the watermark dropped it. Append mode + parquet sink, the
+    production shape (memory sink can't resume a checkpoint)."""
+    src = str(tmp_path / "src")
+    flat = str(tmp_path / "flat")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    os.makedirs(flat)
+    t0 = 1_700_000_000_000_000
+    t0 -= t0 % HOUR_US
+    hr0_ms = t0 // 1000
+
+    def run_once():
+        stream = read_events_stream(spark, flat)
+        q = (
+            hourly_tumbling(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # file A: two events in hour 0 + one in hour 3 -> watermark hr 2.5
+    _write_events(
+        spark,
+        os.path.join(src, "a.parquet"),
+        [
+            (1, hr0_ms + 1_000, 1, "x", 1.0),
+            (2, hr0_ms + 2_000, 1, "x", 1.0),
+            (3, (t0 + 3 * HOUR_US) // 1000, 1, "x", 1.0),
+        ],
+    )
+    _flatten_parquet(os.path.join(src, "a.parquet"), flat, "a.parquet")
+    run_once()
+
+    # file B: late event for hour 0 (behind the watermark) + hour 6
+    _write_events(
+        spark,
+        os.path.join(src, "b.parquet"),
+        [
+            (4, hr0_ms + 3_000, 1, "x", 1.0),
+            (5, (t0 + 6 * HOUR_US) // 1000, 1, "x", 1.0),
+        ],
+    )
+    _flatten_parquet(os.path.join(src, "b.parquet"), flat, "b.parquet")
+    run_once()
+
+    emitted = tumbling_to_batch(spark.read.parquet(out))
+    got = {r["hour_start_ms"]: r["n_events"] for r in emitted.collect()}
+    # window 0 finalized with ONLY file A's two events: late event 4
+    # was dropped, not merged and not re-opened as a second row
+    assert got[hr0_ms] == 2
+    # hour-3 window may finalize in run 2's trailing batch (wm -> hr 5.5)
+    assert got.get(hr0_ms + 3 * 3_600_000, 1) == 1
+    # hour-6 window can never have been emitted (watermark never passed it)
+    assert hr0_ms + 6 * 3_600_000 not in got
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """S7 resume: a second availableNow run over the same checkpoint
+    only reads files added since the first run."""
+    src = tmp_path / "src"
+    flat = str(tmp_path / "flat")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src)
+    os.makedirs(flat)
+    t0_ms = 1_700_000_000_000
+    _write_events(spark, str(src / "a.parquet"), [(1, t0_ms, 7, "x", 1.0)])
+    _flatten_parquet(str(src / "a.parquet"), flat, "a.parquet")
+
+    stream = read_events_stream(spark, flat)
+    q = (
+        foreach_batch_latest_upsert(stream, out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(os.path.join(out_dir, "latest_per_user"))
+    assert [(r["user_id"], r["event_id"]) for r in first.collect()] == [(7, 1)]
+
+    # new file: later event for user 7 + new user 8
+    _write_events(
+        spark,
+        str(src / "b.parquet"),
+        [(2, t0_ms + 60_000, 7, "y", 2.0), (3, t0_ms, 8, "x", 1.0)],
+    )
+    _flatten_parquet(str(src / "b.parquet"), flat, "b.parquet")
+    stream2 = read_events_stream(spark, flat)
+    q2 = (
+        foreach_batch_latest_upsert(stream2, out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.awaitTermination()
+    final = spark.read.parquet(os.path.join(out_dir, "latest_per_user"))
+    got = {r["user_id"]: (r["event_id"], r["event_type"]) for r in final.collect()}
+    assert got == {7: (2, "y"), 8: (3, "x")}
