@@ -44,6 +44,7 @@ def _load_modules() -> None:
         dedup_q,
         entity_q,
         events_q,
+        multimodal_q,
         relational,
         scoring_q,
         similarity_q,

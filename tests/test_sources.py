@@ -1,0 +1,111 @@
+"""Source layer tests: encoding-aware CSV dialects, header probe,
+fuzzy column resolution, multi-year union with existence pruning,
+numeric coercion, and the quarantined external-fetch pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hummingbirddatapipeline_spark.sources.csv_dialect import (
+    load_csv_standardized,
+    load_multi_year,
+    probe_header,
+    resolve_columns,
+)
+from hummingbirddatapipeline_spark.sources.external import (
+    fetch_enrichment,
+    resume_pending,
+)
+
+
+def _write(path: str, text: str, encoding: str = "latin-1") -> None:
+    with open(path, "w", encoding=encoding) as f:
+        f.write(text)
+
+
+def test_probe_and_standardize_latin1(spark, tmp_path):
+    p = str(tmp_path / "f2023.csv")
+    _write(
+        p,
+        "EIN,Total revenue é,Assets (EOY)\n"
+        "012345,\"1,500\",200\n"
+        "67890,not_a_number,300\n",
+    )
+    assert probe_header(spark, p) == ["EIN", "Total revenue é", "Assets (EOY)"]
+    out = load_csv_standardized(
+        spark,
+        p,
+        {"EIN": "ein", "Total revenue é": "total_revenue", "Assets (EOY)": "total_assets"},
+        numeric_cols=("total_revenue", "total_assets"),
+    )
+    rows = {r["ein"]: r for r in out.collect()}
+    # thousands separators stripped; unparseable -> NULL (to_numeric
+    # errors='coerce' parity); latin-1 header round-trips
+    assert rows["012345"]["total_revenue"] == 1500.0
+    assert rows["67890"]["total_revenue"] is None
+    assert rows["67890"]["total_assets"] == 300.0
+
+
+def test_resolve_columns_fuzzy_with_excludes():
+    header = [
+        "UNITID",
+        "DRVEF2023 Total  enrollment",
+        "DRVEF2023 Total enrollment graduate",
+        "F2223_F2 Total revenues",
+    ]
+    got = resolve_columns(
+        header,
+        searches={
+            "unitid": ["unitid"],
+            "total_enrollment": ["total", "enrollment"],
+            "grad_enrollment": ["enrollment", "graduate"],
+            "f2_total_revenues": ["f2", "total revenues"],
+        },
+        excludes={"total_enrollment": ["graduate"]},
+    )
+    assert got == {
+        "unitid": "UNITID",
+        "total_enrollment": "DRVEF2023 Total  enrollment",
+        "grad_enrollment": "DRVEF2023 Total enrollment graduate",
+        "f2_total_revenues": "F2223_F2 Total revenues",
+    }
+
+
+def test_multi_year_union_prunes_missing_and_bridges_dialects(spark, tmp_path):
+    a = str(tmp_path / "y2022.csv")
+    b = str(tmp_path / "y2023.csv")
+    # 2023 dialect renamed the revenue column and dropped assets
+    _write(a, "EIN,Revenue\n1,10\n2,20\n")
+    _write(b, "EIN,Rev Total\n1,30\n")
+    df = load_multi_year(
+        spark,
+        {2022: a, 2023: b, 2024: str(tmp_path / "missing.csv")},
+        {"EIN": "ein", "Revenue": "total_revenue", "Rev Total": "total_revenue"},
+        numeric_cols=("total_revenue",),
+    )
+    rows = sorted((r["year"], r["ein"], r["total_revenue"]) for r in df.collect())
+    assert rows == [(2022, "1", 10.0), (2022, "2", 20.0), (2023, "1", 30.0)]
+
+
+def test_fetch_enrichment_retries_and_rate(spark):
+    work = spark.createDataFrame([("a",), ("b",), ("fail",)], "key string")
+
+    def fake_fetch(key: str) -> str:
+        if key == "fail":
+            raise RuntimeError("boom")
+        return f"payload:{key}"
+
+    out = fetch_enrichment(work, "key", fake_fetch, n_workers=1, max_retries=2)
+    got = {r["key"]: (r["status"], r["payload"]) for r in out.collect()}
+    assert got["a"] == ("ok", "payload:a")
+    assert got["b"] == ("ok", "payload:b")
+    assert got["fail"][0] == "retries_exhausted"
+    assert "boom" in got["fail"][1]
+
+
+def test_resume_anti_join(spark):
+    work = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+    done = spark.createDataFrame([("b",)], "key string")
+    left = sorted(r["key"] for r in resume_pending(work, done, "key").collect())
+    assert left == ["a", "c"]
