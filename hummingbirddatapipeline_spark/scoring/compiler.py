@@ -89,12 +89,22 @@ def compile_layers(spec: ScoringSpec) -> list[dict[str, str]]:
         )
         domains[f"{dom.name}_score"] = f"({num}) / NULLIF({den}, 0.0) * 100.0"
 
+    # post-aggregation domain adjustments (identity unless specified);
+    # the *_score_adj columns are what the composite aggregates over
+    adjust_map = dict(spec.domain_adjust)
+    adjusted: dict[str, str] = {}
+    for dom in spec.domains:
+        base = f"{dom.name}_score"
+        tpl = adjust_map.get(dom.name)
+        adjusted[f"{base}_adj"] = tpl.format(domain=base) if tpl else base
+
     final: dict[str, str] = {}
     num = " + ".join(
-        f"COALESCE({d.name}_score * {repr(float(d.weight))}, 0.0)" for d in spec.domains
+        f"COALESCE({d.name}_score_adj * {repr(float(d.weight))}, 0.0)"
+        for d in spec.domains
     )
     den = " + ".join(
-        f"CASE WHEN {d.name}_score IS NOT NULL THEN {repr(float(d.weight))} ELSE 0.0 END"
+        f"CASE WHEN {d.name}_score_adj IS NOT NULL THEN {repr(float(d.weight))} ELSE 0.0 END"
         for d in spec.domains
     )
     all_scores = [
@@ -112,7 +122,7 @@ def compile_layers(spec: ScoringSpec) -> list[dict[str, str]]:
         )
     final["composite_unrounded"] = composite
 
-    return [raws, scores, domains, final]
+    return [raws, scores, domains, adjusted, final]
 
 
 def _category_sql(spec: ScoringSpec, composite: str) -> str:
@@ -130,11 +140,18 @@ def result_projection(spec: ScoringSpec) -> dict[str, str]:
     out["risk_category"] = _category_sql(spec, "composite_unrounded")
     total = spec.indicator_count
     out["data_completeness"] = (
-        f"ROUND(indicators_scored * 100.0 / {total}, 0)" if total else "0.0"
+        # CAST: a bare 100.0 literal parses as DECIMAL on both engines
+        f"ROUND(CAST(indicators_scored AS DOUBLE) * 100.0 / {total}, 0)"
+        if total
+        else "0.0"
     )
     out["indicators_scored"] = "indicators_scored"
+    if spec.keep_composite_unrounded:
+        out["composite_unrounded"] = "composite_unrounded"
+        for dom in spec.domains:
+            out[f"{dom.name}_score_unrounded"] = f"{dom.name}_score_adj"
     for dom in spec.domains:
-        out[f"{dom.name}_score"] = f"ROUND({dom.name}_score, 1)"
+        out[f"{dom.name}_score"] = f"ROUND({dom.name}_score_adj, 1)"
     if spec.keep_raws:
         for dom in spec.domains:
             for ind in dom.indicators:

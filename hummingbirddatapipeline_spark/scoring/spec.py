@@ -78,6 +78,14 @@ class ScoringSpec:
     category_top: str = "Severe Distress"
     category_null: str = "Insufficient Data"
     keep_raws: bool = True
+    # optional per-domain post-aggregation adjustment, e.g. the IPEDS
+    # enrollment cliff multiplier (ipeds_v5.py:1199-1203): SQL template
+    # with a {domain} placeholder for the unadjusted domain score; the
+    # adjusted value feeds the composite.
+    domain_adjust: tuple[tuple[str, str], ...] = ()
+    # expose composite_unrounded in the result projection so pipelines
+    # can apply post-composite logic (floors) and re-round/categorize.
+    keep_composite_unrounded: bool = False
 
     @property
     def indicator_count(self) -> int:
