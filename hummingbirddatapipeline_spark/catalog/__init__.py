@@ -44,9 +44,11 @@ def _load_modules() -> None:
         dedup_q,
         entity_q,
         events_q,
+        extraction_q,
         multimodal_q,
         relational,
         scoring_q,
+        serving_q,
         similarity_q,
         stream_q,
         text_q,

@@ -193,3 +193,41 @@ def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (3h window / 1h slide): each event lands in 3 windows
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_3h1h",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT event_type,
+             ((epoch_ms(ts) // {_HOUR_MS}) - UNNEST(range(3))) * {_HOUR_MS}
+               AS window_start_ms
+      FROM events
+    )
+    SELECT window_start_ms, event_type, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, event_type
+    """,
+)
+def events_sliding_3h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows via F.window(ts, '3 hours', '1 hour')
+    — the multi-assignment the oracle reproduces by expanding each
+    event into its 3 containing windows."""
+    ev = load(spark, sf_dir, "events")
+    t = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    return (
+        ev.groupBy(
+            F.window(t, "3 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.expr("CAST(w.start AS LONG) * 1000").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
