@@ -1,0 +1,113 @@
+"""The acreage pipeline's data-engineering stages as Spark jobs
+(SURVEY.md §3.3) — everything except the live web fetch, which is the
+quarantined sources.external pattern.
+
+1. build_priorities  (append_priorities.py:105-263): master scan ->
+   substring/validity/threshold filters -> keyword classification +
+   priority bucketing -> composite-key dedup-append into the work queue.
+2. merge_acreage     (master_acreage_merge.py:145-262): multi-pass
+   name match (normalized, alias, prefix+state tie-break) -> F17
+   conditional upsert -> audit changelog + unmatched report. Contract:
+   idempotent re-runs, inputs never mutated, no data dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.functions.extraction import keyword_classify
+from hummingbirddatapipeline_spark.operators.entity_resolution import (
+    multipass_name_match,
+)
+from hummingbirddatapipeline_spark.operators.merge import (
+    conditional_upsert,
+    dedup_append,
+    upsert_changelog,
+)
+
+# keyword cascade -> detected type (append_priorities.py:27-70 shape)
+TYPE_CASCADE = (
+    ("college", ("college", "university", "seminary", "institute")),
+    ("school", ("school", "academy")),
+    ("camp", ("camp", "retreat", "conference center")),
+)
+
+# priority bucketing (append_priorities.py:73-102 shape)
+_PRIORITY = (
+    "CASE WHEN detected_type = 'college' AND distress_score >= 60 THEN 'CRITICAL' "
+    "WHEN detected_type = 'college' THEN 'HIGH' "
+    "WHEN distress_score >= 60 THEN 'HIGH' "
+    "WHEN detected_type IN ('school', 'camp') THEN 'MEDIUM' ELSE 'LOW' END"
+)
+
+
+def build_priorities(
+    master: DataFrame,
+    existing_queue: DataFrame | None,
+    min_distress: float | None = None,
+) -> DataFrame:
+    """P7/P5/P8 filters -> F11 classify -> F3 bucket -> J7+U1 append."""
+    rows = master.filter(F.col("data_source").contains("990"))
+    rows = rows.filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    )
+    if min_distress is not None:
+        rows = rows.filter(F.col("distress_score") >= min_distress)
+    work = rows.select(
+        "institution_name",
+        "city",
+        "state",
+        "distress_score",
+        keyword_classify(
+            F.lower(F.col("institution_name")), TYPE_CASCADE, "other"
+        ).alias("detected_type"),
+    ).withColumn("verification_priority", F.expr(_PRIORITY))
+    if existing_queue is None:
+        return work
+    return dedup_append(
+        existing_queue, work, ["institution_name", "city", "state"]
+    )
+
+
+def merge_acreage(
+    master: DataFrame,
+    acreage: DataFrame,
+    alias_cols: tuple[str, ...] = (),
+    prefix_len: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Multi-pass match then conditional upsert of acreage into master.
+
+    Returns (new_master, changelog, unmatched_with_data) — the same
+    three artifacts the reference writes (updated master, audit log,
+    manual-review report). Inputs are never mutated; re-running with
+    the same acreage yields an empty changelog (idempotency contract,
+    master_acreage_merge.py:5-12).
+    """
+    matched = multipass_name_match(
+        acreage,
+        master,
+        source_name="name",
+        target_name="institution_name",
+        source_key="acreage_id",
+        target_key="master_id",
+        alias_cols=alias_cols,
+        prefix_len=prefix_len,
+        source_secondary="state",
+        target_secondary="state",
+    )
+    updates = matched.filter(F.col("matched_master_id").isNotNull()).select(
+        F.col("matched_master_id").alias("master_id"),
+        F.col("acres").alias("acreage"),
+        F.col("confidence").alias("acreage_confidence"),
+    )
+    new_master = conditional_upsert(
+        master, updates, "master_id", "acreage", "acreage_confidence"
+    )
+    changelog = upsert_changelog(
+        master, updates, "master_id", "acreage", "acreage_confidence"
+    )
+    unmatched = matched.filter(
+        F.col("matched_master_id").isNull() & F.col("acres").isNotNull()
+    )
+    return new_master, changelog, unmatched
