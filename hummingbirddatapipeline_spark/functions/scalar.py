@@ -139,3 +139,20 @@ def clamp_min(col: Column, floor: float = 0.0) -> Column:
 def coalesce_chain(*cols: Column) -> Column:
     """F16 — first non-null of a chain (master_standalone.py:94-109)."""
     return F.coalesce(*cols)
+
+
+def format_money(col: Column) -> Column:
+    """F14 — display formatting: $1.2B / $3.4M / $5.6K / $789
+    (serving-layer parity: master_map2.html:471-476)."""
+    a = F.abs(col)
+    sign = F.when(col < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            sign,
+            F.lit("$"),
+            F.when(a >= 1e9, F.concat(F.round(a / 1e9, 1).cast("string"), F.lit("B")))
+            .when(a >= 1e6, F.concat(F.round(a / 1e6, 1).cast("string"), F.lit("M")))
+            .when(a >= 1e3, F.concat(F.round(a / 1e3, 1).cast("string"), F.lit("K")))
+            .otherwise(F.round(a, 0).cast("long").cast("string")),
+        )
+    )

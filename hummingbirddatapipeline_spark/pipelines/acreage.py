@@ -111,3 +111,44 @@ def merge_acreage(
         F.col("matched_master_id").isNull() & F.col("acres").isNotNull()
     )
     return new_master, changelog, unmatched
+
+
+def agreement_confidence(
+    candidates: DataFrame,
+    key_col: str,
+    value_col: str,
+    tolerance: float = 0.02,
+) -> DataFrame:
+    """A7 — multi-source agreement: per item, confidence is HIGH when
+    >= 2 candidate values agree within ``tolerance`` of the best
+    candidate, else MEDIUM with 1 value (chat_acreage_bot.py:730-736).
+
+    Returns (key, value, n_sources, n_agreeing, confidence) with value
+    = the first/best candidate per key (lowest source order).
+    """
+    w_first = F.min(F.struct(F.col("__ord"), F.col(value_col)))
+    ordered = candidates.withColumn(
+        "__ord", F.monotonically_increasing_id()
+    )
+    per_key = ordered.groupBy(key_col).agg(
+        F.count(value_col).alias("n_sources"),
+        w_first.alias("__first"),
+        F.collect_list(value_col).alias("__vals"),
+    )
+    first_val = F.col("__first")[value_col]
+    agreeing = F.size(
+        F.filter(
+            "__vals",
+            lambda v: F.abs(v - first_val) / F.abs(first_val) < tolerance,
+        )
+    )
+    return per_key.select(
+        key_col,
+        first_val.alias(value_col),
+        "n_sources",
+        agreeing.alias("n_agreeing"),
+        F.when(agreeing >= 2, "HIGH")
+        .when(F.col("n_sources") >= 1, "MEDIUM")
+        .otherwise("LOW")
+        .alias("confidence"),
+    )

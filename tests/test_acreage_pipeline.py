@@ -88,3 +88,26 @@ def test_merge_acreage_contract(spark, merge_frames):
     # changes nothing
     _, log2, _ = merge_acreage(new_master, acreage)
     assert log2.count() == 0
+
+
+def test_agreement_confidence(spark):
+    from hummingbirddatapipeline_spark.pipelines.acreage import (
+        agreement_confidence,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            # two of three values within 2% of the first -> HIGH
+            ("a", 100.0), ("a", 101.0), ("a", 250.0),
+            # single source -> MEDIUM
+            ("b", 40.0),
+            # two sources, no agreement -> MEDIUM
+            ("c", 10.0), ("c", 20.0),
+        ],
+        "item string, acres double",
+    )
+    out = {r["item"]: r for r in agreement_confidence(cands, "item", "acres").collect()}
+    assert out["a"]["confidence"] == "HIGH"
+    assert out["a"]["acres"] == 100.0 and out["a"]["n_agreeing"] == 2
+    assert out["b"]["confidence"] == "MEDIUM"
+    assert out["c"]["confidence"] == "MEDIUM" and out["c"]["n_agreeing"] == 1

@@ -118,3 +118,16 @@ class TestMisc:
         out = one_col(spark, [(-3.0,), (4.0,)], "v double", clamp_min(F.col("v")))
         assert out == [0.0, 4.0]
         assert math.isfinite(out[1])
+
+
+def test_format_money(spark):
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.functions.scalar import format_money
+
+    df = spark.createDataFrame(
+        [(1.5e9,), (2_400_000.0,), (5_600.0,), (789.0,), (-1_200_000.0,), (None,)],
+        "v double",
+    )
+    got = [r["m"] for r in df.select(format_money(F.col("v")).alias("m")).collect()]
+    assert got == ["$1.5B", "$2.4M", "$5.6K", "$789", "-$1.2M", None]
