@@ -29,6 +29,12 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_exact_dedup",
     "dedup_minhash_near_dups",
+    "er_multipass_name_match",
+    "er_fuzzy_join_levenshtein",
+    "extract_best_candidate",
+    "grouping_sets_counters",
+    "events_sliding_3h1h",
+    "multimodal_byte_features",
 ]
 
 

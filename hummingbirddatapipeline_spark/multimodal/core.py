@@ -21,7 +21,6 @@ codec and are the honest 100 TB fast path for dedup/quality gates.
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -150,18 +149,21 @@ def byte_features(media: DataFrame) -> DataFrame:
     count — and this is the pattern a real decoder would slot into."""
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                counts: dict[int, int] = {}
-                for byte in b:
-                    counts[byte] = counts.get(byte, 0) + 1
                 n = len(b)
-                ent = 0.0
-                for c in counts.values():
-                    p = c / n
-                    ent -= p * math.log2(p)
+                if n:
+                    counts = np.bincount(
+                        np.frombuffer(b, dtype=np.uint8), minlength=256
+                    )
+                    p = counts[counts > 0] / n
+                    ent = float(-(p * np.log2(p)).sum())
+                else:
+                    ent = 0.0
                 rows.append(
                     (mid, n, round(ent, 6), hashlib.sha256(b).hexdigest())
                 )
