@@ -134,6 +134,9 @@ def minhash_lsh_candidates(
         .agg(F.count("*").alias("sz"), F.collect_list(id_col).alias("ids"))
         .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
         .select(F.array_sort("ids").alias("ids"))
+        # identical membership across bands collapses before pair-gen,
+        # trimming duplicate pair structs at the source
+        .distinct()
     )
     # all ordered pairs from each bucket's sorted id array
     pairs = buckets.select(
