@@ -678,3 +678,56 @@ def band_join_balance_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+@query(
+    "latest_filing_plus_history",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn FROM orders
+      ) WHERE rn = 1
+    ),
+    hist AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / COUNT(*) * 10000) / 10000 AS avg_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT l.o_custkey AS custkey, l.o_orderkey AS latest_orderkey,
+           ROUND(l.o_totalprice, 2) AS latest_price,
+           h.n_orders, h.avg_price
+    FROM latest l JOIN hist h ON h.o_custkey = l.o_custkey
+    ORDER BY custkey
+    """,
+)
+def latest_filing_plus_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — one row per entity: most recent record joined with
+    historical averages (the absent 990_analysis.py capability,
+    README.md:58-60: latest filing per EIN + averages)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("latest_price"),
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    hist = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.floor(F.sum(cents).cast("double") / 100.0 / F.count("*") * 10000)
+            / 10000
+        ).alias("avg_price"),
+    )
+    return latest.join(hist, "custkey").orderBy("custkey")

@@ -89,3 +89,22 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return lsh_topk(emb, queries, dim=dim, k=_K).orderBy("query_id", "rank")
+
+
+@query("similarity_ivf_topk")  # rows-only: approximate (KMeans cells)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: KMeans coarse quantizer, probe the 4 nearest of 16
+    cells per query — the inverted-file scale path (corpus scan cost
+    x n_probe/n_centroids); recall vs the exact baseline is asserted
+    in tests/."""
+    from hummingbirddatapipeline_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=_K, n_centroids=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )

@@ -86,3 +86,18 @@ def test_simhash_identical_texts_collide(spark):
     assert 2 not in by_id  # folded into id 1's group
     assert by_id[1]["dup_count"] == 2
     assert by_id[3]["dup_count"] == 1
+
+
+def test_ivf_topk_recall(spark, sf_dir_small):
+    """IVF with 4/16 probes must recover most of the exact top-10 (the
+    corpus is near-orthogonal random vectors — the hardest case for a
+    coarse quantizer — so the bar is recall over the top ranks)."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    exact = QUERIES["similarity_cosine_topk"](spark, sf_dir_small)
+    ivf = QUERIES["similarity_ivf_topk"](spark, sf_dir_small)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect() if r["rank"] <= 3}
+    a = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    assert len(e) > 0
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF top-3 recall {recall:.2f} < 0.5"

@@ -109,3 +109,40 @@ def test_resume_anti_join(spark):
     done = spark.createDataFrame([("b",)], "key string")
     left = sorted(r["key"] for r in resume_pending(work, done, "key").collect())
     assert left == ["a", "c"]
+
+
+def test_versioned_write_and_swap(spark, tmp_path):
+    from hummingbirddatapipeline_spark.tables import (
+        read_latest_version,
+        write_versioned,
+    )
+
+    base = str(tmp_path / "master")
+    v1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    write_versioned(v1, base)
+    v2 = spark.createDataFrame([(1, "b")], "id int, v string")
+    write_versioned(v2, base)
+    latest = read_latest_version(spark, base)
+    assert [(r["id"], r["v"]) for r in latest.collect()] == [(1, "b")]
+    # previous version untouched and still readable (audit contract)
+    old = spark.read.parquet(base + "/v1")
+    assert [(r["id"], r["v"]) for r in old.collect()] == [(1, "a")]
+
+
+def test_year_partitioned_layout_prunes(spark, tmp_path):
+    import os
+
+    from hummingbirddatapipeline_spark.tables import write_year_partitioned
+
+    df = spark.createDataFrame(
+        [(1, 2023, 10.0), (2, 2024, 20.0)], "id int, year int, v double"
+    )
+    path = str(tmp_path / "long")
+    write_year_partitioned(df, path)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("year=")
+    ) == ["year=2023", "year=2024"]
+    got = spark.read.parquet(path).filter("year = 2024")
+    # partition pruning: the physical plan carries the partition filter
+    assert "2024" in got._jdf.queryExecution().executedPlan().toString()
+    assert [r["id"] for r in got.collect()] == [2]
