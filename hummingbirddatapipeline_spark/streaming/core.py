@@ -229,3 +229,52 @@ def foreach_batch_latest_upsert(stream: DataFrame, target_dir: str) -> DataFrame
         final.write.mode("overwrite").parquet(out)
 
     return stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
+
+
+def running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum, emitted as updates each batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (the SURVEY §2.10 custom-operator slot);
+    state is an explicit (count, value_sum) tuple per user that
+    survives across micro-batches AND restarts via the checkpoint.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 2)]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

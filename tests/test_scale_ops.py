@@ -1,0 +1,71 @@
+"""Scale-path operator tests: salted skew join equivalence and
+bucketed co-located joins (shuffle elision verified from the physical
+plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_equivalent_to_plain(spark):
+    # heavy skew: 10k rows on one key, a handful elsewhere
+    skewed = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    ).union(
+        spark.range(5).select((F.col("id") + 2).alias("k"), F.col("id").alias("payload"))
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (99, "unused")], "k int, label string"
+    )
+    plain = skewed.join(small, "k")
+    salted = salted_join(skewed, small, "k", n_salts=8)
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, plain.select("k", "payload", "label").collect()))
+    b = sorted(map(tuple, salted.select("k", "payload", "label").collect()))
+    assert a == b
+    # hot key's rows actually spread across multiple salt partitions
+    spread = (
+        skewed.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8)),
+        )
+        .filter("k = 1")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    skewed = spark.createDataFrame([(1, 1), (42, 2)], "k int, payload int")
+    small = spark.createDataFrame([(1, "x")], "k int, label string")
+    out = salted_join(skewed, small, "k", n_salts=4, how="left")
+    got = {r["payload"]: r["label"] for r in out.collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_bucket_left", "k", n_buckets=4)
+    write_bucketed(right, "t_bucket_right", "k", n_buckets=4)
+    joined = bucketed_join(spark, "t_bucket_left", "t_bucket_right", "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located layout: the join runs without any shuffle exchange
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE t_bucket_left")
+    spark.sql("DROP TABLE t_bucket_right")

@@ -165,3 +165,64 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     final = spark.read.parquet(os.path.join(out_dir, "latest_per_user"))
     got = {r["user_id"]: (r["event_id"], r["event_type"]) for r in final.collect()}
     assert got == {7: (2, "y"), 8: (3, "x")}
+
+
+def test_custom_stateful_operator_survives_restart(spark, tmp_path):
+    """applyInPandasWithState keeps per-user running totals across
+    checkpointed restarts: run 1 counts file A; run 2 (same checkpoint)
+    folds file B into the SAME state rather than starting over."""
+    from hummingbirddatapipeline_spark.streaming.core import (
+        running_totals_stateful,
+    )
+
+    flat = str(tmp_path / "flat")
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    os.makedirs(flat)
+    t0_ms = 1_700_000_000_000
+
+    out = str(tmp_path / "out")
+
+    def run(name):
+        stream = read_events_stream(spark, flat)
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # updates are cumulative; the latest state per user is the max
+        snap = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.max(F.struct("n_events", "value_sum")).alias("s")
+            )
+            .select("user_id", "s.n_events", "s.value_sum")
+        )
+        return {r["user_id"]: r for r in snap.collect()}
+
+    _write_events(
+        spark, str(src / "a.parquet"),
+        [(1, t0_ms, 7, "x", 1.5), (2, t0_ms + 1, 7, "x", 2.0), (3, t0_ms, 8, "x", 4.0)],
+    )
+    _flatten_parquet(str(src / "a.parquet"), flat, "a.parquet")
+    got1 = run("st1")
+    assert (got1[7]["n_events"], got1[7]["value_sum"]) == (2, 3.5)
+    assert (got1[8]["n_events"], got1[8]["value_sum"]) == (1, 4.0)
+
+    _write_events(
+        spark, str(src / "b.parquet"),
+        [(4, t0_ms + 2, 7, "x", 0.5), (5, t0_ms, 9, "x", 9.0)],
+    )
+    _flatten_parquet(str(src / "b.parquet"), flat, "b.parquet")
+    got2 = run("st2")
+    # state carried: user 7 folds the new event into 3 total
+    assert (got2[7]["n_events"], got2[7]["value_sum"]) == (3, 4.0)
+    assert (got2[9]["n_events"], got2[9]["value_sum"]) == (1, 9.0)
