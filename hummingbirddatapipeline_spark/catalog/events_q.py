@@ -231,3 +231,45 @@ def events_sliding_3h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_ms", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sketches (A2 at scale): HLL distinct + t-digest quantiles. Sketch
+# internals are engine-specific, so these are rows-only; tolerance vs
+# the exact answers is asserted in tests/.
+# --------------------------------------------------------------------------
+@query("sketch_approx_distinct_users")  # rows-only: HLL is engine-specific
+def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=2%) per event type —
+    the constant-memory form of A2 for 100 TB cardinalities."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("sketch_value_quantiles")  # rows-only: t-digest is engine-specific
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch over event values per type — the
+    single-pass mergeable quantile summary."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 2).alias("p50"),
+            F.round(F.col("q")[1], 2).alias("p95"),
+            F.round(F.col("q")[2], 2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

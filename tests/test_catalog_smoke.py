@@ -24,3 +24,39 @@ def test_entry_returns_rows(spark):
 
     df = e.entry(spark)
     assert len(df.take(1)) == 1
+
+
+def test_sketches_within_tolerance(spark, sf_dir):
+    """Sketch answers must track the exact ones (HLL rsd=2% -> allow
+    5%; t-digest accuracy=10k is near-exact at this scale)."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["sketch_approx_distinct_users"](spark, sf_dir).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, n, approx[et])
+
+    med = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    sk = {
+        r["event_type"]: r["p50"]
+        for r in QUERIES["sketch_value_quantiles"](spark, sf_dir).collect()
+    }
+    for et, m in med.items():
+        assert abs(sk[et] - m) <= max(0.05 * abs(m), 0.05), (et, m, sk[et])
