@@ -192,3 +192,99 @@ def _source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scoring_customer_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _source_df(spark, sf_dir)
     return apply_spec(src, CUSTOMER_HEALTH_SPEC).orderBy("entity_id", "year")
+
+
+# --------------------------------------------------------------------------
+# The REAL 990 distress model (19 indicators, 5 domains, availability
+# matrix by filing type) under the oracle gate: a filings-shaped table
+# is derived from TPC-H deterministically with ONE shared SQL string,
+# and the same compiled spec scores it on both engines.
+# --------------------------------------------------------------------------
+_990_SOURCE_SQL = """
+SELECT w.*, w.filing_year - w.prior_year AS years_gap FROM (
+  SELECT f.*,
+    LAG(total_revenue) OVER (PARTITION BY ein ORDER BY filing_year)
+      AS prior_total_revenue,
+    LAG(total_net_assets) OVER (PARTITION BY ein ORDER BY filing_year)
+      AS prior_total_net_assets,
+    LAG(total_expenses) OVER (PARTITION BY ein ORDER BY filing_year)
+      AS prior_total_expenses,
+    LAG(employee_count) OVER (PARTITION BY ein ORDER BY filing_year)
+      AS prior_employee_count,
+    LAG(filing_year) OVER (PARTITION BY ein ORDER BY filing_year)
+      AS prior_year
+  FROM (
+    SELECT CAST(entity AS STRING) AS ein, filing_year,
+      CASE WHEN entity % 20 = 0 THEN 'ez'
+           WHEN entity % 20 = 1 THEN 'pf' ELSE 'standard' END AS filing_type,
+      CASE WHEN entity % 13 = 0 THEN 'Y' ELSE 'N' END AS ceased_operations,
+      CASE WHEN entity % 17 = 0 THEN 'YES' ELSE 'N' END AS sold_assets,
+      rev AS total_revenue,
+      rev * (0.90 + (entity % 5) * 0.05) AS total_expenses,
+      rev * 2.5 AS total_assets,
+      rev * (1.0 + (entity % 7) * 0.25) AS total_liabilities,
+      rev * (2.5 - 1.0 - (entity % 7) * 0.25) AS total_net_assets,
+      CASE WHEN entity % 5 = 0 THEN NULL
+           ELSE rev * (0.30 - (entity % 4) * 0.12) END AS unrestricted_net_assets,
+      rev * 0.10 AS cash,
+      CASE WHEN entity % 11 = 0 THEN NULL ELSE rev * 0.05 END
+        AS savings_temp_investments,
+      rev * 0.06 AS accounts_receivable,
+      rev * 0.04 AS accounts_payable,
+      CASE WHEN entity % 9 = 0 THEN rev * 0.30 ELSE rev * 0.02 END
+        AS deferred_revenue,
+      rev * 0.15 AS secured_mortgages,
+      rev * 0.05 AS unsecured_notes,
+      CASE WHEN entity % 6 = 0 THEN 0.0 ELSE rev * 0.9 END
+        AS land_buildings_equipment,
+      rev * (0.05 + (entity % 10) * 0.09) AS program_revenue,
+      rev * 0.30 AS contributions,
+      rev * 0.05 AS investment_income,
+      rev * 0.08 AS officer_compensation,
+      rev * (0.20 + (entity % 3) * 0.25) AS other_salaries,
+      rev * 0.02 AS pension_contributions,
+      rev * 0.03 AS other_employee_benefits,
+      rev * 0.03 AS payroll_tax,
+      CASE WHEN entity % 8 = 0 THEN rev * 0.20 ELSE rev * 0.01 END
+        AS fundraising_fees,
+      CASE WHEN entity % 10 = 0 THEN rev * 0.50 ELSE 0.0 END
+        AS payable_to_officers,
+      0.0 AS current_receivables_from_officers,
+      CAST(qty AS DOUBLE) AS employee_count
+    FROM (
+      SELECT o.o_custkey AS entity,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS filing_year,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+             SUM(l.l_quantity) AS qty
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ) base
+  ) f
+) w
+"""
+
+
+def _spec_990():
+    from hummingbirddatapipeline_spark.scoring.specs_990 import SPEC_990
+
+    return SPEC_990
+
+
+@query("scoring_990_model", oracle=None)
+def scoring_990_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 990 spec over the TPC-H-derived filings table; oracle SQL
+    is generated from the SAME spec (registered below at import)."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    src = spark.sql(_990_SOURCE_SQL)
+    return apply_spec(src, _spec_990()).orderBy("ein", "filing_year")
+
+
+def _register_990_oracle() -> None:
+    from hummingbirddatapipeline_spark.catalog import ORACLES
+
+    sql = spec_to_sql(_spec_990(), _990_SOURCE_SQL)
+    ORACLES["scoring_990_model"] = f"SELECT * FROM ({sql}) q ORDER BY ein, filing_year"
+
+
+_register_990_oracle()
