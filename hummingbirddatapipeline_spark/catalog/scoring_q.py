@@ -288,3 +288,132 @@ def _register_990_oracle() -> None:
 
 
 _register_990_oracle()
+
+
+# --------------------------------------------------------------------------
+# The IPEDS v5 spec (28 indicators, 7 domains, subsidiary branch,
+# enrollment-cliff domain adjustment) under the oracle gate. The
+# canonical-dispatch and floor stages are covered by golden tests
+# (tests/test_distress_ipeds.py); here the spec's full arithmetic runs
+# over a synthesized canonical table shared verbatim with DuckDB.
+# --------------------------------------------------------------------------
+_IPEDS_SOURCE_SQL = """
+SELECT w.*,
+  CAST(CASE WHEN total_enrollment IS NOT NULL AND enr_chg_3yr IS NOT NULL
+        AND total_enrollment < 500 AND enr_chg_3yr < -0.20
+       THEN 1.0 + 0.40 * LEAST(
+         GREATEST(0.0, (500 - total_enrollment) / 300.0)
+         * GREATEST(0.0, (-enr_chg_3yr - 0.20) / 0.20), 1.0)
+       ELSE 1.0 END AS DOUBLE) AS cliff_mult
+FROM (
+  SELECT g.*,
+    LAG(c_revenue) OVER (PARTITION BY unitid ORDER BY year) AS prior_c_revenue,
+    LAG(c_net_assets) OVER (PARTITION BY unitid ORDER BY year) AS prior_c_net_assets,
+    LAG(ft_retention_rate) OVER (PARTITION BY unitid ORDER BY year)
+      AS prior_ft_retention_rate,
+    LAG(total_fte_staff) OVER (PARTITION BY unitid ORDER BY year)
+      AS prior_total_fte_staff,
+    LAG(avg_salary) OVER (PARTITION BY unitid ORDER BY year) AS prior_avg_salary,
+    CAST(GREATEST(year - LAG(year) OVER (PARTITION BY unitid ORDER BY year), 1)
+      AS DOUBLE) AS years_gap,
+    CASE WHEN LAG(total_enrollment) OVER (PARTITION BY unitid ORDER BY year) > 0
+         THEN total_enrollment
+              / LAG(total_enrollment) OVER (PARTITION BY unitid ORDER BY year) - 1
+         END AS enr_trend_1yr
+  FROM (
+    SELECT CAST(entity AS STRING) AS unitid, year,
+      CASE WHEN entity % 4 = 0 THEN 'fasb' WHEN entity % 4 = 1 THEN 'gasb'
+           WHEN entity % 4 = 2 THEN 'for_profit' ELSE 'irs990' END
+        AS accounting_standard,
+      entity % 15 = 0 AS is_subsidiary,
+      CASE WHEN entity % 15 = 0 THEN CAST(entity + 1 AS STRING) END AS parent_unitid,
+      CASE WHEN entity % 15 = 0 THEN 'Parent ' || CAST(entity + 1 AS STRING) END
+        AS parent_name,
+      CAST(CASE WHEN entity % 15 = 0 THEN (entity % 90) - 70.0 END AS DOUBLE)
+        AS m_revenue_2yr_pct,
+      CAST(CASE WHEN entity % 7 = 0 THEN NULL
+           ELSE (entity % 12) * 0.08 - 0.20 END AS DOUBLE) AS c_equity,
+      CASE WHEN entity % 6 = 0 THEN NULL ELSE rev * 0.25 END AS c_unrestricted,
+      CASE WHEN entity % 4 = 1 THEN NULL ELSE rev * 0.95 END AS c_expenses_f,
+      CASE WHEN entity % 4 IN (1, 2) THEN NULL ELSE rev * 0.95 END AS c_exp_f2,
+      rev * 2.2 AS c_assets,
+      rev * CAST(0.8 + (entity % 6) * 0.25 AS DOUBLE) AS c_liabilities,
+      CASE WHEN entity % 8 = 0 THEN NULL ELSE rev * 0.30 END AS c_expendable,
+      CASE WHEN entity % 4 = 1 THEN NULL ELSE rev * 1.1 END AS c_ppe,
+      CASE WHEN entity % 4 = 1 THEN NULL
+           ELSE rev * CAST(0.3 + (entity % 5) * 0.25 AS DOUBLE) END AS c_debt_ppe,
+      rev * CAST(2.2 - 0.8 - (entity % 6) * 0.25 AS DOUBLE) AS c_net_assets,
+      rev AS c_revenue,
+      rev * CAST(0.88 + (entity % 5) * 0.05 AS DOUBLE) AS c_exp_op,
+      CASE WHEN entity % 4 = 3 THEN NULL
+           ELSE rev * CAST(0.10 + (entity % 4) * 0.08 AS DOUBLE) END AS c_instruction,
+      CASE WHEN entity % 4 = 3 THEN NULL ELSE rev * 0.95 END AS c_instr_den,
+      CASE WHEN entity % 4 IN (1, 3) THEN NULL
+           ELSE rev * CAST(0.15 + (entity % 4) * 0.10 AS DOUBLE) END AS c_inst_support,
+      CAST(CASE WHEN entity % 4 = 3 THEN NULL
+           ELSE 40.0 + (entity % 12) * 5 END AS DOUBLE) AS c_tuition_pct,
+      CAST(CASE WHEN entity % 10 = 0 THEN NULL
+           ELSE (entity % 14) * 1500.0 END AS DOUBLE) AS endowment_per_fte,
+      CAST(CASE WHEN entity % 9 = 0 THEN NULL
+           ELSE 30.0 + (entity % 50) * 30 END AS DOUBLE) AS total_enrollment,
+      CAST(CASE WHEN entity % 9 = 0 THEN NULL
+           ELSE (30.0 + (entity % 50) * 30) * (0.3 + (entity % 6) * 0.1) END
+        AS DOUBLE) AS ft_enrollment,
+      CAST(CASE WHEN entity % 11 = 0 THEN NULL
+           ELSE 30.0 + (entity % 8) * 9 END AS DOUBLE) AS ft_retention_rate,
+      CAST(CASE WHEN entity % 12 = 0 THEN NULL
+           ELSE 10.0 + (entity % 7) * 7 END AS DOUBLE) AS graduation_rate,
+      CAST(CASE WHEN entity % 13 = 0 THEN NULL
+           ELSE 8.0 + (entity % 6) * 6 END AS DOUBLE) AS student_faculty_ratio,
+      CAST(CASE WHEN entity % 8 = 3 THEN NULL
+           ELSE 10.0 + (entity % 8) * 5 END AS DOUBLE) AS admissions_yield,
+      CAST(CASE WHEN entity % 8 = 3 THEN NULL
+           ELSE 60.0 + (entity % 9) * 5 END AS DOUBLE) AS percent_admitted,
+      CAST(CASE WHEN entity % 10 = 4 THEN NULL
+           ELSE 40000.0 + (entity % 10) * 3000 END AS DOUBLE) AS avg_salary,
+      CAST(CASE WHEN entity % 10 = 4 THEN NULL
+           ELSE 50.0 + (entity % 20) * 20 END AS DOUBLE) AS total_fte_staff,
+      CAST(CASE WHEN entity % 15 = 0 THEN (entity % 70) + 0.5 END AS DOUBLE)
+        AS na_months,
+      CAST(CASE WHEN entity % 3 = 0 THEN NULL
+           ELSE (entity % 25) * 0.8 END AS DOUBLE) AS runway_std,
+      CAST(CASE WHEN entity % 4 = 0 THEN NULL
+           ELSE (entity % 9) * 0.01 - 0.04 END AS DOUBLE) AS enr_trend_4yr,
+      CAST(CASE WHEN entity % 5 = 0 THEN NULL
+           ELSE (entity % 11) * -0.05 END AS DOUBLE) AS enr_chg_3yr
+    FROM (
+      SELECT o.o_custkey AS entity,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS year,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ) base
+  ) g
+) w
+"""
+
+
+@query("scoring_ipeds_model", oracle=None)
+def scoring_ipeds_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IPEDS v5 spec (incl. subsidiary months-of-reserve branch and
+    the cliff domain adjustment) over a synthesized canonical table;
+    oracle generated from the same spec."""
+    from hummingbirddatapipeline_spark.scoring.specs_ipeds import SPEC_IPEDS
+
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    src = spark.sql(_IPEDS_SOURCE_SQL)
+    return apply_spec(src, SPEC_IPEDS).orderBy("unitid", "year")
+
+
+def _register_ipeds_oracle() -> None:
+    from hummingbirddatapipeline_spark.catalog import ORACLES
+    from hummingbirddatapipeline_spark.scoring.specs_ipeds import SPEC_IPEDS
+
+    sql = spec_to_sql(SPEC_IPEDS, _IPEDS_SOURCE_SQL)
+    ORACLES["scoring_ipeds_model"] = (
+        f"SELECT * FROM ({sql}) q ORDER BY unitid, year"
+    )
+
+
+_register_ipeds_oracle()
