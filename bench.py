@@ -35,6 +35,7 @@ HEADLINE = [
     "grouping_sets_counters",
     "events_sliding_3h1h",
     "multimodal_byte_features",
+    "scoring_990_model",
 ]
 
 
