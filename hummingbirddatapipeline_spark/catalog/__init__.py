@@ -41,6 +41,7 @@ def _load_modules() -> None:
     # Import for registration side effects. Keep alphabetical-ish; each
     # module covers one SURVEY.md §2 operator family.
     from hummingbirddatapipeline_spark.catalog import (  # noqa: F401
+        curation_q,
         dedup_q,
         entity_q,
         events_q,

@@ -1,0 +1,69 @@
+"""Training-corpus curation pipeline (north-star composite): the
+standard LLM-data funnel — metadata/language filter -> heuristic
+quality gate -> exact dedup -> near-dup dedup -> clean corpus + a
+per-stage attrition report.
+
+Composes the engine's text/dedup operators into one job; every stage
+is native expressions, and the stats funnel is DuckDB-oracled through
+the catalog (curation_funnel). At 100 TB the near-dup stage swaps the
+exact inverted-index join for the MinHash-LSH path
+(operators.dedup.near_dup_pairs_minhash) — same drop rule, bounded
+candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.functions.text import fingerprint, quality_score
+from hummingbirddatapipeline_spark.operators.dedup import (
+    jaccard_pairs_all,
+    near_dup_pairs_minhash,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.6,
+    jaccard_threshold: float = 0.85,
+    use_lsh: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean_corpus, funnel_stats).
+
+    Stages: language whitelist -> quality gate -> exact dedup on the
+    normalized-text fingerprint (keep lowest doc_id) -> near-dup drop
+    (for each pair over the Jaccard threshold, drop the higher id —
+    the greedy keep-first rule). ``use_lsh`` switches the pair
+    generator to MinHash-LSH for scale.
+    """
+    total = docs.select(F.count("*").alias("n")).withColumn("stage", F.lit("input"))
+
+    lang_kept = docs.filter(F.col("lang").isin(list(langs)))
+    quality_kept = lang_kept.filter(
+        F.round(quality_score(F.col("text")), 2) >= min_quality
+    )
+
+    fp = quality_kept.withColumn("__fp", fingerprint(F.col("text")))
+    keeper = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = fp.join(keeper, ["__fp", "doc_id"], "left_semi").drop("__fp")
+
+    pair_fn = near_dup_pairs_minhash if use_lsh else jaccard_pairs_all
+    pairs = pair_fn(
+        exact_kept, "text", "doc_id", threshold=jaccard_threshold, shingle_size=1
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = exact_kept.join(drops, "doc_id", "left_anti")
+
+    stats = total
+    for stage, df in (
+        ("lang_kept", lang_kept),
+        ("quality_kept", quality_kept),
+        ("exact_deduped", exact_kept),
+        ("near_deduped", clean),
+    ):
+        stats = stats.unionByName(
+            df.select(F.count("*").alias("n")).withColumn("stage", F.lit(stage))
+        )
+    return clean, stats.select("stage", "n")

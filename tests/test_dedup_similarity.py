@@ -101,3 +101,22 @@ def test_ivf_topk_recall(spark, sf_dir_small):
     assert len(e) > 0
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF top-3 recall {recall:.2f} < 0.5"
+
+
+def test_curation_pipeline_lsh_matches_exact(spark, sf_dir_small):
+    """The LSH near-dup stage must produce (nearly) the same clean
+    corpus as the exact inverted-index stage."""
+    from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir_small, "documents")
+    clean_exact, stats = curate_corpus(docs, use_lsh=False)
+    clean_lsh, _ = curate_corpus(docs, use_lsh=True)
+    st = {r["stage"]: r["n"] for r in stats.collect()}
+    # funnel is monotone and every stage is populated
+    assert st["input"] >= st["lang_kept"] >= st["quality_kept"]
+    assert st["quality_kept"] >= st["exact_deduped"] >= st["near_deduped"] > 0
+    e = {r["doc_id"] for r in clean_exact.select("doc_id").collect()}
+    l = {r["doc_id"] for r in clean_lsh.select("doc_id").collect()}
+    # symmetric difference small: LSH may miss a borderline pair
+    assert len(e ^ l) <= max(2, len(e) // 20), (len(e), len(l), len(e ^ l))
