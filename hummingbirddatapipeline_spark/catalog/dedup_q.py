@@ -7,7 +7,6 @@ text_q.py. Recall/precision properties are covered in tests/.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.dedup import (

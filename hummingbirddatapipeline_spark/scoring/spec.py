@@ -17,7 +17,7 @@ reference the materialized raw column via the ``{raw}`` placeholder.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

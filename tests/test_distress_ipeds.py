@@ -10,7 +10,6 @@ master writeback.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hummingbirddatapipeline_spark.pipelines.distress_ipeds import (

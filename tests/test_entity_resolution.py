@@ -10,7 +10,6 @@ from pyspark.sql import Row
 
 from hummingbirddatapipeline_spark.operators.entity_resolution import (
     fuzzy_join_levenshtein,
-    fuzzy_join_lsh,
     multipass_name_match,
 )
 from hummingbirddatapipeline_spark.operators.merge import (

@@ -5,7 +5,6 @@ plan).
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.operators.scale import (

@@ -6,9 +6,7 @@ S7 contract), and the foreachBatch upsert sink.
 from __future__ import annotations
 
 import os
-import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.streaming.core import (
