@@ -44,10 +44,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from hummingbirddatapipeline_spark.catalog import QUERIES
-    from hummingbirddatapipeline_spark.session import get_spark
+    from hummingbirddatapipeline_spark.session import get_spark, tune_for_sf
 
     spark = get_spark("hummingbird-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    tune_for_sf(spark, sf_dir)
 
     names = [n for n in HEADLINE if n in QUERIES]
     # extend with any registered headline-worthy extensions

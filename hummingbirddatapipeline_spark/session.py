@@ -38,7 +38,24 @@ def get_spark(app_name: str = "hummingbird-spark") -> SparkSession:
 
 
 def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
-    """Adjust runtime-settable knobs for a given scale factor directory."""
-    # Nothing needed at test scale; placeholder for cluster-side sizing
-    # (spark.sql.files.maxPartitionBytes, shuffle partitions) decisions.
-    _ = spark, sf_dir
+    """Adjust runtime-settable knobs to the input volume.
+
+    Sizing rule (the one we would apply cluster-side at 100 TB):
+    target ~128 MB per scan task and roughly 2 shuffle partitions per
+    core, floored so tiny scale factors don't over-parallelize; AQE
+    coalesces downward at runtime either way.
+    """
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+        )
+    except OSError:
+        return
+    target_task_bytes = 128 * 1024 * 1024
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    by_data = max(total // target_task_bytes, 1)
+    partitions = int(max(min(by_data, cores * 4), min(cores, 8)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target_task_bytes))

@@ -131,3 +131,33 @@ def test_format_money(spark):
     )
     got = [r["m"] for r in df.select(format_money(F.col("v")).alias("m")).collect()]
     assert got == ["$1.5B", "$2.4M", "$5.6K", "$789", "-$1.2M", None]
+
+
+def test_build_predicate_compound(spark):
+    from pyspark.sql import Row
+
+    from hummingbirddatapipeline_spark.functions.predicates import build_predicate
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, src="990", score=75.0, closed="N", acres=120.0, tier="HIGH"),
+            Row(id=2, src="990", score=30.0, closed="N", acres=500.0, tier="LOW"),
+            Row(id=3, src="IPEDS", score=90.0, closed="N", acres=50.0, tier="HIGH"),
+            Row(id=4, src="990", score=85.0, closed="Y", acres=10.0, tier="HIGH"),
+            Row(id=5, src="990", score=85.0, closed="Y", acres=999.0, tier="HIGH"),
+        ]
+    )
+    # the map-panel shape: source contains '990', score >= 40, tier in
+    # selection, acreage >= 100 — UNLESS the closed flag is set (the
+    # closed-toggle override shows those regardless)
+    spec = {
+        "src": {"contains": "990"},
+        "score": {"gte": 40},
+        "tier": {"in": ["HIGH", "CRITICAL"]},
+        "acres": {"gte": 100},
+        "_unless": {"closed": {"flag": True}},
+    }
+    got = sorted(r["id"] for r in df.filter(build_predicate(spec)).collect())
+    # 1 passes all; 2 fails score/tier; 3 fails source+acres; 4 and 5
+    # pass via the closed override
+    assert got == [1, 4, 5]
