@@ -152,3 +152,54 @@ def agreement_confidence(
         .otherwise("LOW")
         .alias("confidence"),
     )
+
+
+def geocode_fill(
+    master: DataFrame,
+    geocode_fetch,
+    n_workers: int = 4,
+    min_interval_s: float = 0.0,
+) -> DataFrame:
+    """Absent-script capability (reference README.md:23-25
+    geocode_all_missing): fill missing lat/lng by geocoding
+    'name, city, state' through the quarantined external-fetch
+    pattern, then coalesce results into a NEW master.
+
+    ``geocode_fetch(key) -> 'lat,lng'`` is injectable (tests pass a
+    deterministic fake; production a real geocoder). Only rows missing
+    coordinates are fetched, and failures leave the row untouched.
+    """
+    from hummingbirddatapipeline_spark.sources.external import fetch_enrichment
+
+    missing = master.filter(
+        F.col("latitude").isNull() | F.col("longitude").isNull()
+    ).withColumn(
+        "__geo_key",
+        F.concat_ws(
+            ", ", F.col("institution_name"), F.col("city"), F.col("state")
+        ),
+    )
+    fetched = fetch_enrichment(
+        missing,
+        "__geo_key",
+        geocode_fetch,
+        n_workers=n_workers,
+        min_interval_s=min_interval_s,
+    ).filter(F.col("status") == "ok")
+    split = fetched.select(
+        F.col("key").alias("__geo_key"),
+        F.split("payload", ",").getItem(0).cast("double").alias("__lat"),
+        F.split("payload", ",").getItem(1).cast("double").alias("__lng"),
+    )
+    keyed = master.withColumn(
+        "__geo_key",
+        F.concat_ws(
+            ", ", F.col("institution_name"), F.col("city"), F.col("state")
+        ),
+    )
+    out = keyed.join(F.broadcast(split), "__geo_key", "left")
+    return (
+        out.withColumn("latitude", F.coalesce("latitude", "__lat"))
+        .withColumn("longitude", F.coalesce("longitude", "__lng"))
+        .drop("__geo_key", "__lat", "__lng")
+    )

@@ -111,3 +111,30 @@ def test_agreement_confidence(spark):
     assert out["a"]["acres"] == 100.0 and out["a"]["n_agreeing"] == 2
     assert out["b"]["confidence"] == "MEDIUM"
     assert out["c"]["confidence"] == "MEDIUM" and out["c"]["n_agreeing"] == 1
+
+
+def test_geocode_fill(spark):
+    from hummingbirddatapipeline_spark.pipelines.acreage import geocode_fill
+
+    master = spark.createDataFrame(
+        [
+            Row(institution_name="Acme College", city="X", state="NY",
+                latitude=None, longitude=None),
+            Row(institution_name="Bolt University", city="Y", state="CA",
+                latitude=10.0, longitude=20.0),
+            Row(institution_name="Fail U", city="Z", state="TX",
+                latitude=None, longitude=None),
+        ]
+    )
+
+    def fake_geocoder(key: str) -> str:
+        if "Fail" in key:
+            raise RuntimeError("no match")
+        return "40.5,-73.9"
+
+    out = geocode_fill(master, fake_geocoder, n_workers=1)
+    got = {r["institution_name"]: (r["latitude"], r["longitude"])
+           for r in out.collect()}
+    assert got["Acme College"] == (40.5, -73.9)      # filled
+    assert got["Bolt University"] == (10.0, 20.0)    # untouched
+    assert got["Fail U"] == (None, None)             # failure left as-is
