@@ -161,3 +161,41 @@ def test_build_predicate_compound(spark):
     # 1 passes all; 2 fails score/tier; 3 fails source+acres; 4 and 5
     # pass via the closed override
     assert got == [1, 4, 5]
+
+
+def test_weighted_mean_udaf_matches_expression(spark):
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.functions.udaf import (
+        weighted_mean_expr,
+        weighted_mean_udaf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10.0, 1.0), ("a", None, 5.0), ("a", 20.0, 3.0),
+            ("b", 7.0, 2.0),
+            ("c", None, 1.0),  # all-null group -> NULL both paths
+        ],
+        "g string, v double, w double",
+    )
+    via_udaf = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(weighted_mean_udaf("v", "w").alias("m"))
+        .collect()
+    }
+    via_expr = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(weighted_mean_expr(F.col("v"), F.col("w")).alias("m"))
+        .collect()
+    }
+    assert via_udaf.keys() == via_expr.keys()
+    for g in via_udaf:
+        if via_expr[g] is None:
+            assert via_udaf[g] is None
+        else:
+            assert abs(via_udaf[g] - via_expr[g]) < 1e-9
+    # hand check: a = (10*1 + 20*3)/4 = 17.5
+    assert abs(via_expr["a"] - 17.5) < 1e-9
