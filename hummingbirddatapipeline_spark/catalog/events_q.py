@@ -21,7 +21,9 @@ _GAP_MS = 30 * 60 * 1000  # 30-minute session gap
 
 
 def _with_ts_ms(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts_ms", (F.col("ts") / F.lit(1_000_000)).cast("long"))
+    # integer division: float division of epoch-nanos longs (~1.7e18)
+    # exceeds double precision and can round a millisecond up
+    return df.withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS LONG)"))
 
 
 # --------------------------------------------------------------------------
@@ -30,13 +32,13 @@ def _with_ts_ms(df: DataFrame) -> DataFrame:
 @query(
     "events_hourly_tumbling",
     oracle=f"""
-    SELECT (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS hour_start_ms,
+    SELECT ((epoch_ns(ts) // 1000000) // {_HOUR_MS}) * {_HOUR_MS} AS hour_start_ms,
            event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total_value,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4)
-             AS avg_value
+           FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour_start_ms, event_type
@@ -57,7 +59,9 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
-            F.round(F.sum(cents) / 100.0 / F.count("*"), 4).alias("avg_value"),
+            (
+                F.floor(F.sum(cents) / 100.0 / F.count("*") * 10000 + 0.5) / 10000
+            ).alias("avg_value"),
         )
         .orderBy("hour_start_ms", "event_type")
     )
@@ -72,11 +76,11 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, epoch_ms(ts) AS ts_ms,
-             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {_GAP_MS}
-                  OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+             CASE WHEN (epoch_ns(ts) // 1000000) - LAG((epoch_ns(ts) // 1000000)) OVER w > {_GAP_MS}
+                  OR LAG((epoch_ns(ts) // 1000000)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000000), event_id)
     ),
     sess AS (
       SELECT user_id, ts_ms,
@@ -169,11 +173,11 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_first_per_user_type",
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id,
-           epoch_ms(ts) AS first_ts_ms
+           (epoch_ns(ts) // 1000000) AS first_ts_ms
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY user_id, event_type
-        ORDER BY epoch_ms(ts), event_id) AS rn
+        ORDER BY (epoch_ns(ts) // 1000000), event_id) AS rn
       FROM events
     ) WHERE rn = 1
     ORDER BY user_id, event_type
@@ -203,7 +207,7 @@ def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH expanded AS (
       SELECT event_type,
-             ((epoch_ms(ts) // {_HOUR_MS}) - UNNEST(range(3))) * {_HOUR_MS}
+             (((epoch_ns(ts) // 1000000) // {_HOUR_MS}) - UNNEST(range(3))) * {_HOUR_MS}
                AS window_start_ms
       FROM events
     )

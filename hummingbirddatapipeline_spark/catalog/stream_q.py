@@ -35,7 +35,7 @@ def _events_path(sf_dir: str) -> str:
 @query(
     "stream_hourly_tumbling",
     oracle=f"""
-    SELECT (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS hour_start_ms,
+    SELECT ((epoch_ns(ts) // 1000000) // {_HOUR_MS}) * {_HOUR_MS} AS hour_start_ms,
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
@@ -57,11 +57,11 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the batch lag-based twin uses >.
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, epoch_ms(ts) AS ts_ms,
-             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= {_GAP_MS}
-                  OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+             CASE WHEN (epoch_ns(ts) // 1000000) - LAG((epoch_ns(ts) // 1000000)) OVER w >= {_GAP_MS}
+                  OR LAG((epoch_ns(ts) // 1000000)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000000), event_id)
     ),
     sess AS (
       SELECT user_id, ts_ms,

@@ -27,6 +27,18 @@ from hummingbirddatapipeline_spark.scoring.spec import Indicator, ScoringSpec
 _NAN_GUARD = "CASE WHEN ISNAN({x}) THEN NULL ELSE ({x}) END"
 
 
+def _round_sql(x: str, k: int) -> str:
+    """Deterministic half-up rounding via FLOOR on the double.
+
+    Engine ROUND() implementations disagree on exact .5 ties of the
+    same IEEE double (Spark rounds the decimal expansion HALF_UP,
+    DuckDB the binary value), which breaks cross-engine hash compares
+    at scale; FLOOR(x*10^k + 0.5) evaluates identically everywhere.
+    """
+    p = 10 ** k
+    return f"FLOOR(({x}) * {p} + 0.5) / {p}"
+
+
 def _interp_sql(raw: str, healthy: float, distress: float, invert: bool) -> str:
     h, d = repr(float(healthy)), repr(float(distress))
     if invert:
@@ -136,7 +148,7 @@ def _category_sql(spec: ScoringSpec, composite: str) -> str:
 def result_projection(spec: ScoringSpec) -> dict[str, str]:
     """Final output columns (name -> sql over the layered columns)."""
     out: dict[str, str] = {c: c for c in spec.entity_cols}
-    out["distress_score"] = "ROUND(composite_unrounded, 1)"
+    out["distress_score"] = _round_sql("composite_unrounded", 1)
     out["risk_category"] = _category_sql(spec, "composite_unrounded")
     total = spec.indicator_count
     out["data_completeness"] = (
@@ -151,12 +163,12 @@ def result_projection(spec: ScoringSpec) -> dict[str, str]:
         for dom in spec.domains:
             out[f"{dom.name}_score_unrounded"] = f"{dom.name}_score_adj"
     for dom in spec.domains:
-        out[f"{dom.name}_score"] = f"ROUND({dom.name}_score_adj, 1)"
+        out[f"{dom.name}_score"] = _round_sql(f"{dom.name}_score_adj", 1)
     if spec.keep_raws:
         for dom in spec.domains:
             for ind in dom.indicators:
                 if ind.raw_sql is not None:
-                    out[f"{ind.name}_raw"] = f"ROUND({ind.name}_raw, 4)"
+                    out[f"{ind.name}_raw"] = _round_sql(f"{ind.name}_raw", 4)
     return out
 
 

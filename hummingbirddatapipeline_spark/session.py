@@ -23,6 +23,9 @@ def get_spark(app_name: str = "hummingbird-spark") -> SparkSession:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # local-mode driver default is 1g; large collects (differential
+        # checks at sf0.1+) need real headroom. No effect cluster-side.
+        .config("spark.driver.memory", "8g")
         # AQE: runtime coalescing, skew-join splitting, dynamic broadcast.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
