@@ -52,6 +52,7 @@ def _load_modules() -> None:
         serving_q,
         similarity_q,
         stream_q,
+        temporal_q,
         text_q,
     )
 

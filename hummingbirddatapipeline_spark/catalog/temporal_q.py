@@ -1,0 +1,263 @@
+"""Temporal join operators: as-of join, bounded range join, hypertable
+rollup.
+
+The reference's only temporal pattern is "most recent year <= target"
+(SURVEY.md W4, Hummingbird_Master_engine_990.py:1226-1236) — a
+single-table as-of select. These queries generalize it to the two-table
+forms a time-series store needs, built scale-first:
+
+- as-of join: union + tag + running ``last()`` over one
+  (entity, time)-ordered window — ONE shuffle, no inequality join, no
+  per-row subquery. This is the merge-join formulation; it survives
+  100 TB because state per partition is one row.
+- bounded range join: bucketize both sides to the range width and
+  equi-join on (entity, bucket) with the right side exploded into the
+  two covering buckets, then filter the exact bound. Turns an O(n*m)
+  inequality join into an equi-join Catalyst can shuffle-hash; bucket
+  fanout is a constant 2.
+- hypertable rollup: hour -> day -> week computed hierarchically (each
+  grain re-aggregates the previous one, not the raw events), the
+  continuous-aggregate pattern: the day pass reads 24x less input than
+  a raw re-scan, week reads 7x less again. Exact because the measures
+  (counts, integer-cent sums) are decomposable.
+
+DuckDB oracles are written in independent form (native ASOF JOIN, plain
+inequality join, direct per-grain GROUP BYs) so the differential check
+exercises different algorithms, not the same plan twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.operators.temporal import asof_join, range_join
+from hummingbirddatapipeline_spark.tables import load
+
+_HOUR_MS = 3_600_000
+_DAY_MS = 24 * _HOUR_MS
+_WEEK_MS = 7 * _DAY_MS
+
+
+def _ts_ms(df: DataFrame) -> DataFrame:
+    # integer division of epoch-nanos longs; float division loses ms
+    return df.withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS LONG)"))
+
+
+def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click events deduped to one row per (user_id, ts_ms).
+
+    Both engines must agree on which click wins a same-millisecond tie,
+    so ties collapse to MAX(event_id) before the join in BOTH forms.
+    """
+    ev = _ts_ms(load(spark, sf_dir, "events"))
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ts_ms(load(spark, sf_dir, "events"))
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase matched to the latest click at-or-before it
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+             MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT event_id, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           p.ts_ms AS purchase_ts_ms,
+           c.ts_ms AS click_ts_ms,
+           c.click_event_id,
+           p.ts_ms - c.ts_ms AS ms_since_click
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+    ORDER BY purchase_event_id
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via operators.temporal.asof_join (union + running
+    last() over one keyed window — one shuffle, inclusive >= match).
+    The oracle uses DuckDB's native ASOF LEFT JOIN, so the differential
+    check proves the operator against an independent implementation."""
+    clicks = _clicks(spark, sf_dir).withColumnRenamed("ts_ms", "click_ts_ms")
+    purch = _purchases(spark, sf_dir)
+    return (
+        asof_join(
+            purch,
+            clicks,
+            on="user_id",
+            left_ts="ts_ms",
+            right_ts="click_ts_ms",
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts_ms").alias("purchase_ts_ms"),
+            "click_ts_ms",
+            "click_event_id",
+            (F.col("ts_ms") - F.col("click_ts_ms")).alias("ms_since_click"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded range join: clicks in the hour before each purchase
+# --------------------------------------------------------------------------
+@query(
+    "range_join_clicks_before_purchase",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+             MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT event_id, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           p.ts_ms AS purchase_ts_ms,
+           COUNT(c.ts_ms) AS n_clicks_prev_hour
+    FROM purch p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.ts_ms >= p.ts_ms - {_HOUR_MS}
+     AND c.ts_ms <= p.ts_ms
+    GROUP BY 1, 2, 3
+    ORDER BY purchase_event_id
+    """,
+)
+def range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join by bucketization: right side exploded into its two
+    covering 1-hour buckets, equi-join on (user_id, bucket), exact
+    bound re-checked post-join. The inequality never reaches the join
+    condition, so Catalyst plans a shuffle/broadcast HASH join instead
+    of BroadcastNestedLoopJoin — the difference between O(n+m) and
+    O(n*m) at 100 TB."""
+    clicks = (
+        _clicks(spark, sf_dir)
+        .withColumn("b", F.floor(F.col("ts_ms") / _HOUR_MS))
+        .withColumn("bucket", F.explode(F.array(F.col("b"), F.col("b") + 1)))
+        .select("user_id", "bucket", F.col("ts_ms").alias("c_ts_ms"))
+    )
+    purch = _purchases(spark, sf_dir).withColumn(
+        "bucket", F.floor(F.col("ts_ms") / _HOUR_MS)
+    )
+    in_range = (F.col("c_ts_ms") >= F.col("ts_ms") - _HOUR_MS) & (
+        F.col("c_ts_ms") <= F.col("ts_ms")
+    )
+    return (
+        purch.join(clicks, ["user_id", "bucket"], "left")
+        .groupBy("event_id", "user_id", "ts_ms")
+        .agg(F.count(F.when(in_range, F.lit(1))).alias("n_clicks_prev_hour"))
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts_ms").alias("purchase_ts_ms"),
+            "n_clicks_prev_hour",
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup: hour -> day -> week hierarchical re-aggregation
+# --------------------------------------------------------------------------
+@query(
+    "events_hypertable_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT (epoch_ns(ts) // 1000000) AS ts_ms, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT 'hour' AS grain,
+           (ts_ms // {_HOUR_MS}) * {_HOUR_MS} AS bucket_start_ms,
+           event_type, COUNT(*) AS n_events,
+           ROUND(SUM(cents) / 100.0, 2) AS total_value
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', (ts_ms // {_DAY_MS}) * {_DAY_MS},
+           event_type, COUNT(*), ROUND(SUM(cents) / 100.0, 2)
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', (ts_ms // {_WEEK_MS}) * {_WEEK_MS},
+           event_type, COUNT(*), ROUND(SUM(cents) / 100.0, 2)
+    FROM base GROUP BY 2, 3
+    ORDER BY grain, bucket_start_ms, event_type
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: the day grain aggregates the HOURLY
+    result (24x smaller than raw), the week grain aggregates the DAILY
+    result. The oracle recomputes every grain straight from the events
+    table, so the differential check proves hierarchical
+    re-aggregation is exact. Measures are decomposable on purpose:
+    COUNT and integer-cent SUM re-aggregate losslessly; non-decomposable
+    measures (countDistinct) belong in sketch form (see
+    sketch_approx_distinct_users) at this layer."""
+    ev = _ts_ms(load(spark, sf_dir, "events"))
+    hourly_cents = (
+        ev.withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn(
+            "bucket_start_ms",
+            (F.floor(F.col("ts_ms") / _HOUR_MS) * _HOUR_MS).cast("long"),
+        )
+        .groupBy("bucket_start_ms", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+    )
+
+    def _up(df: DataFrame, width_ms: int) -> DataFrame:
+        return (
+            df.withColumn(
+                "bucket_start_ms",
+                (F.floor(F.col("bucket_start_ms") / width_ms) * width_ms).cast(
+                    "long"
+                ),
+            )
+            .groupBy("bucket_start_ms", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    daily_cents = _up(hourly_cents, _DAY_MS)
+    weekly_cents = _up(daily_cents, _WEEK_MS)
+
+    def _final(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start_ms",
+            "event_type",
+            "n_events",
+            F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+        )
+
+    return (
+        _final(hourly_cents, "hour")
+        .unionByName(_final(daily_cents, "day"))
+        .unionByName(_final(weekly_cents, "week"))
+        .orderBy("grain", "bucket_start_ms", "event_type")
+    )

@@ -1,0 +1,159 @@
+"""Generic temporal joins: as-of join and bounded range join.
+
+The reference's temporal access pattern is "most recent record at or
+before a point in time" (SURVEY.md W4; the reference computes it with a
+per-entity scan in Hummingbird_Master_engine_990.py:1226-1236). These
+operators generalize that to two-table form with Spark-first physical
+plans:
+
+- ``asof_join``: merge-join formulation — union both sides, one window
+  shuffle on the join keys, running ``last(ignorenulls)`` carries the
+  most recent right-side row forward. No inequality join condition ever
+  reaches Catalyst, so the plan is O(n + m) with exactly one exchange;
+  a naive ``l.ts >= r.ts`` join would plan BroadcastNestedLoopJoin.
+- ``range_join``: bucketize to the window width and equi-join on
+  (keys, bucket) with the right side exploded into its (at most 2)
+  covering buckets, then re-check the exact bound. Catalyst plans a
+  hash/sort-merge equi-join; fanout is a constant <= 2 regardless of
+  data size.
+
+Both scale linearly in input size and shuffle once on the join keys —
+the property that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _keys(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _check_no_collision(left: DataFrame, names: Sequence[str]) -> None:
+    clash = sorted(set(names) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right-side columns {clash} collide with left columns; "
+            "rename them before the join"
+        )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: each left row picks the right row with the
+    greatest ``right_ts`` <= its ``left_ts`` (inclusive), per key group.
+
+    Returns all left columns plus ``right_ts`` and ``right_cols`` from
+    the matched right row (null when no right row precedes). The right
+    side must be unique per (keys, right_ts) — collapse ties upstream,
+    otherwise which tied row wins is nondeterministic.
+
+    Physical shape: one shuffle (window over the keys); state per
+    partition is a single running struct, so memory is O(1) per row
+    regardless of group size.
+    """
+    keys = _keys(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    _check_no_collision(left, [right_ts, *right_cols])
+
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+    )
+    l_ = (
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__p", F.lit(None).cast(r.schema["__p"].dataType))
+    )
+    # right rows sort before left rows at the same timestamp, so the
+    # match is at-or-before (inclusive), matching ASOF JOIN >= semantics
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_.unionByName(r, allowMissingColumns=True)
+        .withColumn("__lp", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__lp.{right_ts}").alias(right_ts))
+    out_cols.extend(F.col(f"__lp.{c}").alias(c) for c in right_cols)
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inner bounded range join: pairs where
+    ``lower <= right_ts - left_ts <= upper`` within each key group.
+
+    Returns all left columns plus ``right_ts`` and ``right_cols`` for
+    every qualifying right row. Bounds are inclusive; ``upper`` must be
+    >= ``lower``. Timestamps must be integral (epoch ms/us) with
+    magnitude < 2**53 so bucket arithmetic is exact.
+
+    Physical shape: the right side explodes into the <= 2 buckets of
+    width (upper - lower) that its match window can overlap, then an
+    ordinary equi-join on (keys, bucket) runs, then the exact bound
+    filters. Constant fanout, hash-joinable — never a nested loop.
+    """
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) < lower ({lower})")
+    keys = _keys(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    _check_no_collision(left, [right_ts, *right_cols])
+
+    width = max(upper - lower, 1)
+    # left_ts in [right_ts - upper, right_ts - lower]: an interval of
+    # length (upper - lower), so it covers at most 2 width-sized buckets
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__rt"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__rt") - upper) / width),
+                    F.floor((F.col("__rt") - lower) / width),
+                )
+            )
+        ),
+    )
+    l_ = left.withColumn("__bucket", F.floor(F.col(left_ts) / width))
+    in_range = (F.col("__rt") - F.col(left_ts) >= lower) & (
+        F.col("__rt") - F.col(left_ts) <= upper
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__rt").alias(right_ts))
+    out_cols.extend(F.col(c) for c in right_cols)
+    return l_.join(r, [*keys, "__bucket"], "inner").filter(in_range).select(*out_cols)

@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.operators.temporal import asof_join, range_join
+
+
+def _left(spark):
+    # (key, ts, tag)
+    rows = [
+        ("a", 100, "l1"),
+        ("a", 205, "l2"),
+        ("a", 300, "l3"),
+        ("b", 50, "l4"),
+        ("c", 10, "l5"),  # key with no right rows at all
+    ]
+    return spark.createDataFrame(rows, "k string, ts long, tag string")
+
+
+def _right(spark):
+    rows = [
+        ("a", 100, "r1"),  # exact tie with l1 -> inclusive match
+        ("a", 200, "r2"),
+        ("a", 250, "r3"),
+        ("b", 60, "r4"),  # after b's only left row -> no asof match
+    ]
+    return spark.createDataFrame(rows, "k string, rts long, val string")
+
+
+def test_asof_join_semantics(spark):
+    out = asof_join(_left(spark), _right(spark), "k", "ts", "rts")
+    got = {r["tag"]: (r["rts"], r["val"]) for r in out.collect()}
+    assert got == {
+        "l1": (100, "r1"),  # tie is inclusive (>=)
+        "l2": (200, "r2"),
+        "l3": (250, "r3"),
+        "l4": (None, None),  # right row exists but only after left ts
+        "l5": (None, None),  # no right rows for key
+    }
+
+
+def test_asof_join_rejects_column_collision(spark):
+    bad = _right(spark).withColumnRenamed("val", "tag")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(_left(spark), bad, "k", "ts", "rts")
+
+
+def test_asof_join_plan_single_shuffle_no_nested_loop(spark):
+    out = asof_join(_left(spark), _right(spark), "k", "ts", "rts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # merge-join formulation: exactly one hash-partition exchange (the
+    # keyed window); an inequality-join plan would show a join node
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+@pytest.mark.parametrize("lower,upper", [(-100, 0), (0, 100), (-50, 50)])
+def test_range_join_matches_naive(spark, lower, upper):
+    left, right = _left(spark), _right(spark)
+    got = sorted(
+        (r["tag"], r["rts"], r["val"])
+        for r in range_join(
+            left, right, "k", "ts", "rts", lower, upper
+        ).collect()
+    )
+    naive = (
+        left.join(right, "k")
+        .filter(
+            (F.col("rts") - F.col("ts") >= lower)
+            & (F.col("rts") - F.col("ts") <= upper)
+        )
+        .select("tag", "rts", "val")
+    )
+    want = sorted((r["tag"], r["rts"], r["val"]) for r in naive.collect())
+    assert got == want and got  # non-empty at these bounds
+
+
+def test_range_join_no_duplicate_pairs_and_hash_join(spark):
+    out = range_join(_left(spark), _right(spark), "k", "ts", "rts", -200, 200)
+    rows = [(r["tag"], r["rts"]) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "bucket explode duplicated a pair"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_conserves_totals(spark):
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    df = QUERIES["events_hypertable_rollup"](spark, "/root/testdata/sf0.001")
+    agg = (
+        df.groupBy("grain")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.round(F.sum("total_value"), 2).alias("v"),
+        )
+        .collect()
+    )
+    by_grain = {r["grain"]: (r["n"], float(r["v"])) for r in agg}
+    assert by_grain["hour"][0] == by_grain["day"][0] == by_grain["week"][0]
+    assert (
+        abs(by_grain["hour"][1] - by_grain["day"][1]) < 0.01
+        and abs(by_grain["day"][1] - by_grain["week"][1]) < 0.01
+    )
