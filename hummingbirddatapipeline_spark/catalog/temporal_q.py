@@ -209,55 +209,53 @@ def range_join_clicks_before_purchase(
     """,
 )
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-aggregate rollup: the day grain aggregates the HOURLY
-    result (24x smaller than raw), the week grain aggregates the DAILY
-    result. The oracle recomputes every grain straight from the events
-    table, so the differential check proves hierarchical
-    re-aggregation is exact. Measures are decomposable on purpose:
-    COUNT and integer-cent SUM re-aggregate losslessly; non-decomposable
-    measures (countDistinct) belong in sketch form (see
-    sketch_approx_distinct_users) at this layer."""
+    """Continuous-aggregate rollup in ONE raw scan: hourly partial
+    aggregate first (the only pass over raw events), then each hourly
+    row explodes into its three (grain, bucket) assignments and a
+    second aggregate folds them up. A naive per-grain UNION re-scans
+    the events table three times (verified via .explain — Catalyst
+    does not share scans across union branches without caching); this
+    form scans once and its second shuffle reads 3x the HOURLY row
+    count, which is ~events/24 at 100 TB. The oracle recomputes every
+    grain straight from the events table, so the differential check
+    proves hierarchical re-aggregation is exact. Measures are
+    decomposable on purpose: COUNT and integer-cent SUM re-aggregate
+    losslessly; non-decomposable measures (countDistinct) belong in
+    sketch form (see sketch_approx_distinct_users) at this layer."""
     ev = _ts_ms(load(spark, sf_dir, "events"))
-    hourly_cents = (
+    hourly = (
         ev.withColumn("cents", F.round(F.col("value") * 100).cast("long"))
         .withColumn(
-            "bucket_start_ms",
+            "hour_ms",
             (F.floor(F.col("ts_ms") / _HOUR_MS) * _HOUR_MS).cast("long"),
         )
-        .groupBy("bucket_start_ms", "event_type")
+        .groupBy("hour_ms", "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
     )
 
-    def _up(df: DataFrame, width_ms: int) -> DataFrame:
-        return (
-            df.withColumn(
-                "bucket_start_ms",
-                (F.floor(F.col("bucket_start_ms") / width_ms) * width_ms).cast(
-                    "long"
-                ),
-            )
-            .groupBy("bucket_start_ms", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("cents").alias("cents"),
-            )
-        )
+    def _bucket(width_ms: int):
+        return (F.floor(F.col("hour_ms") / width_ms) * width_ms).cast("long")
 
-    daily_cents = _up(hourly_cents, _DAY_MS)
-    weekly_cents = _up(daily_cents, _WEEK_MS)
-
-    def _final(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            "bucket_start_ms",
-            "event_type",
-            "n_events",
-            F.round(F.col("cents") / 100.0, 2).alias("total_value"),
-        )
-
+    grains = F.array(
+        F.struct(
+            F.lit("hour").alias("grain"),
+            F.col("hour_ms").alias("bucket_start_ms"),
+        ),
+        F.struct(
+            F.lit("day").alias("grain"),
+            _bucket(_DAY_MS).alias("bucket_start_ms"),
+        ),
+        F.struct(
+            F.lit("week").alias("grain"),
+            _bucket(_WEEK_MS).alias("bucket_start_ms"),
+        ),
+    )
     return (
-        _final(hourly_cents, "hour")
-        .unionByName(_final(daily_cents, "day"))
-        .unionByName(_final(weekly_cents, "week"))
+        hourly.withColumn("g", F.explode(grains))
+        .groupBy("g.grain", "g.bucket_start_ms", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        )
         .orderBy("grain", "bucket_start_ms", "event_type")
     )
