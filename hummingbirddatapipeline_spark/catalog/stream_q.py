@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.streaming.core import (
     dedup_events,
+    enrich_with_dim,
     hourly_tumbling,
+    interval_join_pairs,
     read_events_stream,
     run_available_now,
     sessionize,
@@ -107,3 +109,115 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_interval_join_pairs",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id AS click_event_id, user_id,
+             (epoch_ns(ts) // 1000000) AS click_ts_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS purchase_event_id, user_id,
+             (epoch_ns(ts) // 1000000) AS purchase_ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_event_id, c.click_event_id, p.user_id,
+           p.purchase_ts_ms, c.click_ts_ms,
+           p.purchase_ts_ms - c.click_ts_ms AS ms_before
+    FROM purch p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts_ms >= p.purchase_ts_ms - {_HOUR_MS}
+     AND c.click_ts_ms <= p.purchase_ts_ms
+    ORDER BY purchase_event_id, click_event_id
+    """,
+)
+def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run to completion: every
+    (purchase, click-from-the-previous-hour) pair per user. Join times
+    are ms-floored on BOTH engines so boundary inclusion agrees. The
+    watermark + range condition bound the join state (SURVEY §2.10);
+    the oracle is a batch inequality self-join in DuckDB."""
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    ms_time = F.expr("timestamp_millis(ts_ms)")
+    purch = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withColumn("p_time", ms_time)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "p_time",
+            F.col("ts_ms").alias("purchase_ts_ms"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, _events_path(sf_dir))
+        .filter(F.col("event_type") == "click")
+        .withColumn("c_time", ms_time)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            "c_time",
+            F.col("ts_ms").alias("click_ts_ms"),
+        )
+    )
+    pairs = interval_join_pairs(
+        purch,
+        clicks,
+        left_key="user_id",
+        right_key="c_user_id",
+        left_time="p_time",
+        right_time="c_time",
+        lookback="1 hour",
+    )
+    out = run_available_now(pairs, "append")
+    return out.select(
+        "purchase_event_id",
+        "click_event_id",
+        "user_id",
+        "purchase_ts_ms",
+        "click_ts_ms",
+        (F.col("purchase_ts_ms") - F.col("click_ts_ms")).alias("ms_before"),
+    ).orderBy("purchase_event_id", "click_event_id")
+
+
+@query(
+    "stream_enrich_nation_counts",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_enrich_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the
+    customer->nation dimension each micro-batch (no state, no shuffle
+    on the stream side), then a complete-mode aggregate rolls up per
+    nation."""
+    from hummingbirddatapipeline_spark.tables import load
+
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        enrich_with_dim(stream, dim, "user_id")
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
+        )
+    )
+    return run_available_now(agg, "complete").orderBy("nation")

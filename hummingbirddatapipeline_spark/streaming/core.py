@@ -278,3 +278,46 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def interval_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: pairs where ``right_time`` is
+    within [left_time - lookback, left_time] and the keys match. Key
+    and time column names must differ across the two sides (rename
+    upstream) so the joined schema is unambiguous.
+
+    Both sides get watermarks plus the time-range join condition — the
+    two things Structured Streaming needs to BOUND JOIN STATE: a right
+    row is dropped from state once the left watermark passes
+    right_time + lookback, so state is O(rate x window), not
+    O(stream). Inner joins emit each match as soon as both sides
+    arrive (append mode), which makes a Trigger.AvailableNow run
+    exactly reproduce the batch twin.
+    """
+    l_ = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_time) >= F.col(left_time) - F.expr(f"interval {lookback}"))
+        & (F.col(right_time) <= F.col(left_time))
+    )
+    return l_.join(r, cond, "inner")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """Stream-static enrichment join: broadcast the (small) static
+    dimension against every micro-batch. The dim side is a plain batch
+    DataFrame, so no state is kept and no watermark is needed; at 100 TB
+    the stream side never shuffles — each task hash-probes the
+    broadcast table.
+    """
+    return stream.join(F.broadcast(dim), on, "left")
