@@ -36,6 +36,9 @@ HEADLINE = [
     "events_sliding_3h1h",
     "multimodal_byte_features",
     "scoring_990_model",
+    "asof_join_purchase_click",
+    "range_join_clicks_before_purchase",
+    "events_hypertable_rollup",
 ]
 
 
