@@ -259,3 +259,58 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket_start_ms", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Range-join pairs: the generic operator itself under the oracle gate
+# --------------------------------------------------------------------------
+@query(
+    "range_join_pairs",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS click_ts_ms,
+             MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT event_id, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           p.ts_ms AS purchase_ts_ms,
+           c.click_ts_ms,
+           c.click_event_id
+    FROM purch p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts_ms >= p.ts_ms - {_HOUR_MS}
+     AND c.click_ts_ms <= p.ts_ms
+    ORDER BY purchase_event_id, click_event_id
+    """,
+)
+def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.temporal.range_join verified pairwise: the oracle is a
+    plain inequality inner join, the Spark side is the bucketized
+    equi-join operator — the differential check proves the
+    bucketization emits exactly the in-range pairs, no dups, no gaps."""
+    clicks = _clicks(spark, sf_dir).withColumnRenamed("ts_ms", "click_ts_ms")
+    purch = _purchases(spark, sf_dir)
+    return (
+        range_join(
+            purch,
+            clicks,
+            on="user_id",
+            left_ts="ts_ms",
+            right_ts="click_ts_ms",
+            lower=-_HOUR_MS,
+            upper=0,
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts_ms").alias("purchase_ts_ms"),
+            "click_ts_ms",
+            "click_event_id",
+        )
+        .orderBy("purchase_event_id", "click_event_id")
+    )
