@@ -277,3 +277,60 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sketch_topk_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, user_id, n_events,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY n_events DESC, user_id) AS rk
+      FROM counts
+    )
+    SELECT event_type, user_id, n_events, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY event_type, rk
+    """,
+)
+def sketch_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the MERGEABLE approx_top_k sketch family:
+    per-partition-group accumulate -> combine -> estimate — the exact
+    shape a 1000-executor deployment uses (each executor builds a
+    bounded sketch; only sketches shuffle, never raw keys). The stream
+    is split on event_id parity to force a real combine step. With key
+    cardinality below maxItemsTracked the sketch is EXACT, so this
+    query sits under the full oracle gate (ties re-ranked
+    deterministically by user_id); above it, the same plan degrades
+    gracefully to approximate — that property is the point.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "half", F.pmod(F.col("event_id"), F.lit(2))
+    )
+    sk = ev.groupBy("event_type", "half").agg(
+        F.expr("approx_top_k_accumulate(user_id, 10000)").alias("sk")
+    )
+    merged = sk.groupBy("event_type").agg(
+        F.expr("approx_top_k_combine(sk, 10000)").alias("sk")
+    )
+    est = merged.select(
+        "event_type",
+        F.explode(F.expr("approx_top_k_estimate(sk, 10000)")).alias("e"),
+    ).select(
+        "event_type",
+        F.col("e.item").alias("user_id"),
+        F.col("e.count").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("event_type", "rk")
+    )

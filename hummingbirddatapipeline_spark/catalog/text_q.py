@@ -198,3 +198,42 @@ def text_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_all(
         docs, "text", "doc_id", threshold=0.85, shingle_size=1
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "text_chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) = 0 THEN 0
+                  WHEN len(t) <= 64 THEN 1
+                  ELSE 1 + ((len(t) - 64 + 47) // 48) END AS nc
+      FROM toks
+    ),
+    expanded AS (
+      SELECT doc_id, t, unnest(range(nc)) AS chunk_idx
+      FROM sized WHERE nc > 0
+    )
+    SELECT doc_id,
+           chunk_idx,
+           array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text,
+           len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens
+    FROM expanded
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, stride 48)
+    as pure shuffle-free codegen; the oracle re-derives the same
+    windows with DuckDB list slicing."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.chunk_token_windows(
+        docs, "text", "doc_id", chunk_tokens=64, stride=48
+    ).orderBy("doc_id", "chunk_idx")

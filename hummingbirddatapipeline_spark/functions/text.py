@@ -125,3 +125,61 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def chunk_token_windows(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """Split documents into overlapping token-window chunks (the
+    training-data prep step before tokenization/packing).
+
+    Sliding-window convention: chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)``; the last chunk may be
+    short; a doc with <= chunk_tokens tokens yields exactly one chunk;
+    empty docs yield none. All arithmetic is integral so an independent
+    engine reproduces the chunking bit-for-bit.
+
+    Scale shape: pure per-row codegen (split/sequence/explode/slice) —
+    no shuffle at all; chunking 100 TB is embarrassingly parallel and
+    this plan keeps it that way.
+    """
+    from pyspark.sql import functions as F
+
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    num_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            (
+                F.lit(1)
+                + F.floor((n - chunk_tokens + stride - 1) / stride)
+            ).cast("int")
+        )
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        df.select(
+            F.col(id_col), toks.alias("__toks"), num_chunks.alias("__nc")
+        )
+        .filter(F.col("__nc") > 0)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nc") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )

@@ -199,3 +199,63 @@ def test_weighted_mean_udaf_matches_expression(spark):
             assert abs(via_udaf[g] - via_expr[g]) < 1e-9
     # hand check: a = (10*1 + 20*3)/4 = 17.5
     assert abs(via_expr["a"] - 17.5) < 1e-9
+
+
+def test_chunk_token_windows_edges(spark):
+    from hummingbirddatapipeline_spark.functions.text import chunk_token_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),  # empty -> no chunks
+            (2, "   "),  # whitespace only -> no chunks
+            (3, "a b c"),  # short -> one chunk
+            (4, " ".join(f"t{i}" for i in range(64))),  # exactly chunk -> 1
+            (5, " ".join(f"t{i}" for i in range(65))),  # one over -> 2
+            (6, " ".join(f"t{i}" for i in range(160))),  # 1+ceil(96/48)=3
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_token_windows(docs, "text", "doc_id", 64, 48)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_tokens"] for r in out.collect()
+    }
+    per_doc = {}
+    for (d, _i), n in got.items():
+        per_doc.setdefault(d, []).append(n)
+    assert 1 not in per_doc and 2 not in per_doc
+    assert per_doc[3] == [3]
+    assert per_doc[4] == [64]
+    assert sorted(per_doc[5], reverse=True) == [64, 17]  # overlap of 48-31
+    assert len(per_doc[6]) == 3
+    # every chunk except possibly the last is full
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    )
+    for d, i, n, txt in rows:
+        assert len(txt.split()) == n
+    # reconstruction: stride-48 prefix of each chunk tiles the doc
+    doc6 = " ".join(f"t{i}" for i in range(160)).split()
+    chunks6 = [r[3].split() for r in rows if r[0] == 6]
+    rebuilt = chunks6[0][:48] + chunks6[1][:48] + chunks6[2]
+    assert rebuilt == doc6
+
+
+def test_heavy_hitters_sketch_is_exact_at_low_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+    from hummingbirddatapipeline_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["sketch_topk_heavy_hitters"](spark, sf)
+    exact = (
+        load(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    truth = {
+        (r["event_type"], r["user_id"]): r["n"] for r in exact.collect()
+    }
+    for r in got.collect():
+        assert truth[(r["event_type"], r["user_id"])] == r["n_events"]
