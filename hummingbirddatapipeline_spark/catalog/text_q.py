@@ -237,3 +237,67 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_token_windows(
         docs, "text", "doc_id", chunk_tokens=64, stride=48
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "text_pack_chunks",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, source, t, len(t) AS n,
+             CASE WHEN len(t) = 0 THEN 0
+                  WHEN len(t) <= 64 THEN 1
+                  ELSE 1 + ((len(t) - 64 + 47) // 48) END AS nc
+      FROM toks
+    ),
+    expanded AS (
+      SELECT doc_id, source, t, unnest(range(nc)) AS chunk_idx
+      FROM sized WHERE nc > 0
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_idx,
+             len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens
+      FROM expanded
+    ),
+    binned AS (
+      SELECT source,
+             (SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 512 AS bin_id,
+             n_tokens
+      FROM chunks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_chunks,
+           SUM(n_tokens) AS total_tokens
+    FROM binned
+    GROUP BY 1, 2
+    ORDER BY source, bin_id
+    """,
+)
+def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk -> pack: sliding-window chunks packed into 512-token bins
+    per source via start-offset binning (functions.text.pack_token_bins)
+    — one window shuffle per pack group, reproduced in DuckDB with the
+    identical window-SQL arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = TX.chunk_token_windows(
+        docs, "text", "doc_id", chunk_tokens=64, stride=48
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    packed = TX.pack_token_bins(
+        chunks, "source", ["doc_id", "chunk_idx"], "n_tokens", budget=512
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -183,3 +183,41 @@ def chunk_token_windows(
             F.size(chunk).cast("long").alias("n_tokens"),
         )
     )
+
+
+def pack_token_bins(
+    chunks,
+    group_cols,
+    order_cols,
+    token_col: str = "n_tokens",
+    budget: int = 512,
+):
+    """Assign ordered chunks to fixed-token-budget bins (sequence
+    packing for training batches).
+
+    Start-offset binning: a chunk lands in the bin where its running
+    token offset starts (``floor(prev_cum / budget)``). One window per
+    pack group — deterministic, shuffle-once, and exactly reproducible
+    in plain SQL, unlike stateful greedy first-fit. A bin can overflow
+    by at most one chunk's tokens; with budget >> chunk size (the
+    training case) that slack is the same order as greedy's own waste.
+
+    Scale note: pack groups are the unit of parallelism. If one group
+    dominates (skewed ``source``), salt it — pack per (source,
+    pmod(doc_id, shards)) — the semantics stay valid because bins are
+    arbitrary containers, not ordered shards.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return chunks.withColumn(
+        "bin_id", F.floor((cum - F.col(token_col)) / budget).cast("long")
+    )

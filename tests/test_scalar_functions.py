@@ -259,3 +259,42 @@ def test_heavy_hitters_sketch_is_exact_at_low_cardinality(spark):
     }
     for r in got.collect():
         assert truth[(r["event_type"], r["user_id"])] == r["n_events"]
+
+
+def test_pack_token_bins_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.functions.text import (
+        chunk_token_windows,
+        pack_token_bins,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    chunks = chunk_token_windows(docs, "text", "doc_id", 64, 48).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    packed = pack_token_bins(
+        chunks, "source", ["doc_id", "chunk_idx"], "n_tokens", budget=512
+    )
+    bins = (
+        packed.groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert bins
+    per_source = {}
+    for r in bins:
+        per_source.setdefault(r["source"], []).append(r["bin_id"])
+        # start-offset binning: a bin starts under budget, so it can
+        # overflow by at most one chunk (max 64 tokens)
+        assert r["tot"] <= 512 + 64
+    for src, ids in per_source.items():
+        ids = sorted(ids)
+        # bins are dense 0..k (no gaps) within each pack group
+        assert ids == list(range(len(ids))), src
+    # conservation: packed tokens == chunk tokens
+    assert (
+        packed.agg(F.sum("n_tokens")).first()[0]
+        == chunks.agg(F.sum("n_tokens")).first()[0]
+    )
