@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hummingbirddatapipeline_spark.catalog import query
-from hummingbirddatapipeline_spark.functions.scalar import bucket, hhi, safe_divide
+from hummingbirddatapipeline_spark.functions.scalar import money_cents
 from hummingbirddatapipeline_spark.tables import load
 
 
@@ -25,12 +25,17 @@ from hummingbirddatapipeline_spark.tables import load
     SELECT
       l_returnflag,
       l_linestatus,
-      ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-      ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-      ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-      ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-      ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)             AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_base_price_cents,
+      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_disc_price_cents,
+      CAST(ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) * 10000 / COUNT(*))
+        AS BIGINT)                                                AS avg_qty_e4,
+      CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        / COUNT(*)) AS BIGINT)                                    AS avg_price_cents,
+      CAST(ROUND(CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+        * 100 / COUNT(*)) AS BIGINT)                              AS avg_disc_e6,
       COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -40,18 +45,25 @@ from hummingbirddatapipeline_spark.tables import load
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    price_cents = money_cents(F.col("l_extendedprice"))
+    disc_price_cents = money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    disc_e4 = F.round(F.col("l_discount") * 10000).cast("long")
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_cents).alias("sum_base_price_cents"),
+            F.sum(disc_price_cents).alias("sum_disc_price_cents"),
+            F.round(F.sum(qty).cast("double") * 10000 / n).cast("long").alias("avg_qty_e4"),
+            F.round(F.sum(price_cents).cast("double") / n).cast("long").alias(
+                "avg_price_cents"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(disc_e4).cast("double") * 100 / n).cast("long").alias(
+                "avg_disc_e6"
+            ),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -67,7 +79,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o.o_orderkey,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+        AS BIGINT) AS revenue_cents,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -75,7 +88,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
+    ORDER BY revenue_cents DESC, o_orderkey
     LIMIT 10
     """,
 )
@@ -83,17 +96,14 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    rev_cents = money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .select("o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
         .limit(10)
     )
 
@@ -106,7 +116,8 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name AS nation,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+        AS BIGINT) AS revenue_cents
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -115,7 +126,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
     WHERE r.r_name IN ('REGION0', 'REGION1', 'AMERICA', 'ASIA')
     GROUP BY n.n_name
-    ORDER BY revenue DESC, nation
+    ORDER BY revenue_cents DESC, nation
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,11 +147,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
         )
-        .orderBy(F.desc("revenue"), "nation")
+        .orderBy(F.desc("revenue_cents"), "nation")
     )
 
 
@@ -203,7 +214,11 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
-      ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_filled_price
+      CAST(ROUND(
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS DOUBLE)
+        / NULLIF(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+      ) AS BIGINT) AS avg_filled_price_cents
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -211,6 +226,10 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def conditional_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    filled_cents = F.when(
+        F.col("o_orderstatus") == "F", money_cents(F.col("o_totalprice"))
+    )
+    n_filled_nonnull = F.count(F.when(F.col("o_orderstatus") == "F", 1))
     return (
         orders.groupBy("o_orderpriority")
         .agg(
@@ -219,8 +238,11 @@ def conditional_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
             F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_large"),
             F.round(
-                F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
-            ).alias("avg_filled_price"),
+                F.sum(filled_cents).cast("double")
+                / F.nullif(n_filled_nonnull, F.lit(0))
+            )
+            .cast("long")
+            .alias("avg_filled_price_cents"),
         )
         .orderBy("o_orderpriority")
     )
@@ -306,19 +328,19 @@ def asof_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     WITH yearly AS (
       SELECT c.c_nationkey AS nationkey,
              EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
-             SUM(o.o_totalprice) AS revenue
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
     )
     SELECT nationkey,
            order_year,
-           ROUND(revenue, 2) AS revenue,
-           ROUND(
-             POW(revenue / LAG(revenue) OVER w,
-                 1.0 / (order_year - LAG(order_year) OVER w)) - 1,
-             6
-           ) AS annualized_growth
+           revenue_cents,
+           CAST(ROUND(
+             (POW(CAST(revenue_cents AS DOUBLE) / CAST(LAG(revenue_cents) OVER w AS DOUBLE),
+                  1.0 / (order_year - LAG(order_year) OVER w)) - 1) * 1000000
+           ) AS BIGINT) AS growth_e6
     FROM yearly
     WINDOW w AS (PARTITION BY nationkey ORDER BY order_year)
     ORDER BY nationkey, order_year
@@ -333,20 +355,20 @@ def window_yoy_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("c_nationkey").alias("nationkey"),
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(money_cents(F.col("o_totalprice"))).alias("revenue_cents"))
     )
     w = Window.partitionBy("nationkey").orderBy("order_year")
     growth = (
         F.pow(
-            F.col("revenue") / F.lag("revenue").over(w),
+            F.col("revenue_cents").cast("double")
+            / F.lag("revenue_cents").over(w).cast("double"),
             F.lit(1.0) / (F.col("order_year") - F.lag("order_year").over(w)),
         )
         - 1
     )
     return (
-        yearly.withColumn("annualized_growth", F.round(growth, 6))
-        .withColumn("revenue", F.round("revenue", 2))
-        .select("nationkey", "order_year", "revenue", "annualized_growth")
+        yearly.withColumn("growth_e6", F.round(growth * 1000000).cast("long"))
+        .select("nationkey", "order_year", "revenue_cents", "growth_e6")
         .orderBy("nationkey", "order_year")
     )
 
@@ -359,10 +381,14 @@ def window_yoy_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFr
     "pivot_nation_revenue_by_year",
     oracle="""
     SELECT n.n_name AS nation,
-      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1998 THEN o.o_totalprice END), 2) AS revenue_1998,
-      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1999 THEN o.o_totalprice END), 2) AS revenue_1999,
-      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 2000 THEN o.o_totalprice END), 2) AS revenue_2000,
-      ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 2001 THEN o.o_totalprice END), 2) AS revenue_2001
+      CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1998
+        THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS revenue_1998_cents,
+      CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1999
+        THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS revenue_1999_cents,
+      CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 2000
+        THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS revenue_2000_cents,
+      CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 2001
+        THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS revenue_2001_cents
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -379,12 +405,13 @@ def pivot_nation_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("price_cents", money_cents(F.col("o_totalprice")))
         .groupBy(F.col("n_name").alias("nation"))
         .pivot("order_year", years)
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.sum("price_cents"))
     )
     renamed = pivoted.select(
-        "nation", *[F.col(str(y)).alias(f"revenue_{y}") for y in years]
+        "nation", *[F.col(str(y)).alias(f"revenue_{y}_cents") for y in years]
     )
     return renamed.orderBy("nation")
 
@@ -398,17 +425,19 @@ def pivot_nation_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT l_returnflag,
-             ROUND(SUM(l_quantity), 2) AS total_qty,
-             ROUND(SUM(l_extendedprice), 2) AS total_price,
-             ROUND(SUM(l_discount * l_extendedprice), 2) AS total_discount
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_price_cents,
+             CAST(SUM(CAST(ROUND(l_discount * l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_discount_cents
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, metric, value FROM (
       SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM wide
       UNION ALL
-      SELECT l_returnflag, 'total_price', total_price FROM wide
+      SELECT l_returnflag, 'total_price_cents', total_price_cents FROM wide
       UNION ALL
-      SELECT l_returnflag, 'total_discount', total_discount FROM wide
+      SELECT l_returnflag, 'total_discount_cents', total_discount_cents FROM wide
     )
     ORDER BY l_returnflag, metric
     """,
@@ -416,15 +445,15 @@ def pivot_nation_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 2).alias(
-            "total_discount"
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.sum(money_cents(F.col("l_extendedprice"))).alias("total_price_cents"),
+        F.sum(money_cents(F.col("l_discount") * F.col("l_extendedprice"))).alias(
+            "total_discount_cents"
         ),
     )
     melted = wide.unpivot(
         ids=["l_returnflag"],
-        values=["total_qty", "total_price", "total_discount"],
+        values=["total_qty", "total_price_cents", "total_discount_cents"],
         variableColumnName="metric",
         valueColumnName="value",
     )
@@ -448,7 +477,8 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE 'negative'
       END AS balance_tier,
       COUNT(*) AS n_customers,
-      ROUND(AVG(c_acctbal), 2) AS avg_balance
+      CAST(ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / COUNT(*))
+        AS BIGINT) AS avg_balance_cents
     FROM customer
     GROUP BY 1
     ORDER BY balance_tier NULLS FIRST
@@ -468,7 +498,9 @@ def bucket_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("balance_tier")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+            F.round(F.sum(money_cents(F.col("c_acctbal"))).cast("double") / F.count("*"))
+            .cast("long")
+            .alias("avg_balance_cents"),
         )
         .orderBy(F.col("balance_tier").asc_nulls_first())
     )
@@ -483,17 +515,21 @@ def bucket_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH supplier_rev AS (
       SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
       GROUP BY 1, 2
     ),
     shares AS (
       SELECT nationkey, suppkey,
-             revenue / SUM(revenue) OVER (PARTITION BY nationkey) AS share
+             CAST(ROUND(CAST(rev_cents AS DOUBLE) * 1000000000
+               / CAST(SUM(rev_cents) OVER (PARTITION BY nationkey) AS DOUBLE))
+               AS BIGINT) AS share_e9
       FROM supplier_rev
     )
     SELECT nationkey,
-           ROUND(SUM(COALESCE(share * share, 0)), 6) AS hhi,
+           CAST(ROUND(CAST(SUM(share_e9 * share_e9) AS DOUBLE) / 1000000000000.0)
+             AS BIGINT) AS hhi_e6,
            COUNT(*) AS n_suppliers
     FROM shares
     GROUP BY nationkey
@@ -501,21 +537,39 @@ def bucket_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F1 — HHI on exact-integer shares: revenue quantized to cents
+    (order-independent integer sums), shares scaled to 1e9 integer units
+    per row, so the sum of squared shares is again an exact integer sum.
+    Bounded: sum(share_e9^2) <= (sum share_e9)^2 = 1e18 < 2^63."""
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     supplier_rev = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), F.col("l_suppkey").alias("suppkey"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            F.sum(
+                money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev_cents")
+        )
     )
     w = Window.partitionBy("nationkey")
     shares = supplier_rev.withColumn(
-        "share", safe_divide(F.col("revenue"), F.sum("revenue").over(w))
+        "share_e9",
+        F.round(
+            F.col("rev_cents").cast("double")
+            * 1000000000
+            / F.sum("rev_cents").over(w).cast("double")
+        ).cast("long"),
     )
     return (
         shares.groupBy("nationkey")
         .agg(
-            F.round(F.sum(hhi([F.col("share")])), 6).alias("hhi"),
+            F.round(
+                F.sum(F.col("share_e9") * F.col("share_e9")).cast("double")
+                / 1000000000000.0
+            )
+            .cast("long")
+            .alias("hhi_e6"),
             F.count("*").alias("n_suppliers"),
         )
         .orderBy("nationkey")
@@ -529,10 +583,17 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "safe_divide_discount_rate",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_discount * l_extendedprice)
-                 / NULLIF(SUM(l_extendedprice), 0), 6) AS effective_discount,
-           ROUND(AVG(CASE WHEN l_quantity = 0 THEN NULL
-                          ELSE l_extendedprice / l_quantity END), 4) AS avg_unit_price
+           CAST(ROUND(
+             CAST(SUM(CAST(ROUND(l_discount * l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             * 1000000
+             / NULLIF(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE), 0)
+           ) AS BIGINT) AS effective_discount_e6,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN l_quantity = 0 THEN NULL
+                      ELSE CAST(ROUND(l_extendedprice / l_quantity * 10000) AS BIGINT)
+                      END) AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN l_quantity <> 0 THEN 1 END), 0)
+           ) AS BIGINT) AS avg_unit_price_e4
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -540,19 +601,28 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def safe_divide_discount_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    disc_price_cents = money_cents(F.col("l_discount") * F.col("l_extendedprice"))
+    price_cents = money_cents(F.col("l_extendedprice"))
+    unit_e4 = F.when(
+        F.col("l_quantity") != 0,
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000).cast("long"),
+    )
+    n_unit = F.count(F.when(F.col("l_quantity") != 0, 1))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.round(
-                safe_divide(
-                    F.sum(F.col("l_discount") * F.col("l_extendedprice")),
-                    F.sum("l_extendedprice"),
-                ),
-                6,
-            ).alias("effective_discount"),
+                F.sum(disc_price_cents).cast("double")
+                * 1000000
+                / F.nullif(F.sum(price_cents).cast("double"), F.lit(0.0))
+            )
+            .cast("long")
+            .alias("effective_discount_e6"),
             F.round(
-                F.avg(safe_divide(F.col("l_extendedprice"), F.col("l_quantity"))), 4
-            ).alias("avg_unit_price"),
+                F.sum(unit_e4).cast("double") / F.nullif(n_unit, F.lit(0))
+            )
+            .cast("long")
+            .alias("avg_unit_price_e4"),
         )
         .orderBy("l_returnflag")
     )

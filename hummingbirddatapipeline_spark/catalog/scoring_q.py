@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.functions.scalar import money_cents
 from hummingbirddatapipeline_spark.operators.windows import with_prior_fields
 from hummingbirddatapipeline_spark.scoring.compiler import apply_spec, spec_to_sql
 from hummingbirddatapipeline_spark.scoring.spec import Domain, Indicator, ScoringSpec
@@ -126,10 +127,15 @@ SELECT w.*, w.year - w.prior_year AS years_gap FROM (
     FROM (
       SELECT o.o_custkey AS entity_id,
              EXTRACT(YEAR FROM o.o_orderdate) AS year,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS total_revenue,
-             SUM(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) * 0.97)
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS DOUBLE) / CAST(100 AS DOUBLE) AS total_revenue,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)
+               * 0.97 * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)
                AS total_expenses,
-             SUM(l.l_extendedprice * l.l_discount) / NULLIF(SUM(l.l_extendedprice), 0)
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * l.l_discount * 100) AS BIGINT))
+               AS DOUBLE)
+               / NULLIF(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE), 0)
                AS discount_share
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
@@ -151,18 +157,31 @@ def _source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("year"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-                * 0.97
+            (
+                F.sum(
+                    money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double")
+                / F.lit(100).cast("double")
+            ).alias("total_revenue"),
+            (
+                F.sum(
+                    money_cents(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                        * 0.97
+                    )
+                ).cast("double")
+                / F.lit(100).cast("double")
             ).alias("total_expenses"),
             (
-                F.sum(F.col("l_extendedprice") * F.col("l_discount"))
-                / F.nullif(F.sum("l_extendedprice"), F.lit(0))
+                F.sum(
+                    money_cents(F.col("l_extendedprice") * F.col("l_discount"))
+                ).cast("double")
+                / F.nullif(
+                    F.sum(money_cents(F.col("l_extendedprice"))).cast("double"),
+                    F.lit(0),
+                )
             ).alias("discount_share"),
         )
     )
@@ -254,7 +273,8 @@ SELECT w.*, w.filing_year - w.prior_year AS years_gap FROM (
     FROM (
       SELECT o.o_custkey AS entity,
              CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS filing_year,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS DOUBLE) / CAST(100 AS DOUBLE) AS rev,
              SUM(l.l_quantity) AS qty
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
@@ -384,7 +404,8 @@ FROM (
     FROM (
       SELECT o.o_custkey AS entity,
              CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS year,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
     ) base

@@ -13,6 +13,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def money_cents(col: Column) -> Column:
+    """Quantize a 2-dp money double to exact integer cents.
+
+    ``ROUND(x * 100)`` at scale 0 then CAST BIGINT — the per-row form is
+    deterministic and cross-engine stable (scale-0 rounding of a double
+    agrees between Spark's BigDecimal HALF_UP and DuckDB's
+    half-away-from-zero; only scale>0 rounding of *computed* doubles can
+    diverge). Summing the resulting integers is order-independent, unlike
+    summing the raw doubles — the fix for the driver-hash flake class
+    (parallel partial-sum order vs DuckDB's sequential sum).
+    """
+    return F.round(col * 100).cast("long")
+
+
 def safe_divide(num: Column, den: Column) -> Column:
     """F1 — NULL on zero/NULL denominator.
 

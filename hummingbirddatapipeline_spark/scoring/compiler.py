@@ -159,9 +159,13 @@ def result_projection(spec: ScoringSpec) -> dict[str, str]:
     )
     out["indicators_scored"] = "indicators_scored"
     if spec.keep_composite_unrounded:
-        out["composite_unrounded"] = "composite_unrounded"
+        # 6-dp deterministic quantization: POWER()-derived trend raws can
+        # differ by ~1 ulp between JVM Math.pow and libm pow, so exporting
+        # the bare double flakes exact-hash compares; FLOOR-quantizing at
+        # 6 dp absorbs ulp noise identically on both engines.
+        out["composite_unrounded"] = _round_sql("composite_unrounded", 6)
         for dom in spec.domains:
-            out[f"{dom.name}_score_unrounded"] = f"{dom.name}_score_adj"
+            out[f"{dom.name}_score_unrounded"] = _round_sql(f"{dom.name}_score_adj", 6)
     for dom in spec.domains:
         out[f"{dom.name}_score"] = _round_sql(f"{dom.name}_score_adj", 1)
     if spec.keep_raws:

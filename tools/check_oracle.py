@@ -40,7 +40,10 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return round(v, 9)
+            # EXACT float compare (matches the driver's value-hash gate).
+            # Pass CHECK_ORACLE_TOL=9 etc. to debug with a tolerance.
+            tol = os.environ.get("CHECK_ORACLE_TOL")
+            return round(v, int(tol)) if tol else v.hex()
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, list):
