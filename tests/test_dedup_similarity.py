@@ -120,3 +120,27 @@ def test_curation_pipeline_lsh_matches_exact(spark, sf_dir_small):
     l = {r["doc_id"] for r in clean_lsh.select("doc_id").collect()}
     # symmetric difference small: LSH may miss a borderline pair
     assert len(e ^ l) <= max(2, len(e) // 20), (len(e), len(l), len(e ^ l))
+
+
+def test_embedding_near_dup_lsh_matches_brute(spark, sf_dir_small):
+    """Default (LSH-banded) near-dup pairs must equal the brute-force
+    set on the fixture (recall >= 0.99 contract; exact here), and the
+    plan must contain no cartesian/nested-loop join."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir_small, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    lsh = embedding_near_dup_pairs(emb, threshold=0.35)
+    brute = embedding_near_dup_pairs(emb, threshold=0.35, brute=True)
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert want, "fixture should contain near-dup pairs"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99
+    assert got <= want or got == want  # verify stage keeps only true pairs
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
