@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hummingbirddatapipeline_spark.functions.scalar import normalize_key
 from hummingbirddatapipeline_spark.operators.windows import (
@@ -63,10 +64,50 @@ CATEGORY_TO_MASTER = {
 }
 
 
+# richer filings win when an (ein, year) appears in several filing-type
+# files (990.py:707-715 upgrades the registered type to 'standard')
+FILING_TYPE_RANK = {"standard": 3, "ez": 2, "pf": 1}
+
+
+def resolve_filing_precedence(filings: DataFrame) -> DataFrame:
+    """Collapse duplicate (ein, filing_year) rows across filing-type
+    unions, keeping the richest filing: standard > ez > pf > unknown
+    (Hummingbird_Master_engine_990.py:707-715).
+
+    Without this, an EIN present in both the standard and EZ files for
+    the same year double-counts in the W1 lag windows and makes the
+    as-of winner nondeterministic.
+
+    Scale: the winner is picked inside a window partitioned by ``ein``
+    alone (ordered by year, then rank) using a run-start lag test, so
+    the SAME single ein-shuffle feeds this stage and the downstream
+    ``with_prior_fields`` trend windows — no extra exchange on
+    (ein, year).
+    """
+    rank = F.lit(0)
+    for t, r in FILING_TYPE_RANK.items():
+        rank = F.when(F.lower(F.col("filing_type")) == t, F.lit(r)).otherwise(rank)
+    w = Window.partitionBy("ein").orderBy(
+        F.col("filing_year"),
+        F.desc("__ft_rank"),
+        F.col("filing_type"),
+    )
+    prev_year = F.lag("filing_year").over(w)
+    return (
+        filings.withColumn("__ft_rank", rank)
+        .withColumn(
+            "__keep", prev_year.isNull() | (prev_year != F.col("filing_year"))
+        )
+        .filter(F.col("__keep"))
+        .drop("__ft_rank", "__keep")
+    )
+
+
 def score_all_years(filings: DataFrame) -> DataFrame:
     """Score every (ein, filing_year) row — the engine's detail export
     (990.py:1250-1256 score_all_years)."""
-    prep = with_prior_fields(filings, "ein", "filing_year", TREND_FIELDS)
+    deduped = resolve_filing_precedence(filings)
+    prep = with_prior_fields(deduped, "ein", "filing_year", TREND_FIELDS)
     return apply_spec(prep, SPEC_990)
 
 

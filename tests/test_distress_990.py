@@ -177,3 +177,50 @@ class TestAsofAndWriteback:
         # unmatched 990 row keeps old values
         c = out["Org C"]
         assert c["distress_score"] == 70.0 and c["distress_category"] == "High"
+
+
+class TestFilingPrecedence:
+    """990.py:707-715 — richer filing type wins per (ein, year)."""
+
+    def test_standard_beats_ez_same_year(self, spark):
+        from hummingbirddatapipeline_spark.pipelines.distress_990 import (
+            resolve_filing_precedence, score_all_years,
+        )
+
+        rows = [
+            filing("555", 2024, "ez", total_revenue=100, total_expenses=90,
+                   total_assets=500, total_liabilities=250,
+                   total_net_assets=250),
+            filing("555", 2024, "standard", total_revenue=1000,
+                   total_expenses=900, total_assets=2000,
+                   total_liabilities=800, total_net_assets=1200, cash=300),
+            filing("555", 2023, "ez", total_revenue=90, total_expenses=80,
+                   total_assets=450, total_liabilities=225,
+                   total_net_assets=225),
+        ]
+        df = spark.createDataFrame(rows, filings_schema())
+        resolved = resolve_filing_precedence(df)
+        got = by_key(resolved, "ein", "filing_year")
+        assert len(got) == 2  # one row per (ein, year)
+        assert got[("555", 2024)]["filing_type"] == "standard"
+        assert got[("555", 2024)]["total_revenue"] == 1000.0
+        assert got[("555", 2023)]["filing_type"] == "ez"
+
+        scored = by_key(score_all_years(df), "ein", "filing_year")
+        assert len(scored) == 2
+        # the 2024 score must come from the standard row (availability
+        # matrix exposes cash-based liquidity only on standard filings)
+        assert scored[("555", 2024)]["filing_type"] == "standard"
+
+    def test_pf_below_ez(self, spark):
+        from hummingbirddatapipeline_spark.pipelines.distress_990 import (
+            resolve_filing_precedence,
+        )
+
+        rows = [
+            filing("9", 2024, "pf", total_revenue=5),
+            filing("9", 2024, "ez", total_revenue=7),
+        ]
+        df = spark.createDataFrame(rows, filings_schema())
+        got = by_key(resolve_filing_precedence(df), "ein", "filing_year")
+        assert got[("9", 2024)]["filing_type"] == "ez"
