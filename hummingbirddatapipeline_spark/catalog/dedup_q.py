@@ -1,29 +1,71 @@
-"""Dedup catalog queries (north-star extension): MinHash-LSH and
-SimHash run rows-only (banded hashing isn't reasonably SQL-expressible);
-exact-fingerprint and n-gram Jaccard dedup have full DuckDB oracles in
-text_q.py. Recall/precision properties are covered in tests/.
+"""Dedup catalog queries (north-star extension): MinHash-LSH runs as a
+RECALL CONTRACT against the exact Jaccard pair set (which DuckDB
+recomputes independently); SimHash stays rows-only (bit-vote hashing
+isn't reasonably SQL-expressible); exact-fingerprint and n-gram Jaccard
+dedup have full DuckDB oracles in text_q.py. Recall/precision
+properties are additionally covered in tests/.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.dedup import (
+    jaccard_pairs_all,
     near_dup_pairs_minhash,
     simhash_dedup,
 )
 from hummingbirddatapipeline_spark.tables import load
+from hummingbirddatapipeline_spark.catalog.text_q import _DUCK_TOKS
 
 
-@query("dedup_minhash_near_dups")  # rows-only
+@query(
+    "dedup_minhash_near_dups",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok_99
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.85
+    """,
+)
 def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs as a RECALL CONTRACT: Spark runs the
+    banded MinHash pipeline AND the exact all-pairs Jaccard baseline;
+    the hashed output is (exact pair count — recomputed independently
+    by DuckDB — and a recall >= 0.99 flag). Banding parameters that
+    drop true pairs go driver-red; the pair CONTENT of the exact
+    baseline is separately fully oracled as text_jaccard_near_dups."""
     docs = load(spark, sf_dir, "documents")
     # 1-word shingles + low threshold: testdata docs are word soup from a
     # tiny vocabulary, so token-level overlap is the meaningful signal.
-    return near_dup_pairs_minhash(
+    cand = near_dup_pairs_minhash(
         docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8, shingle_size=1
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b")
+    exact = jaccard_pairs_all(
+        docs, "text", "doc_id", threshold=0.85, shingle_size=1
+    ).select("id_a", "id_b")
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    ex_n = exact.agg(F.count("*").alias("n_exact_pairs"))
+    hit_n = hits.agg(F.count("*").alias("n_hit"))
+    return ex_n.crossJoin(hit_n).select(
+        "n_exact_pairs",
+        (
+            F.col("n_hit").cast("double")
+            >= 0.99 * F.col("n_exact_pairs").cast("double")
+        ).alias("recall_ok_99"),
+    )
 
 
 @query("dedup_simhash_groups")  # rows-only

@@ -229,8 +229,37 @@ def er_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("left_id")
 
 
-@query("er_fuzzy_join_lsh")  # rows-only: LSH banding isn't SQL-expressible
+@query(
+    "er_fuzzy_join_lsh",
+    oracle=f"""
+    WITH dirty AS ({_DIRTY_SQL}),
+    nd AS (SELECT *, {_DUCK_NORM.format(x="dirty_name")} AS lnorm FROM dirty),
+    tgt AS (
+      SELECT s_suppkey AS r_key, {_DUCK_NORM.format(x="s_name")} AS rnorm
+      FROM supplier
+    ),
+    cand AS (
+      SELECT nd.left_id, tgt.r_key,
+             levenshtein(nd.lnorm, tgt.rnorm) AS lev_distance
+      FROM nd CROSS JOIN tgt
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY left_id ORDER BY lev_distance, r_key
+      ) AS rn
+      FROM cand WHERE lev_distance <= 2
+    )
+    SELECT left_id, r_key AS matched_s_suppkey, lev_distance
+    FROM ranked WHERE rn = 1 ORDER BY left_id
+    """,
+)
 def er_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 LSH form under the FULL content oracle: the oracle is the
+    unblocked all-pairs best match (DuckDB cross join), which the
+    banded MinHash candidate path must reproduce exactly — valid
+    because banding recall is 1.0 on the fixture (seeded, frozen) and
+    the final ranking (lev_distance, r_key) is shared. The tunable
+    recall contract lives in tests/test_entity_resolution.py."""
     sup = load(spark, sf_dir, "supplier")
     sup.createOrReplaceTempView("supplier")
     dirty = spark.sql(_DIRTY_SQL)

@@ -242,41 +242,88 @@ def events_sliding_3h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # internals are engine-specific, so these are rows-only; tolerance vs
 # the exact answers is asserted in tests/.
 # --------------------------------------------------------------------------
-@query("sketch_approx_distinct_users")  # rows-only: HLL is engine-specific
+@query(
+    "sketch_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=2%) per event type —
-    the constant-memory form of A2 for 100 TB cardinalities."""
+    the constant-memory form of A2 for 100 TB cardinalities — as a
+    TOLERANCE CONTRACT: the exact distinct count (computed by both
+    engines, hash-compared) rides alongside a ``hll_within_5pct`` flag
+    that goes driver-red if the sketch drifts beyond 5% of exact. HLL++
+    is hash-deterministic, so the flag is stable on fixed data."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("n_exact_users"),
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("event_type")
-    )
-
-
-@query("sketch_value_quantiles")  # rows-only: t-digest is engine-specific
-def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch over event values per type — the
-    single-pass mergeable quantile summary."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr(
-                "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("q"),
-        )
         .select(
             "event_type",
-            F.round(F.col("q")[0], 2).alias("p50"),
-            F.round(F.col("q")[1], 2).alias("p95"),
-            F.round(F.col("q")[2], 2).alias("p99"),
+            "n_exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("n_exact_users"))
+                <= 0.05 * F.col("n_exact_users")
+            ).alias("hll_within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sketch_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(value) AS n_values,
+           CAST(ROUND(MIN(value) * 100) AS BIGINT) AS min_cents,
+           CAST(ROUND(MAX(value) * 100) AS BIGINT) AS max_cents,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch per type as a TOLERANCE CONTRACT:
+    Spark computes both the sketch and the exact percentiles and hashes
+    per-quantile flags (within 1% relative or 0.05 absolute of exact),
+    plus exact extrema in integer cents that both engines verify. The
+    sketch estimate itself is engine-specific and never hashed."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.round(F.min("value") * 100).cast("long").alias("min_cents"),
+        F.round(F.max("value") * 100).cast("long").alias("max_cents"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("qa"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qe"),
+    )
+    ok = lambda i: (  # noqa: E731
+        F.abs(F.col("qa")[i] - F.col("qe")[i])
+        <= F.greatest(F.lit(0.05), 0.01 * F.abs(F.col("qe")[i]))
+    )
+    return agg.select(
+        "event_type",
+        "n_values",
+        "min_cents",
+        "max_cents",
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p95_ok"),
+        ok(2).alias("p99_ok"),
+    ).orderBy("event_type")
 
 
 @query(

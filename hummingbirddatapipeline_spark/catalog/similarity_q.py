@@ -79,8 +79,32 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
-@query("similarity_lsh_topk")  # rows-only: approximate, seed-dependent
+@query(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id,
+             ROUND({_DUCK_DOT}, 6) AS sim
+      FROM embeddings a
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+      WHERE a.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k under the FULL exact-top-k oracle: with banding recall
+    1.0 on the fixture (48 seeded planes, 16 bands of 3), the LSH
+    candidate set covers every true neighbor, and since candidates are
+    scored with the exact cosine and ranked identically, the output
+    EQUALS brute-force top-k. The probabilistic recall contract (the
+    thing that can degrade when parameters shrink) is separately
+    asserted in tests/test_dedup_similarity.py."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
@@ -88,15 +112,27 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, dim=dim, k=_K).orderBy("query_id", "rank")
+    return lsh_topk(
+        emb, queries, dim=dim, k=_K, n_planes=48, bands=16
+    ).orderBy("query_id", "rank")
 
 
-@query("similarity_ivf_topk")  # rows-only: approximate (KMeans cells)
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    SELECT vec_id AS query_id, {_K} AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ORDER BY query_id
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: KMeans coarse quantizer, probe the 4 nearest of 16
-    cells per query — the inverted-file scale path (corpus scan cost
-    x n_probe/n_centroids); recall vs the exact baseline is asserted
-    in tests/."""
+    """IVF top-k as a RECALL CONTRACT row per query: Spark runs both
+    the IVF path (KMeans quantizer, probe 12 of 16 cells) and the exact
+    brute top-k, and hashes a per-query ``recall_ok`` flag (recall >=
+    0.8; observed min 0.9 on the structureless random fixture — real
+    clustered corpora prune far harder at equal recall). The oracle
+    pins the row set and TRUE flags, so any regression that drops
+    recall below the contract goes driver-red."""
     from hummingbirddatapipeline_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -105,6 +141,26 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=_K, n_centroids=16, n_probe=4).orderBy(
-        "query_id", "rank"
+    ivf = ivf_topk(emb, queries, k=_K, n_centroids=16, n_probe=12).select(
+        "query_id", "vec_id"
     )
+    exact = cosine_topk(emb, queries, k=_K).select("query_id", "vec_id")
+    hits = exact.join(ivf, ["query_id", "vec_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("k")
+                >= 0.8
+            ).alias("recall_ok"),
+        )
+    )
+    return per_q.orderBy("query_id")
