@@ -296,24 +296,30 @@ def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch per type as a TOLERANCE CONTRACT:
-    Spark computes both the sketch and the exact percentiles and hashes
-    per-quantile flags (within 1% relative or 0.05 absolute of exact),
-    plus exact extrema in integer cents that both engines verify. The
-    sketch estimate itself is engine-specific and never hashed."""
+    """approx_percentile sketch per type as a RANK-TOLERANCE CONTRACT:
+    the sketch's estimate must land between the exact percentiles at
+    p-1% and p+1% of rank (the correct error model for a mergeable
+    quantile summary — value-space tolerance is meaningless in sparse
+    tails). Exact extrema in integer cents ride along so both engines
+    verify real data. The sketch estimate itself is engine-specific
+    and never hashed."""
     ev = load(spark, sf_dir, "events")
+    ps = (0.5, 0.95, 0.99)
+    lo = [max(p - 0.01, 0.0) for p in ps]
+    hi = [min(p + 0.01, 1.0) for p in ps]
     agg = ev.groupBy("event_type").agg(
         F.count("value").alias("n_values"),
         F.round(F.min("value") * 100).cast("long").alias("min_cents"),
         F.round(F.max("value") * 100).cast("long").alias("max_cents"),
         F.expr(
-            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+            f"approx_percentile(value, array{ps}, 10000)"
         ).alias("qa"),
-        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qe"),
+        F.expr(f"percentile(value, array{tuple(lo)})").alias("qlo"),
+        F.expr(f"percentile(value, array{tuple(hi)})").alias("qhi"),
     )
     ok = lambda i: (  # noqa: E731
-        F.abs(F.col("qa")[i] - F.col("qe")[i])
-        <= F.greatest(F.lit(0.05), 0.01 * F.abs(F.col("qe")[i]))
+        (F.col("qa")[i] >= F.col("qlo")[i] - 1e-9)
+        & (F.col("qa")[i] <= F.col("qhi")[i] + 1e-9)
     )
     return agg.select(
         "event_type",

