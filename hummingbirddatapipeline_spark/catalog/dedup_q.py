@@ -68,6 +68,20 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_pairs")  # rows-only: the raw operator output
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH pipeline alone (signatures -> banding ->
+    hashed-shingle Jaccard verify) — the BENCH form of the operator.
+    Correctness is covered by ``dedup_minhash_near_dups`` (recall
+    contract vs the exact pair set) at the driver's correctness SF;
+    this entry exists so the benchmark measures the scale path's own
+    cost, not the quadratic exact baseline it is contracted against."""
+    docs = load(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(
+        docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8, shingle_size=1
+    ).orderBy("id_a", "id_b")
+
+
 @query("dedup_simhash_groups")  # rows-only
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
