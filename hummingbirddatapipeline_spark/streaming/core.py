@@ -25,6 +25,7 @@ results are independent of the driver session's timezone.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -222,11 +223,14 @@ def foreach_batch_latest_upsert(stream: DataFrame, target_dir: str) -> DataFrame
             )
         else:
             merged = latest
-        # write-new-then-swap (never mutate inputs mid-read)
+        # write-new-then-swap (never mutate inputs mid-read); the tmp
+        # dir is deleted after the swap so a long-running stream's disk
+        # footprint stays bounded at one extra copy, not one per batch
         tmp = out + f".tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(out)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
 

@@ -294,3 +294,58 @@ def test_stream_enrich_uses_broadcast(spark):
     twin = load(spark, sf, "events").join(F.broadcast(dim), "user_id", "left")
     plan = twin._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_foreach_batch_upsert_replay_idempotent(spark, tmp_path):
+    """Exactly-once contract under batch REPLAY: re-delivering the same
+    micro-batch (a retried batch id after a crash between sink write
+    and checkpoint commit) must leave the sink unchanged, and the
+    per-batch tmp staging dirs must not accumulate on disk."""
+    import glob
+
+    from hummingbirddatapipeline_spark.streaming.core import (
+        foreach_batch_latest_upsert,
+    )
+
+    flat = str(tmp_path / "flat")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    os.makedirs(flat)
+    t0_ms = 1_700_000_000_000
+    _write_events(
+        spark,
+        str(src / "a.parquet"),
+        [(1, t0_ms, 7, "x", 1.0), (2, t0_ms + 5, 7, "y", 2.0), (3, t0_ms, 8, "x", 1.0)],
+    )
+    _flatten_parquet(str(src / "a.parquet"), flat, "a.parquet")
+
+    stream = read_events_stream(spark, flat)
+    q = (
+        foreach_batch_latest_upsert(stream, out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    snap = lambda: sorted(  # noqa: E731
+        (r["user_id"], r["event_id"], r["ts_ms"], r["event_type"], r["value"])
+        for r in spark.read.parquet(os.path.join(out_dir, "latest_per_user")).collect()
+    )
+    first = snap()
+    assert [(u, e) for u, e, *_ in first] == [(7, 2), (8, 3)]
+
+    # replay: re-run the availableNow query over the UNCHANGED source
+    # with a FRESH checkpoint, which re-delivers batch 0 verbatim — the
+    # same rows the sink already merged
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    q2 = (
+        foreach_batch_latest_upsert(read_events_stream(spark, flat), out_dir)
+        .option("checkpointLocation", ckpt2)
+        .start()
+    )
+    q2.awaitTermination()
+    assert snap() == first  # sink unchanged by the replayed batch
+
+    # bounded disk: no .tmp_* staging dirs survive
+    assert glob.glob(os.path.join(out_dir, "latest_per_user.tmp_*")) == []
