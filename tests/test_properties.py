@@ -152,3 +152,139 @@ def test_ipeds_engine_invariants(spark):
             lo, hi = CATEGORY_OF[r["risk_category"]]
             assert lo - 0.05 <= s < hi + 0.05
         assert 0 <= r["indicators_scored"] <= 28
+
+
+def test_band_join_one_percent_boundary(spark):
+    """J6 boundary semantics (ipeds_v5.py:375-437): the subsidiary band
+    is STRICT `< 0.01` — a sibling at exactly 1% of parent assets is
+    NOT contaminated; strictly inside is; strictly outside is not."""
+    import random
+
+    from test_distress_ipeds import master_row, master_schema
+
+    from hummingbirddatapipeline_spark.pipelines.distress_ipeds import (
+        detect_subsidiaries,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        # knife-edge: (101-100)/100 == the 0.01 double exactly -> excluded
+        master_row("P0", ein_clean="E0", revenue_2024=100.0, assets_2024=100.0),
+        master_row("S0", ein_clean="E0", revenue_2024=1.0, assets_2024=101.0),
+    ]
+    expect_flagged = set()
+    for i in range(1, 60):
+        parent_assets = rng.uniform(10.0, 1e7)
+        frac = rng.choice(
+            [rng.uniform(0.0001, 0.0099), rng.uniform(0.0101, 0.5)]
+        )
+        sib_assets = parent_assets * (1 + rng.choice([-1, 1]) * frac)
+        rows.append(
+            master_row(
+                f"P{i}", ein_clean=f"E{i}",
+                revenue_2024=100.0, assets_2024=parent_assets,
+            )
+        )
+        rows.append(
+            master_row(
+                f"S{i}", ein_clean=f"E{i}",
+                revenue_2024=1.0, assets_2024=sib_assets,
+            )
+        )
+        if abs(sib_assets - parent_assets) / abs(parent_assets) < 0.01:
+            expect_flagged.add(f"S{i}")
+    out = detect_subsidiaries(spark.createDataFrame(rows, master_schema()))
+    got = {r["unitid"] for r in out.collect()}
+    assert got == expect_flagged
+
+
+def test_floor_ordering_matches_reference_model(spark):
+    """F19 ordering (ipeds_v5.py:1238-1258): enrollment floor first,
+    its output feeds the revenue floor; populations are disjoint
+    (non-subsidiary vs subsidiary) so each row takes exactly one floor.
+    Differential check of _apply_floors against a direct Python port of
+    the reference's floor cascade over randomized rows."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from hummingbirddatapipeline_spark.pipelines.distress_ipeds import _apply_floors
+
+    def model(comp, is_sub, acct, tot_enr, enr3, enr1, enr_dom, m_rev2):
+        c1 = comp
+        enr_cond = (
+            not is_sub
+            and acct in ("fasb", "irs990")
+            and (tot_enr is None or tot_enr < 10000)
+            and enr3 is not None
+            and enr1 is not None
+            and enr3 < -0.25
+            and enr1 < -0.05
+        )
+        if enr_cond:
+            d = abs(enr3)
+            mult = 0.60 if d >= 0.50 else 0.45 if d >= 0.35 else 0.30
+            es = enr_dom if enr_dom is not None else 40.0
+            floor1 = 40.0 + max(es - 40.0, 0.0) * mult
+            c1 = max(floor1, comp if comp is not None else 0.0)
+        c2 = c1
+        if is_sub and m_rev2 is not None and m_rev2 < -20:
+            floor2 = 65.0 if m_rev2 < -60 else 55.0 if m_rev2 < -40 else 45.0
+            c2 = max(floor2, c1 if c1 is not None else 0.0)
+        return c2
+
+    rng = random.Random(29)
+
+    def maybe(v, p=0.25):
+        return None if rng.random() < p else v
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                str(i),
+                maybe(rng.uniform(0, 100)),
+                rng.random() < 0.5,
+                rng.choice(["fasb", "gasb", "irs990", "for_profit"]),
+                maybe(rng.uniform(20, 20000)),
+                maybe(rng.uniform(-0.9, 0.3)),
+                maybe(rng.uniform(-0.5, 0.2)),
+                maybe(rng.uniform(0, 100)),
+                maybe(rng.uniform(-90, 40)),
+                None,
+                1.0,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("unitid", T.StringType()),
+            T.StructField("composite_unrounded", T.DoubleType()),
+            T.StructField("is_subsidiary", T.BooleanType()),
+            T.StructField("accounting_standard", T.StringType()),
+            T.StructField("total_enrollment", T.DoubleType()),
+            T.StructField("enr_chg_3yr", T.DoubleType()),
+            T.StructField("enr_trend_1yr", T.DoubleType()),
+            T.StructField("enrollment_health_score_unrounded", T.DoubleType()),
+            T.StructField("m_revenue_2yr_pct", T.DoubleType()),
+            T.StructField("na_months", T.DoubleType()),
+            T.StructField("cliff_mult", T.DoubleType()),
+        ]
+    )
+    out = {r["unitid"]: r for r in _apply_floors(
+        spark.createDataFrame(rows, schema)
+    ).collect()}
+    for row in rows:
+        uid, comp, is_sub, acct, tot_enr, enr3, enr1, enr_dom, m_rev2, _, _ = row
+        want = model(comp, is_sub, acct, tot_enr, enr3, enr1, enr_dom, m_rev2)
+        got = out[uid]["distress_score"]
+        if want is None:
+            assert got is None, (uid, row)
+        else:
+            assert got is not None and abs(got - round(want, 1)) <= 0.06, (
+                uid, want, got, row,
+            )
+        # disjointness: a row never takes both floors
+        assert not (
+            out[uid]["enrollment_velocity_floor"]
+            and out[uid]["revenue_velocity_floor"]
+        )
