@@ -108,7 +108,7 @@ def test_ivf_topk_recall(spark, sf_dir_small):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = QUERIES["similarity_cosine_topk"](spark, sf_dir_small)
-    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=12)
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=14)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect() if r["rank"] <= 3}
     a = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
     assert len(e) > 0
