@@ -48,6 +48,7 @@ def _load_modules() -> None:
         extraction_q,
         multimodal_q,
         relational,
+        sampling_q,
         scoring_q,
         serving_q,
         similarity_q,

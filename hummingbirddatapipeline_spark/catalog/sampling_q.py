@@ -1,0 +1,240 @@
+"""Curation sampling + privacy + decontamination catalog queries
+(north-star extension) — every one under the FULL DuckDB oracle gate:
+content-hash sampling, stratified quotas, per-group caps, train/holdout
+splits, PII redaction, and benchmark n-gram contamination are all pure
+deterministic expressions, so both engines must agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.functions.privacy import (
+    PII_PATTERNS,
+    pii_flags,
+    redact_pii,
+)
+from hummingbirddatapipeline_spark.operators.contamination import (
+    ngram_contamination,
+)
+from hummingbirddatapipeline_spark.operators.sampling import (
+    _threshold_hex,
+    hash_sample,
+    sample_per_group,
+    split_train_holdout,
+    stratified_sample,
+)
+from hummingbirddatapipeline_spark.tables import load
+
+_T10 = _threshold_hex(0.10)
+_T25 = _threshold_hex(0.25)
+_T05 = _threshold_hex(0.05)
+
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS STRING) || ':s0'), 1, 4) < '{_T10}'
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% content-hash sample: stable under reruns,
+    repartitioning, and cluster resizing (df.sample is none of those);
+    map-side filter only — no shuffle, no RNG state."""
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.10, seed="s0").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS STRING) || ':mix1'), 1, 4) <
+      CASE WHEN lang = 'en' THEN '{_T25}'
+           WHEN lang = 'zh' THEN '{_T10}'
+           ELSE '{_T05}' END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota mixing: keep 25% of English, 10% of Chinese, 5% of the
+    rest — the language-rebalancing primitive of a training-data mix,
+    still a single map-side filter."""
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "zh": 0.10},
+        default_fraction=0.05,
+        seed="mix1",
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "sample_per_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS STRING) || ':cap'), 1, 4),
+                        md5(CAST(doc_id AS STRING) || ':cap'),
+                        doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    ORDER BY doc_id
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (hash-order reservoir, 3 docs/source): one
+    shuffle on the group key, bounded output, same winners at any
+    partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    return sample_per_group(docs, "source", "doc_id", n=3, seed="cap").select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_train_holdout_counts",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS STRING) || ':holdout'), 1, 4)
+                < '{_T05}'
+           THEN 'holdout' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def sample_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 5% eval holdout: membership is recomputable from the key
+    alone, so the split can never drift between pipeline runs."""
+    docs = load(spark, sf_dir, "documents")
+    tagged = split_train_holdout(docs, "doc_id", 0.05, seed="holdout")
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+# shared synthetic PII injection (the corpus itself is clean word soup):
+# deterministic per doc, same SQL shape on both engines
+_INJECT_SQL = (
+    "CONCAT(substr(text, 1, 20), ' email u', CAST(doc_id AS STRING),"
+    " '@corp.example.org call (415) 555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' ssn 123-45-6789 ip 10.0.', CAST(doc_id % 256 AS STRING), '.7 end')"
+)
+
+
+def _duck_redact(expr: str) -> str:
+    out = expr
+    for pat, rep in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{rep}', 'g')"
+    return out
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, {_INJECT_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           {_duck_redact("raw")} AS redacted,
+           regexp_matches(raw, '{PII_PATTERNS[0][0]}') AS has_email,
+           regexp_matches(raw, '{PII_PATTERNS[1][0]}') AS has_ssn,
+           regexp_matches(raw, '{PII_PATTERNS[2][0]}') AS has_phone,
+           regexp_matches(raw, '{PII_PATTERNS[3][0]}') AS has_ip
+    FROM injected
+    ORDER BY doc_id
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction bank over deterministically injected PII: emails,
+    SSNs, phones, IPv4, replaced in a fixed order by RE2-compatible
+    regexes — pure regexp_replace chain, no UDFs, verified verbatim
+    against DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    injected = spark.sql(f"SELECT doc_id, {_INJECT_SQL} AS raw FROM documents")
+    return injected.select(
+        "doc_id",
+        redact_pii(F.col("raw")).alias("redacted"),
+        pii_flags(F.col("raw"))["has_email"].alias("has_email"),
+        pii_flags(F.col("raw"))["has_ssn"].alias("has_ssn"),
+        pii_flags(F.col("raw"))["has_phone"].alias("has_phone"),
+        pii_flags(F.col("raw"))["has_ip"].alias("has_ip"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_contamination_check",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(range(len(t) - 4),
+                                        i -> array_to_string(t[i + 1 : i + 5], ' '))
+                    ELSE []::VARCHAR[] END
+             ) AS gs
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 20
+    ),
+    dg AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 20
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit FROM dg JOIN bench USING (g)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.gs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+           COALESCE(h.n_hit, 0) >= 1 AS contaminated
+    FROM grams g LEFT JOIN hits h USING (doc_id)
+    WHERE g.doc_id >= 20
+    ORDER BY g.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-19 stand in as the eval set;
+    every training doc reports how many of its distinct word 5-grams
+    collide with it. Broadcast hash join on the n-gram — the corpus
+    never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    out = ngram_contamination(train, bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        "contaminated",
+    ).orderBy("doc_id")

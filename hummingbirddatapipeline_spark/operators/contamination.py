@@ -1,0 +1,87 @@
+"""Benchmark-contamination detection (north-star extension): flag
+training documents that share word n-grams with an evaluation set.
+
+The standard decontamination recipe (n-gram collision against the eval
+corpus) as two scan-friendly stages:
+
+1. benchmark n-grams: distinct word n-grams of the (small) eval set —
+   broadcast to every executor;
+2. document n-grams: explode each training doc's distinct n-grams and
+   hash-join against the broadcast set; aggregate per doc.
+
+Scale: cost is O(total tokens) with a broadcast join — no shuffle of
+the corpus; the benchmark side is the small one by construction. For
+benchmark sets too large to broadcast the same plan degrades to a
+shuffle hash join on the n-gram (still linear).
+
+The n-gram generation is pure native expressions (split + transform +
+array slicing), so the whole operator is whole-stage-codegen'd and
+exactly reproducible on any engine — the catalog query verifies it
+verbatim against DuckDB list comprehensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct space-joined word n-grams of a text column (native
+    expressions only)."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+    def gram(i: Column) -> Column:
+        return F.array_join(F.slice(toks, i + 1, n), " ")
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination report vs a benchmark corpus.
+
+    Returns (id_col, n_grams, n_hit_grams, contaminated) where
+    ``contaminated`` is true when at least ``min_hits`` distinct
+    n-grams of the document also occur in the benchmark.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    totals = docs.select(
+        id_col, F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Deterministic sampling for training-data curation (north-star
+extension).
+
+Every primitive here is CONTENT-HASH based (md5 of the stable key plus
+a seed string), never RNG based, because at 100 TB the properties that
+matter are:
+
+- **Reproducibility**: the same (key, seed) always lands on the same
+  side of the cut — reruns, retries, and speculative tasks agree, and
+  the sample is stable under repartitioning and cluster resizing
+  (Spark's ``df.sample`` is none of these across partition changes).
+- **Lineage joins**: a membership decision can be recomputed from the
+  key alone, so "was this row in the training mix?" is a filter, not a
+  lookup table.
+- **Engine portability**: md5 hex is identical everywhere, which also
+  makes every operator below exactly oracle-checkable against DuckDB.
+
+Sampling granularity is 1/65536 (first 4 hex digits of the hash);
+that's the contract, not an approximation bound.
+
+Reference scope: the reference engine samples ad hoc in pandas
+(head/slice during exploration); these operators are the scale-correct
+generalization a training-data pipeline needs (quota mixing, per-source
+caps, stable eval holdouts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bucket_hex(key: Column, seed: str) -> Column:
+    """First 4 hex chars of md5("<key>:<seed>") — a uniform draw from
+    65536 buckets, comparable as a string against a threshold."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":" + seed))), 1, 4
+    )
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Hex threshold such that P(bucket < threshold) == round(fraction
+    * 65536) / 65536 for a uniform hash. fraction >= 1 returns 'g',
+    which compares above every hex digit (keep everything)."""
+    frac16 = int(round(min(max(fraction, 0.0), 1.0) * 0x10000))
+    return format(frac16, "04x") if frac16 <= 0xFFFF else "g"
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: str = "s0",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by content hash of
+    ``key_col``. Map-side only: no shuffle, no state, prunes at the
+    scan's filter stage."""
+    return df.filter(_bucket_hex(F.col(key_col), seed) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the curation quota-mixing
+    primitive (e.g. keep 20% of English, 5% of everything else).
+
+    Still map-side only: the per-row threshold is a CASE over the
+    stratum value; no shuffle, no per-stratum pass.
+    """
+    thresh: Column = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(thresh)
+    return df.filter(_bucket_hex(F.col(key_col), seed) < thresh)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group (per-source caps,
+    eval-set drawing): rank rows inside each group by content hash and
+    keep the first ``n``.
+
+    This is the distributed form of reservoir sampling with a
+    hash-order reservoir: one shuffle on ``group_col``, bounded output
+    per group, and the same rows win regardless of partitioning or
+    cluster size. Ties (hash collisions) break on the key itself, so
+    the result is total-order deterministic.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket_hex(F.col(key_col), seed),
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))),
+        F.col(key_col),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def split_train_holdout(
+    df: DataFrame,
+    key_col: str,
+    holdout_fraction: float = 0.01,
+    seed: str = "holdout",
+) -> DataFrame:
+    """Tag each row with a stable train/holdout split — the eval
+    holdout that must never drift between pipeline runs. Returns the
+    input plus a ``split`` column ('train' | 'holdout')."""
+    is_holdout = _bucket_hex(F.col(key_col), seed) < F.lit(
+        _threshold_hex(holdout_fraction)
+    )
+    return df.withColumn(
+        "split", F.when(is_holdout, "holdout").otherwise("train")
+    )

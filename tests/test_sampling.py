@@ -1,0 +1,123 @@
+"""Sampling / privacy / contamination operators (curation extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.functions.privacy import pii_flags, redact_pii
+from hummingbirddatapipeline_spark.operators.contamination import (
+    ngram_contamination,
+    word_ngrams,
+)
+from hummingbirddatapipeline_spark.operators.sampling import (
+    hash_sample,
+    sample_per_group,
+    split_train_holdout,
+    stratified_sample,
+)
+from hummingbirddatapipeline_spark.tables import load
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(17), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a  # same membership at any partitioning
+    n = docs.count()
+    assert 0.1 * n <= len(a) <= 0.3 * n  # roughly the asked fraction
+
+
+def test_hash_sample_seed_changes_membership(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, seed="x").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, seed="y").collect()}
+    assert a != b
+
+
+def test_hash_sample_fraction_edges(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == n
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_stratified_fractions_differ_by_stratum(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.05
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert got.get("en", 0) > 0.3 * n_en
+    assert got.get("de", 0) <= 0.25 * n_de
+
+
+def test_sample_per_group_cap_and_determinism(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = sample_per_group(docs, "source", "doc_id", n=2)
+    counts = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 2 for r in counts)
+    again = sample_per_group(docs.repartition(7), "source", "doc_id", n=2)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_split_train_holdout_partitions_everything(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tagged = split_train_holdout(docs, "doc_id", 0.25)
+    counts = {r["split"]: r["n"] for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("holdout", 0) + counts.get("train", 0) == docs.count()
+    assert counts.get("holdout", 0) > 0
+
+
+def test_redact_pii_cases(spark):
+    rows = [
+        ("a", "mail me at jo.doe+x@corp.example.org now"),
+        ("b", "ssn 123-45-6789 and phone (415) 555-0199"),
+        ("c", "server at 192.168.10.254 responded"),
+        ("d", "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        redact_pii(F.col("text")).alias("red"),
+        pii_flags(F.col("text")).alias("f"),
+    ).collect()}
+    assert out["a"]["red"] == "mail me at <EMAIL> now"
+    assert out["a"]["f"]["has_email"] and not out["a"]["f"]["has_ssn"]
+    assert out["b"]["red"] == "ssn <SSN> and phone <PHONE>"
+    assert out["c"]["red"] == "server at <IP> responded"
+    assert out["d"]["red"] == rows[3][1]
+    assert not any(out["d"]["f"][k] for k in ("has_email", "has_ssn", "has_phone", "has_ip"))
+
+
+def test_contamination_hits_only_real_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "xx the quick brown fox jumps zz"),  # shares a 5-gram
+            (11, "completely different words here entirely now"),
+            (12, "tiny"),  # shorter than n: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(docs, bench, n=5).collect()}
+    assert out[10]["contaminated"] and out[10]["n_hit_grams"] >= 1
+    assert not out[11]["contaminated"] and out[11]["n_hit_grams"] == 0
+    assert out[12]["n_grams"] == 0 and not out[12]["contaminated"]
+
+
+def test_word_ngrams_counts(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(word_ngrams(F.col("text"), 2).alias("g")).first()["g"]
+    assert sorted(got) == ["a b", "b c", "c d"]
