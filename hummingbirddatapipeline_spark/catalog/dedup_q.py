@@ -15,6 +15,7 @@ from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.dedup import (
     jaccard_pairs_all,
     near_dup_pairs_minhash,
+    simhash64,
     simhash_dedup,
 )
 from hummingbirddatapipeline_spark.tables import load
@@ -82,11 +83,55 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash_groups")  # rows-only
+@query("dedup_simhash_groups")  # rows-only: 64-bit vote hashing
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
         simhash_dedup(docs, "text", "doc_id", shingle_size=1)
         .select("doc_id", "simhash", "dup_count")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_simhash_consistency",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS rep_doc_id,
+           COUNT(*) AS n_members,
+           TRUE AS same_simhash
+    FROM fp GROUP BY f HAVING COUNT(*) >= 2
+    ORDER BY rep_doc_id
+    """,
+)
+def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash CONSISTENCY CONTRACT: every exact-duplicate group (by
+    the normalized fingerprint both engines compute independently) must
+    collapse to a single simhash value. Hashes the group roster (rep
+    id, size — real cross-engine data) plus the consistency flag, so a
+    regression in shingling or the bit-vote accumulator goes
+    driver-red. The raw per-doc simhash stays rows-only above (the
+    64-bit vote hash itself is engine-specific)."""
+    from hummingbirddatapipeline_spark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("f"),
+        simhash64(F.col("text"), shingle_size=1).alias("sh"),
+    )
+    return (
+        h.groupBy("f")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_members"),
+            (F.countDistinct("sh") == 1).alias("same_simhash"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select("rep_doc_id", "n_members", "same_simhash")
+        .orderBy("rep_doc_id")
     )

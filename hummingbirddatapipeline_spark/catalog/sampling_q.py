@@ -23,6 +23,7 @@ from hummingbirddatapipeline_spark.operators.sampling import (
     _threshold_hex,
     hash_sample,
     sample_per_group,
+    sample_token_budget,
     split_train_holdout,
     stratified_sample,
 )
@@ -130,6 +131,51 @@ def sample_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
         .orderBy("split")
+    )
+
+
+@query(
+    "sample_token_budget_mix",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             substr(md5(CAST(doc_id AS STRING) || ':tok'), 1, 4) AS bk,
+             md5(CAST(doc_id AS STRING) || ':tok') AS fh
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY bk, fh, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 2000 ELSE 500 END
+    ORDER BY doc_id
+    """,
+)
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: admit docs per language in
+    content-hash priority order until the language's TOKEN budget
+    (2000 for English, 500 otherwise) is spent — deterministic,
+    monotone in the budget, one shuffle on the stratum key."""
+    docs = load(spark, sf_dir, "documents")
+    out = sample_token_budget(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        text_col="text",
+        budgets={"en": 2000},
+        default_budget=500,
+        seed="tok",
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy(
+        "doc_id"
     )
 
 

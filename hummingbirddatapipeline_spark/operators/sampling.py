@@ -112,6 +112,49 @@ def sample_per_group(
     )
 
 
+def sample_token_budget(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    text_col: str,
+    budgets: Mapping[str, int],
+    default_budget: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Token-budget corpus mixing: per stratum, admit documents in
+    content-hash order until the stratum's token budget is exhausted
+    (the document that crosses the budget line is excluded).
+
+    The curation primitive behind "N billion tokens of code, M of
+    English": budgets are in TOKENS, not documents, and membership is
+    deterministic — rerunning with a bigger budget strictly extends the
+    previous sample (hash order is a fixed priority), so mixes are
+    reproducible and monotone.
+
+    Scale: one shuffle on the stratum key; the running total is a
+    cumulative window sum, and the admitted set is a filter on it.
+    Output adds ``n_tokens`` and ``cum_tokens``.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    budget: Column = F.lit(int(default_budget))
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(
+            _bucket_hex(F.col(key_col), seed),
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))),
+            F.col(key_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "n_tokens", ws_token_count(F.col(text_col)).cast("long")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.filter(F.col("cum_tokens") <= budget)
+
+
 def split_train_holdout(
     df: DataFrame,
     key_col: str,

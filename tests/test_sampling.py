@@ -121,3 +121,26 @@ def test_word_ngrams_counts(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     got = df.select(word_ngrams(F.col("text"), 2).alias("g")).first()["g"]
     assert sorted(got) == ["a b", "b c", "c d"]
+
+
+def test_token_budget_monotone_and_bounded(spark, sf_dir):
+    """A bigger budget strictly extends the admitted set (hash order is
+    a fixed priority), and each stratum stays within budget."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        sample_token_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    small = sample_token_budget(
+        docs, "doc_id", "lang", "text", {}, default_budget=400, seed="t"
+    )
+    big = sample_token_budget(
+        docs, "doc_id", "lang", "text", {}, default_budget=1200, seed="t"
+    )
+    s = {r.doc_id for r in small.select("doc_id").collect()}
+    b = {r.doc_id for r in big.select("doc_id").collect()}
+    assert s and s <= b and len(b) > len(s)
+    per_lang = (
+        small.groupBy("lang").agg(F.max("cum_tokens").alias("m")).collect()
+    )
+    assert all(r["m"] <= 400 for r in per_lang)
