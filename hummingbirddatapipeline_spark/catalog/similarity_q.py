@@ -121,6 +121,81 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_roundtrip",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                                    ELSE CAST(ROUND(x / scale) AS INT) END)
+               AS codes
+      FROM q
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+           CAST(list_min(codes) AS INT) AS codes_min,
+           CAST(list_max(codes) AS INT) AS codes_max,
+           list_max(list_transform(range(len(e)),
+             i -> abs(codes[i + 1] * scale - e[i + 1])))
+             <= scale / 2 + 1e-12 AS roundtrip_ok,
+           CAST(ROUND(1000000 * sqrt(list_dot_product(
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))),
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+           ))) AS BIGINT) AS unit_norm_e6
+    FROM c
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage prep under the oracle gate: symmetric int8
+    quantization (identical codes on both engines — the whole code
+    vector is hashed via its sum/min/max signature), the
+    reconstruction-error bound |dequant - x| <= scale/2, and L2
+    normalization landing on unit norm. These are the two ops a 100 TB
+    embedding store runs before anything else: normalize once so dot ==
+    cosine, quantize 4-8x so the ANN index fits."""
+    from hummingbirddatapipeline_spark.functions.vector import (
+        dequantize_int8,
+        norm,
+        normalize_l2,
+        quantize_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _as_double(F.col("embedding"))
+    )
+    q = emb.select("vec_id", "e", quantize_int8(F.col("e")).alias("q"))
+    err = F.array_max(
+        F.zip_with(
+            dequantize_int8(F.col("q")),
+            F.col("e"),
+            lambda d, x: F.abs(d - x),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.col("q.scale").alias("scale"),
+        F.aggregate(
+            F.col("q.codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("codes_sum"),
+        F.array_min("q.codes").alias("codes_min"),
+        F.array_max("q.codes").alias("codes_max"),
+        (err <= F.col("q.scale") / 2 + 1e-12).alias("roundtrip_ok"),
+        F.round(1000000 * norm(normalize_l2(F.col("e"))))
+        .cast("long")
+        .alias("unit_norm_e6"),
+    ).orderBy("vec_id")
+
+
+@query(
     "similarity_ivf_topk",
     oracle=f"""
     SELECT vec_id AS query_id, {_K} AS k, TRUE AS recall_ok

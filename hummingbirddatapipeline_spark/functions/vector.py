@@ -26,3 +26,35 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def normalize_l2(a: Column) -> Column:
+    """Unit-normalize an embedding (NULL-safe: zero vectors stay
+    all-zero rather than dividing by zero). Pre-normalizing lets the
+    dot product alone serve as cosine in downstream ANN stages."""
+    n = norm(a)
+    return F.when(n == 0, a).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    codes = round(x / scale) in [-127, 127]. Returns a struct
+    (scale double, codes array<int>) — a 4x storage cut (8x vs f64)
+    that preserves cosine to ~1e-2, which is what a 100 TB embedding
+    store ships to the ANN index. Deterministic per row: both engines
+    produce identical codes, so the op is exactly oracle-checkable."""
+    scale = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / 127
+    codes = F.transform(
+        a,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.round(x.cast("double") / scale).cast("int")
+        ),
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def dequantize_int8(q: Column) -> Column:
+    """Inverse of :func:`quantize_int8` (up to scale/2 per element)."""
+    return F.transform(q["codes"], lambda c: c.cast("double") * q["scale"])
