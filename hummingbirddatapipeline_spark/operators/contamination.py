@@ -62,26 +62,17 @@ def ngram_contamination(
             F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
         )
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # single corpus scan: explode_outer keeps gram-less docs as one NULL
+    # row, the left broadcast join marks benchmark collisions, and one
+    # aggregation produces both the total and the hit count
     doc_grams = docs.select(
-        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        id_col, F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g")
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "g")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit_grams"))
-    )
-    totals = docs.select(
-        id_col, F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
-    )
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
-            (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias(
-                "contaminated"
-            ),
-        )
+    marked = doc_grams.join(F.broadcast(bench_grams), "g", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("g").alias("n_grams"),
+        F.count("__hit").alias("n_hit_grams"),
+        (F.count("__hit") >= min_hits).alias("contaminated"),
     )
