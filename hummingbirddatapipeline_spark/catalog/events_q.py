@@ -387,3 +387,60 @@ def sketch_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("event_type", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (warehouse analytics over the events stream)
+# --------------------------------------------------------------------------
+_WEEK_MS = 7 * 86_400_000
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             (epoch_ns(ts) // 1000000) // {_WEEK_MS} AS wk
+      FROM events
+    ),
+    firstw AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS weeks_since
+      FROM e JOIN firstw f USING (user_id)
+    )
+    SELECT cohort_wk, weeks_since, COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_wk, weeks_since
+    ORDER BY cohort_wk, weeks_since
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, each
+    cell counts users from that cohort active N weeks later.
+
+    Scale shape: one shuffle on user_id computes first-seen weeks AND
+    feeds the per-user activity join (same key), then one aggregation
+    over (cohort, offset) cells — the output is tiny regardless of
+    corpus size. Pure integer week arithmetic, so the oracle is exact.
+    """
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    e = ev.select(
+        "user_id", F.expr(f"CAST(ts_ms DIV {_WEEK_MS} AS LONG)").alias("wk")
+    )
+    firstw = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        e.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_wk", "weeks_since")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_wk", "weeks_since")
+    )

@@ -801,3 +801,40 @@ def latest_filing_plus_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price"),
     )
     return latest.join(hist, "custkey").orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout codes — the data-skipping clustering key a
+# 100 TB table writes with (open-source form of Delta/Iceberg ZORDER)
+# --------------------------------------------------------------------------
+def _duck_morton(a: str, b: str, bits: int = 16) -> str:
+    am, bm = f"({a} & {(1 << bits) - 1})", f"({b} & {(1 << bits) - 1})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({am} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({bm} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "layout_zorder_codes",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({_duck_morton("o_custkey", "o_orderkey")} AS BIGINT) AS zcode
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton interleave of (custkey, orderkey) — the clustering key
+    ``zorder_layout`` sorts files by so parquet min/max footers stay
+    tight in BOTH dimensions and either filter prunes at planning time.
+    Pure shift/mask expressions; exact oracle."""
+    from hummingbirddatapipeline_spark.operators.scale import morton_code
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        morton_code(F.col("o_custkey"), F.col("o_orderkey")).alias("zcode"),
+    ).orderBy("o_orderkey")

@@ -68,3 +68,38 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     assert joined.count() == 1000
     spark.sql("DROP TABLE t_bucket_left")
     spark.sql("DROP TABLE t_bucket_right")
+
+
+def test_zorder_layout_tightens_minmax_ranges(spark, sf_dir):
+    """Z-ordering must shrink per-file min/max ranges in BOTH
+    dimensions vs a single-column sort (the data-skipping win)."""
+    from hummingbirddatapipeline_spark.operators.scale import zorder_layout
+    from hummingbirddatapipeline_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n_parts = 16
+
+    def span_sum(df, col):
+        parts = df.withColumn("p", F.spark_partition_id()).groupBy("p").agg(
+            (F.max(col) - F.min(col)).alias("span")
+        )
+        return sum(r["span"] for r in parts.collect())
+
+    z = zorder_layout(orders, "o_custkey", "o_orderkey", n_files=n_parts)
+    by_key = orders.repartitionByRange(n_parts, "o_orderkey")
+    # single-column layout: orderkey ranges tight but custkey ranges ~full
+    assert span_sum(z, "o_custkey") < 0.5 * span_sum(by_key, "o_custkey")
+    # and z-order keeps orderkey ranges far below the unclustered worst case
+    full_span = orders.agg(
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("s")
+    ).first()["s"]
+    assert span_sum(z, "o_orderkey") < n_parts * full_span * 0.6
+
+
+def test_morton_code_interleaves(spark):
+    from hummingbirddatapipeline_spark.operators.scale import morton_code
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(morton_code(F.col("a"), F.col("b")).alias("z")).first()["z"]
+    # a bits at even positions: 1,0,1 -> 0b010001; b bits odd: 1,1,0 -> 0b001010
+    assert got == 0b011011
