@@ -444,3 +444,88 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_wk", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion (view -> click -> purchase)
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH stamped AS (
+      SELECT user_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms,
+             event_id
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts_ms END) AS t_click_any,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS t_purchase_any
+      FROM stamped GROUP BY user_id
+    ),
+    staged AS (
+      SELECT p.user_id, p.t_view,
+             (SELECT MIN(s.ts_ms) FROM stamped s
+              WHERE s.user_id = p.user_id AND s.event_type = 'click'
+                AND s.ts_ms >= p.t_view) AS t_click
+      FROM per_user p
+    ),
+    staged2 AS (
+      SELECT g.user_id, g.t_view, g.t_click,
+             (SELECT MIN(s.ts_ms) FROM stamped s
+              WHERE s.user_id = g.user_id AND s.event_type = 'purchase'
+                AND s.ts_ms >= g.t_click) AS t_purchase
+      FROM staged g
+    )
+    SELECT COUNT(t_view) AS n_view,
+           COUNT(t_click) AS n_view_click,
+           COUNT(t_purchase) AS n_view_click_purchase
+    FROM staged2
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, first 'view', then the first 'click'
+    at-or-after it, then the first 'purchase' at-or-after that; the
+    output counts survivors of each stage.
+
+    Spark form: one shuffle on user_id, conditional min-aggregations
+    per stage (two passes of per-user conditional MIN, no self-joins —
+    the correlated subqueries in the oracle are DuckDB's phrasing of
+    the same staged minimum)."""
+    ev = _with_ts_ms(load(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_ms")))
+    per_user = ev.groupBy("user_id").agg(t_view.alias("t_view"))
+    staged = (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_ms") >= F.col("t_view")),
+                    F.col("ts_ms"),
+                )
+            ).alias("t_click")
+        )
+    )
+    staged2 = (
+        ev.join(staged, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_ms") >= F.col("t_click")),
+                    F.col("ts_ms"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return staged2.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )

@@ -838,3 +838,69 @@ def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         morton_code(F.col("o_custkey"), F.col("o_orderkey")).alias("zcode"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (Deequ-shape verdicts; pipeline guardrails)
+# --------------------------------------------------------------------------
+@query(
+    "dq_orders_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                 THEN 1 ELSE 0 END) AS v_price_positive,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+               AS v_orderdate_not_null,
+             SUM(CASE WHEN o_orderpriority IS NULL
+                      OR o_orderpriority NOT IN
+                        ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 THEN 1 ELSE 0 END) AS v_priority_in_domain
+      FROM orders
+    ),
+    fk AS (
+      SELECT COUNT(*) AS v FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'price_positive' AS check_name, n_rows,
+             v_price_positive AS n_violations FROM agg
+      UNION ALL
+      SELECT 'orderdate_not_null', n_rows, v_orderdate_not_null FROM agg
+      UNION ALL
+      SELECT 'priority_in_domain', n_rows, v_priority_in_domain FROM agg
+      UNION ALL
+      SELECT 'fk_o_custkey_references_c_custkey', (SELECT n_rows FROM agg),
+             v FROM fk
+    )
+    ORDER BY check_name
+    """,
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline guardrails: three row-level constraints compiled into
+    one scan (conditional counts, map-side combined) plus a referential
+    check as an anti-join that ships only violations."""
+    from hummingbirddatapipeline_spark.operators.expectations import (
+        check_expectations,
+        check_foreign_key,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    prios = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    checks = {
+        "price_positive": F.col("o_totalprice").isNull()
+        | (F.col("o_totalprice") <= 0),
+        "orderdate_not_null": F.col("o_orderdate").isNull(),
+        "priority_in_domain": F.col("o_orderpriority").isNull()
+        | ~F.col("o_orderpriority").isin(*prios),
+    }
+    row_checks = check_expectations(orders, checks)
+    fk = check_foreign_key(
+        orders, cust, "o_custkey", "c_custkey",
+        name="fk_o_custkey_references_c_custkey",
+    )
+    return row_checks.unionByName(fk).orderBy("check_name")

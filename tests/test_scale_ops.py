@@ -103,3 +103,29 @@ def test_morton_code_interleaves(spark):
     got = df.select(morton_code(F.col("a"), F.col("b")).alias("z")).first()["z"]
     # a bits at even positions: 1,0,1 -> 0b010001; b bits odd: 1,1,0 -> 0b001010
     assert got == 0b011011
+
+
+def test_expectations_detect_violations(spark):
+    from hummingbirddatapipeline_spark.operators.expectations import (
+        check_expectations,
+        check_foreign_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, amount double"
+    )
+    out = {r["check_name"]: r for r in check_expectations(
+        df,
+        {
+            "amount_positive": F.col("amount").isNull() | (F.col("amount") <= 0),
+            "id_not_null": F.col("id").isNull(),
+        },
+    ).collect()}
+    assert out["amount_positive"]["n_violations"] == 2
+    assert not out["amount_positive"]["passed"]
+    assert out["id_not_null"]["passed"]
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (9,), (None,)], "fk long")
+    fk = check_foreign_key(child, parent, "fk", "k").first()
+    assert fk["n_violations"] == 1 and not fk["passed"]  # NULL keys skip
