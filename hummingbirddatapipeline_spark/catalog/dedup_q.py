@@ -76,11 +76,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correctness is covered by ``dedup_minhash_near_dups`` (recall
     contract vs the exact pair set) at the driver's correctness SF;
     this entry exists so the benchmark measures the scale path's own
-    cost, not the quadratic exact baseline it is contracted against."""
+    cost, not the quadratic exact baseline it is contracted against.
+    No final sort: a global orderBy's range-partition sampling pass
+    would re-execute the whole pipeline (~2x cost) for decoration."""
     docs = load(spark, sf_dir, "documents")
     return near_dup_pairs_minhash(
         docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8, shingle_size=1
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query("dedup_simhash_groups")  # rows-only: 64-bit vote hashing
