@@ -63,7 +63,6 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.sum(cents) / 100.0 / F.count("*") * 10000 + 0.5) / 10000
             ).alias("avg_value"),
         )
-        .orderBy("hour_start_ms", "event_type")
     )
 
 
@@ -131,7 +130,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("duration_ms") / 1000.0, 2).alias("avg_duration_sec"),
             F.max("n_events").alias("max_session_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -233,7 +231,6 @@ def events_sliding_3h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
         )
-        .orderBy("window_start_ms", "event_type")
     )
 
 

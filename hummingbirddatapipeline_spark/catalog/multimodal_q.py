@@ -40,7 +40,6 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feats.join(media.select("media_id", F.col("media_meta.kind").alias("kind")), "media_id")
         .select("media_id", "kind", "byte_size", "content_sha256")
-        .orderBy("media_id")
     )
 
 

@@ -66,7 +66,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -151,7 +150,6 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("revenue_cents")
         )
-        .orderBy(F.desc("revenue_cents"), "nation")
     )
 
 
@@ -369,7 +367,6 @@ def window_yoy_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         yearly.withColumn("growth_e6", F.round(growth * 1000000).cast("long"))
         .select("nationkey", "order_year", "revenue_cents", "growth_e6")
-        .orderBy("nationkey", "order_year")
     )
 
 
@@ -413,7 +410,7 @@ def pivot_nation_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     renamed = pivoted.select(
         "nation", *[F.col(str(y)).alias(f"revenue_{y}_cents") for y in years]
     )
-    return renamed.orderBy("nation")
+    return renamed
 
 
 # --------------------------------------------------------------------------
@@ -572,7 +569,6 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_e6"),
             F.count("*").alias("n_suppliers"),
         )
-        .orderBy("nationkey")
     )
 
 
@@ -746,7 +742,6 @@ def band_join_balance_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parent_key",
             F.round("parent_bal", 2).alias("parent_bal"),
         )
-        .orderBy("c_nationkey", "c_custkey")
     )
 
 

@@ -115,7 +115,6 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_event_id",
             (F.col("ts_ms") - F.col("click_ts_ms")).alias("ms_since_click"),
         )
-        .orderBy("purchase_event_id")
     )
 
 
@@ -177,7 +176,6 @@ def range_join_clicks_before_purchase(
             F.col("ts_ms").alias("purchase_ts_ms"),
             "n_clicks_prev_hour",
         )
-        .orderBy("purchase_event_id")
     )
 
 
@@ -257,7 +255,6 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
             F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
         )
-        .orderBy("grain", "bucket_start_ms", "event_type")
     )
 
 

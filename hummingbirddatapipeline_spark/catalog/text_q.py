@@ -152,9 +152,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count").orderBy(
-        "doc_id"
-    )
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count")
 
 
 @query(
