@@ -56,9 +56,13 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         )
     except OSError:
         return
-    target_task_bytes = 128 * 1024 * 1024
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    by_data = max(total // target_task_bytes, 1)
-    partitions = int(max(min(by_data, cores * 4), min(cores, 8)))
+    # Scan split size: aim for ~3 tasks per core so CPU-heavy per-row
+    # work (hashing, explode pipelines, Arrow batches) parallelizes even
+    # when the whole input is a few MB; capped at the classic 128 MB so
+    # the very same rule sizes a 100 TB scan to 128 MB tasks.
+    task_bytes = int(min(max(total // (cores * 3), 1 * 1024 * 1024), 128 * 1024 * 1024))
+    by_data = max(total // task_bytes, 1)
+    partitions = int(max(min(by_data, cores * 4), cores))
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target_task_bytes))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(task_bytes))
