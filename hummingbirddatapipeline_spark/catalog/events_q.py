@@ -526,3 +526,57 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_view_click_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance: history rollup + delta partition
+# merged on partial states must equal the from-scratch rollup
+# --------------------------------------------------------------------------
+@query(
+    "events_incremental_rollup",
+    oracle=f"""
+    SELECT ((epoch_ns(ts) // 1000000) // {_HOUR_MS}) * {_HOUR_MS} AS hour_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start_ms, event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ETL correctness under the oracle gate: the stream is
+    split deterministically into 'history' (event_id % 5 != 4) and a
+    'delta' batch (% 5 == 4); each side is rolled up independently and
+    folded together with merge_rollups on mergeable states (count +
+    exact-cents sum). The oracle computes the rollup from scratch over
+    everything — the hash passes only if merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B) exactly. At 100 TB this is the nightly pattern:
+    history never recomputes, only the delta is aggregated and merged."""
+    from hummingbirddatapipeline_spark.operators.incremental import merge_rollups
+
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    prepared = ev.withColumn(
+        "hour_start_ms",
+        (F.floor(F.col("ts_ms") / _HOUR_MS) * _HOUR_MS).cast("long"),
+    ).withColumn("cents", cents)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour_start_ms", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    history = rollup(prepared.filter(F.pmod(F.col("event_id"), F.lit(5)) != 4))
+    delta = rollup(prepared.filter(F.pmod(F.col("event_id"), F.lit(5)) == 4))
+    merged = merge_rollups(
+        history,
+        delta,
+        keys=("hour_start_ms", "event_type"),
+        count_cols=("n_events",),
+        sum_cols=("total_cents",),
+    )
+    return merged.select(
+        "hour_start_ms", "event_type", "n_events", "total_cents"
+    ).orderBy("hour_start_ms", "event_type")

@@ -129,3 +129,26 @@ def test_expectations_detect_violations(spark):
     child = spark.createDataFrame([(1,), (9,), (None,)], "fk long")
     fk = check_foreign_key(child, parent, "fk", "k").first()
     assert fk["n_violations"] == 1 and not fk["passed"]  # NULL keys skip
+
+
+def test_merge_rollups_equals_full_rollup(spark):
+    from hummingbirddatapipeline_spark.operators.incremental import merge_rollups
+
+    rows = [(i % 3, i, i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, id long, cents long")
+
+    def roll(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents")
+        )
+
+    full = {r["k"]: (r["n"], r["cents"]) for r in roll(df).collect()}
+    merged = merge_rollups(
+        roll(df.filter("id < 20")),
+        roll(df.filter("id >= 20")),
+        keys=("k",),
+        count_cols=("n",),
+        sum_cols=("cents",),
+    )
+    got = {r["k"]: (r["n"], r["cents"]) for r in merged.collect()}
+    assert got == full
