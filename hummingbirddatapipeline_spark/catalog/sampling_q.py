@@ -221,13 +221,14 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     injected = spark.sql(f"SELECT doc_id, {_INJECT_SQL} AS raw FROM documents")
-    return injected.select(
+    flagged = injected.withColumn("f", pii_flags(F.col("raw")))
+    return flagged.select(
         "doc_id",
         redact_pii(F.col("raw")).alias("redacted"),
-        pii_flags(F.col("raw"))["has_email"].alias("has_email"),
-        pii_flags(F.col("raw"))["has_ssn"].alias("has_ssn"),
-        pii_flags(F.col("raw"))["has_phone"].alias("has_phone"),
-        pii_flags(F.col("raw"))["has_ip"].alias("has_ip"),
+        F.col("f.has_email").alias("has_email"),
+        F.col("f.has_ssn").alias("has_ssn"),
+        F.col("f.has_phone").alias("has_phone"),
+        F.col("f.has_ip").alias("has_ip"),
     ).orderBy("doc_id")
 
 
