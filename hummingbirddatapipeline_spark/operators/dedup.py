@@ -316,3 +316,81 @@ def simhash_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def boilerplate_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_bucket: int = 1000,
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Mega-cluster (boilerplate) treatment for the buckets the pair
+    pipeline's ``max_bucket`` cap drops: an LSH bucket larger than
+    ``min_bucket`` is a boilerplate CLUSTER, and each member is
+    verified LINEARLY against the cluster representative (min id) by
+    exact Jaccard — O(cluster size) work instead of the O(size^2)
+    pairwise enumeration that is semantically useless for clusters
+    ("every pair says: same cluster").
+
+    Returns (doc_id, cluster_id, jaccard) for verified members (the
+    representative maps to itself with jaccard 1.0). A doc colliding
+    into several mega-buckets keeps its smallest representative.
+    Membership is the representative's threshold-BALL, not the
+    transitive closure — exact transitive clusters need iterative
+    connected components, which is a different (multi-pass) job; for
+    boilerplate removal the ball around a canonical representative is
+    the standard, bounded-cost contract. Together with
+    ``near_dup_pairs_minhash`` this covers both regimes: bounded
+    buckets -> exact pair graph; boilerplate floods -> cluster
+    assignment. Both are one-shuffle banding plans.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).filter(
+        F.col("n_shingles") > 0
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    per_bucket = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("sz"), F.min(id_col).alias("rep")
+    )
+    big = per_bucket.filter(F.col("sz") > min_bucket).select("band", "bucket", "rep")
+    members = (
+        banded.join(big, ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.min("rep").alias("cluster_id"))
+    )
+    pairs = members.select(
+        F.col("cluster_id").alias("id_a"), F.col(id_col).alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    verified = jaccard_verify(
+        df, pairs, text_col, id_col, threshold, shingle_size, hash_shingles=True
+    ).select(
+        F.col("id_b").alias(id_col),
+        F.col("id_a").alias("cluster_id"),
+        "jaccard",
+    )
+    reps = members.filter(F.col(id_col) == F.col("cluster_id")).select(
+        id_col, "cluster_id", F.lit(1.0).alias("jaccard")
+    )
+    return verified.unionByName(reps)

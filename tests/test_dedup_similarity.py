@@ -157,3 +157,24 @@ def test_embedding_near_dup_lsh_matches_brute(spark, sf_dir_small):
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_clusters_star_semantics(spark):
+    """Oversized LSH buckets become clusters: every copy of the
+    boilerplate text lands in the min-id representative's cluster with
+    jaccard 1.0; unrelated docs stay out."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        boilerplate_clusters,
+    )
+
+    boiler = "terms of service apply to all users of this site"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, "completely unrelated text about gardens and rivers")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_clusters(
+        df, "text", "doc_id", min_bucket=5, threshold=0.85, shingle_size=1
+    ).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["jaccard"]) for r in out}
+    assert set(got) == set(range(30))  # all copies, not the unrelated doc
+    assert all(c == 0 for c, _ in got.values())
+    assert all(j == 1.0 for _, j in got.values())
