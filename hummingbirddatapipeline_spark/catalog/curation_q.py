@@ -91,4 +91,4 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, stats = curate_corpus(
         docs, langs=("en",), min_quality=0.6, jaccard_threshold=0.85
     )
-    return stats.orderBy("stage")
+    return stats

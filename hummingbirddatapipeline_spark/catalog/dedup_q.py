@@ -100,7 +100,6 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         simhash_dedup(docs, "text", "doc_id", shingle_size=1)
         .select("doc_id", "simhash", "dup_count")
-        .orderBy("doc_id")
     )
 
 
@@ -144,5 +143,4 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
         .select("rep_doc_id", "n_members", "same_simhash")
-        .orderBy("rep_doc_id")
     )

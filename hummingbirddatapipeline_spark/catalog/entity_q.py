@@ -116,7 +116,7 @@ def er_multipass_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_name",
         F.col("matched_s_suppkey"),
         F.col("match_pass"),
-    ).orderBy("src_id")
+    )
 
 
 # F17 matrix on customer: value NULLs every 10th row, confidence ladder
@@ -172,7 +172,7 @@ def merge_conditional_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     master = spark.sql(_MASTER_SQL)
     updates = spark.sql(_UPDATES_SQL)
     log = upsert_changelog(master, updates, "c_custkey", "acct_value", "confidence")
-    return log.orderBy("c_custkey")
+    return log
 
 
 # dropped-character typos for even keys; block on nation
@@ -226,7 +226,7 @@ def er_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "left_id", "dirty_name", "matched_s_suppkey", "lev_distance"
-    ).orderBy("left_id")
+    )
 
 
 @query(
@@ -272,7 +272,7 @@ def er_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="s_suppkey",
         max_distance=2,
     )
-    return out.orderBy("left_id")
+    return out
 
 
 @query(

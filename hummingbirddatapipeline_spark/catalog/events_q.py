@@ -159,7 +159,6 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(k).alias("min_k"),
             F.max(k).alias("max_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -193,7 +192,6 @@ def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("first_event_id"),
             F.col("ts_ms").alias("first_ts_ms"),
         )
-        .orderBy("user_id", "event_type")
     )
 
 
@@ -275,7 +273,6 @@ def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05 * F.col("n_exact_users")
             ).alias("hll_within_5pct"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -326,7 +323,7 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(0).alias("p50_ok"),
         ok(1).alias("p95_ok"),
         ok(2).alias("p99_ok"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -382,7 +379,6 @@ def sketch_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .orderBy("event_type", "rk")
     )
 
 
@@ -439,7 +435,6 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         activity.groupBy("cohort_wk", "weeks_since")
         .agg(F.count("*").alias("n_active_users"))
-        .orderBy("cohort_wk", "weeks_since")
     )
 
 
@@ -579,4 +574,4 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select(
         "hour_start_ms", "event_type", "n_events", "total_cents"
-    ).orderBy("hour_start_ms", "event_type")
+    )

@@ -62,7 +62,7 @@ def extract_multi_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("documents")
     corpus = spark.sql(_CORPUS_SQL)
     out = extract_all(corpus, "text", PATTERNS, keep_cols=("doc_id",))
-    return out.orderBy("doc_id", "match_type", "matched")
+    return out
 
 
 @query(
@@ -98,7 +98,7 @@ def extract_best_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("documents")
     corpus = spark.sql(_CORPUS_SQL)
     matches = extract_all(corpus, "text", PATTERNS, keep_cols=("doc_id",))
-    return best_match_per_doc(matches, "doc_id").orderBy("doc_id")
+    return best_match_per_doc(matches, "doc_id")
 
 
 @query(
@@ -139,7 +139,7 @@ def extract_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         before_context_contains(
             F.col("text"), F.col("matched"), "campus", 40
         ).alias("campus_context"),
-    ).orderBy("doc_id")
+    )
 
 
 _CASCADE = (
@@ -191,5 +191,4 @@ def classify_and_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         prioritized.groupBy("detected_type", "priority")
         .agg(F.count("*").alias("n"))
-        .orderBy("detected_type", "priority")
     )

@@ -66,4 +66,4 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic duration) — pure column ops, oracle-checked."""
     docs = load(spark, sf_dir, "documents")
     media = synth_media_from_documents(docs)
-    return sample_frames(media, every_ms=1000).orderBy("media_id", "frame_index")
+    return sample_frames(media, every_ms=1000)

@@ -242,7 +242,6 @@ def conditional_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("avg_filled_price_cents"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -274,7 +273,6 @@ def distinct_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("o_custkey").alias("n_active_customers"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("nation")
     )
 
 
@@ -454,7 +452,7 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
-    return melted.orderBy("l_returnflag", "metric")
+    return melted
 
 
 # --------------------------------------------------------------------------
@@ -499,7 +497,6 @@ def bucket_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("avg_balance_cents"),
         )
-        .orderBy(F.col("balance_tier").asc_nulls_first())
     )
 
 
@@ -620,7 +617,6 @@ def safe_divide_discount_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("avg_unit_price_e4"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -682,7 +678,7 @@ def union_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", F.lit("RICH").alias("batch")
     )
     new_rows = rich.join(building, on="c_custkey", how="left_anti")
-    return building.unionByName(new_rows).orderBy("c_custkey")
+    return building.unionByName(new_rows)
 
 
 # --------------------------------------------------------------------------
@@ -795,7 +791,7 @@ def latest_filing_plus_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("avg_price"),
     )
-    return latest.join(hist, "custkey").orderBy("custkey")
+    return latest.join(hist, "custkey")
 
 
 # --------------------------------------------------------------------------
@@ -832,7 +828,7 @@ def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         morton_code(F.col("o_custkey"), F.col("o_orderkey")).alias("zcode"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -898,4 +894,4 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, cust, "o_custkey", "c_custkey",
         name="fk_o_custkey_references_c_custkey",
     )
-    return row_checks.unionByName(fk).orderBy("check_name")
+    return row_checks.unionByName(fk)

@@ -50,7 +50,7 @@ def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return hash_sample(docs, "doc_id", 0.10, seed="s0").select(
         "doc_id", "lang"
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -77,7 +77,7 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.25, "zh": 0.10},
         default_fraction=0.05,
         seed="mix1",
-    ).select("doc_id", "lang", "source").orderBy("doc_id")
+    ).select("doc_id", "lang", "source")
 
 
 @query(
@@ -103,7 +103,7 @@ def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return sample_per_group(docs, "source", "doc_id", n=3, seed="cap").select(
         "doc_id", "source"
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -130,7 +130,6 @@ def sample_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.countDistinct("lang").alias("n_langs"),
         )
-        .orderBy("split")
     )
 
 
@@ -174,9 +173,7 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_budget=500,
         seed="tok",
     )
-    return out.select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy(
-        "doc_id"
-    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
 
 
 # shared synthetic PII injection (the corpus itself is clean word soup):
@@ -229,7 +226,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.has_ssn").alias("has_ssn"),
         F.col("f.has_phone").alias("has_phone"),
         F.col("f.has_ip").alias("has_ip"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -284,4 +281,4 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
         "contaminated",
-    ).orderBy("doc_id")
+    )

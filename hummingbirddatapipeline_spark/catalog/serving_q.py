@@ -57,7 +57,6 @@ def serving_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("balance"),
             tier.alias("tier"),
         )
-        .orderBy("id")
     )
 
 

@@ -56,7 +56,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk(emb, queries, k=_K).orderBy("query_id", "rank")
+    return cosine_topk(emb, queries, k=_K)
 
 
 @query(
@@ -76,7 +76,7 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # testdata embeddings are near-orthogonal random vectors (max cosine
     # ~0.51), so the demo threshold is 0.35; real corpora use ~0.95.
-    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 @query(
@@ -117,7 +117,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sparse corpus pulls into its top-10
     return lsh_topk(
         emb, queries, dim=dim, k=_K, n_planes=48, bands=24
-    ).orderBy("query_id", "rank")
+    )
 
 
 @query(
@@ -192,7 +192,7 @@ def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000000 * norm(normalize_l2(F.col("e"))))
         .cast("long")
         .alias("unit_norm_e6"),
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -241,4 +241,4 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
-    return per_q.orderBy("query_id")
+    return per_q

@@ -49,7 +49,7 @@ def _events_path(sf_dir: str) -> str:
 def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _events_path(sf_dir))
     result = run_available_now(hourly_tumbling(stream), "complete")
-    return tumbling_to_batch(result).orderBy("hour_start_ms", "event_type")
+    return tumbling_to_batch(result)
 
 
 @query(
@@ -107,7 +107,6 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deduped.groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
-        .orderBy("event_type")
     )
 
 
@@ -180,7 +179,7 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts_ms",
         "click_ts_ms",
         (F.col("purchase_ts_ms") - F.col("click_ts_ms")).alias("ms_before"),
-    ).orderBy("purchase_event_id", "click_event_id")
+    )
 
 
 @query(
@@ -220,4 +219,4 @@ def stream_enrich_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
         )
     )
-    return run_available_now(agg, "complete").orderBy("nation")
+    return run_available_now(agg, "complete")

@@ -309,5 +309,4 @@ def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts_ms",
             "click_event_id",
         )
-        .orderBy("purchase_event_id", "click_event_id")
     )

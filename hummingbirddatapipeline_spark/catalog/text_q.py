@@ -44,7 +44,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.ws_token_count(t).alias("n_tokens"),
         F.length(t).alias("n_chars"),
         F.round(TX.mean_token_len(t), 4).alias("mean_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -85,7 +85,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(TX.quality_score(t), 2).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 def _duck_hits(markers: tuple[str, ...]) -> str:
@@ -129,7 +129,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_match"
             ),
         )
-        .orderBy("lang_pred")
     )
 
 
@@ -167,7 +166,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -195,7 +194,7 @@ def text_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return jaccard_pairs_all(
         docs, "text", "doc_id", threshold=0.85, shingle_size=1
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -234,7 +233,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.chunk_token_windows(
         docs, "text", "doc_id", chunk_tokens=64, stride=48
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 @query(
@@ -297,5 +296,4 @@ def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_chunks"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-        .orderBy("source", "bin_id")
     )
