@@ -39,6 +39,18 @@ HEADLINE = [
     "asof_join_purchase_click",
     "range_join_clicks_before_purchase",
     "events_hypertable_rollup",
+    # round-2 curation/training-data families (one representative each)
+    "text_redact_pii",
+    "text_contamination_check",
+    "text_pack_chunks",
+    "sample_stratified_by_lang",
+    "sample_token_budget_mix",
+    "layout_zorder_codes",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_incremental_rollup",
+    "dq_orders_expectations",
+    "similarity_lsh_topk",
 ]
 
 
@@ -92,6 +104,7 @@ def main() -> None:
                 "metric": "headline_query_suite_total_warm",
                 "value": total_warm,
                 "unit": "sec",
+                "n_queries": len(names),  # suite widened r2: 24 -> 35
                 "value_cold": total_cold,
                 "queries": warm,
                 "queries_cold": cold,
