@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.dedup import (
-    jaccard_pairs_all,
+    jaccard_pairs_prefix,
     near_dup_pairs_minhash,
     simhash64,
     simhash_dedup,
@@ -63,7 +63,7 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = near_dup_pairs_minhash(
         docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8, shingle_size=1
     ).select("id_a", "id_b")
-    exact = jaccard_pairs_all(
+    exact = jaccard_pairs_prefix(
         docs, "text", "doc_id", threshold=0.85, shingle_size=1
     ).select("id_a", "id_b")
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")

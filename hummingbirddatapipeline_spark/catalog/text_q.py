@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.functions import text as TX
-from hummingbirddatapipeline_spark.operators.dedup import exact_dedup, jaccard_pairs_all
+from hummingbirddatapipeline_spark.operators.dedup import exact_dedup, jaccard_pairs_prefix
 from hummingbirddatapipeline_spark.tables import load
 
 # DuckDB fragment: whitespace tokens with empties dropped
@@ -192,7 +192,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return jaccard_pairs_all(
+    return jaccard_pairs_prefix(
         docs, "text", "doc_id", threshold=0.85, shingle_size=1
     )
 

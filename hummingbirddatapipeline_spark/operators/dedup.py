@@ -270,6 +270,72 @@ def jaccard_pairs_all(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via prefix filtering (the
+    AllPairs technique of Bayardo, Ma & Srikant, WWW'07).
+
+    Under any global total order on tokens, two sets with
+    ``J >= t`` must share a token among each set's first
+    ``n - floor(t*n) + 1`` tokens. Ordering tokens by ascending
+    document frequency makes each document index only its RAREST
+    tokens, so corpus-wide stopwords never enter the candidate join:
+    the inverted-index volume drops from ``sum(freq(w)^2)`` over every
+    token to roughly the true near-dup neighborhoods. Candidates are
+    then verified on the full token sets with the same integer
+    arithmetic as ``jaccard_pairs_all`` — output is identical, this is
+    a plan optimization, not an approximation. (``floor`` deliberately
+    under-estimates the ``t*n`` overlap bound, so float rounding can
+    only ever LENGTHEN the prefix — never drop a true pair.)
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("n"))
+    tok = sh.select(F.col(id_col), F.explode("__sh").alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("df_w"))
+    wdoc = Window.partitionBy(id_col).orderBy("df_w", "w")
+    pref = (
+        tok.join(freq, "w")
+        .withColumn("__pos", F.row_number().over(wdoc))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__pos")
+            <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1
+        )
+        .select(F.col(id_col), "w")
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("id_a"), "w")
+        .join(pref.select(F.col(id_col).alias("id_b"), "w"), "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # full-set verify on the string shingles (no hashing: the counts —
+    # and therefore the rounded jaccard — must equal the all-pairs form
+    # bit for bit)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash64(text: Column, shingle_size: int = 2) -> Column:
     """64-bit SimHash over word shingles, all native bit ops.
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.functions.text import fingerprint, quality_score
 from hummingbirddatapipeline_spark.operators.dedup import (
-    jaccard_pairs_all,
+    jaccard_pairs_prefix,
     near_dup_pairs_minhash,
 )
 
@@ -49,7 +49,7 @@ def curate_corpus(
     keeper = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = fp.join(keeper, ["__fp", "doc_id"], "left_semi").drop("__fp")
 
-    pair_fn = near_dup_pairs_minhash if use_lsh else jaccard_pairs_all
+    pair_fn = near_dup_pairs_minhash if use_lsh else jaccard_pairs_prefix
     pairs = pair_fn(
         exact_kept, "text", "doc_id", threshold=jaccard_threshold, shingle_size=1
     )
