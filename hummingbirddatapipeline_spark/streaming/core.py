@@ -37,12 +37,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
+
+from hummingbirddatapipeline_spark.tables import EVENTS_TS_NANOS_NTZ_EXPR
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (legacy nanosAsLong read)
+        StructField("ts", TimestampNTZType()),  # micros NTZ parquet encoding
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -83,8 +86,11 @@ def read_events_stream(
     if not os.path.isdir(path):
         path = stage_stream_dir(path)
     stream = reader.parquet(path)
-    # timestamp_micros -> an absolute instant; all downstream windowing
-    # and the epoch-integer projections are session-TZ-independent
+    # normalize to BIGINT epoch nanos first (wall clock == UTC, same as
+    # tables.load), then timestamp_micros -> an absolute instant; all
+    # downstream windowing and epoch-integer projections are
+    # session-TZ-independent
+    stream = stream.withColumn("ts", F.expr(EVENTS_TS_NANOS_NTZ_EXPR))
     return stream.withColumn(
         "event_time", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
     ).withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS LONG)"))

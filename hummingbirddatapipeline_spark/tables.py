@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -29,18 +31,49 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# ``timestampdiff`` is pure wall-clock arithmetic on TIMESTAMP_NTZ —
+# no session-timezone involvement — and matches DuckDB's epoch_ns()
+# interpretation of a naive timestamp (wall clock == UTC) exactly.
+EVENTS_TS_NANOS_NTZ_EXPR = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    " * CAST(1000 AS BIGINT)"
+)
+
+
+def _events_ts_to_nanos(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to BIGINT epoch nanoseconds.
+
+    The test parquet has shipped ``ts`` as TIMESTAMP(NANOS) (read as
+    BIGINT via the legacy conf), as TIMESTAMP_NTZ micros, and could ship
+    it as an instant TIMESTAMP; downstream event-time code is all
+    integer epoch arithmetic (timezone-proof), so every physical
+    encoding converges here.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df
+    if isinstance(t, TimestampNTZType):
+        expr = EVENTS_TS_NANOS_NTZ_EXPR
+    else:  # TimestampType: an absolute instant
+        expr = "unix_micros(ts) * CAST(1000 AS BIGINT)"
+    return df.withColumn("ts", F.expr(expr))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark rejects by
-    default; we read it as BIGINT nanos (legacy conf) and keep event
-    time as integer epoch arithmetic — timezone-proof by construction.
+    ``events.ts`` is normalized to BIGINT epoch nanos whatever the
+    parquet encoding (see ``_events_ts_to_nanos``); event time stays
+    integer epoch arithmetic — timezone-proof by construction.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _events_ts_to_nanos(df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -49,7 +82,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load(spark, sf_dir, name)
     return out
 
 
