@@ -209,9 +209,9 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       COUNT(*) AS n_orders,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
       CAST(ROUND(
         CAST(SUM(CASE WHEN o_orderstatus = 'F'
                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS DOUBLE)
@@ -855,7 +855,9 @@ def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND NOT EXISTS (SELECT 1 FROM customer c
                         WHERE c.c_custkey = o.o_custkey)
     )
-    SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+    SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
     FROM (
       SELECT 'price_positive' AS check_name, n_rows,
              v_price_positive AS n_violations FROM agg

@@ -152,7 +152,7 @@ def sample_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS cum_tokens
       FROM sized
     )
-    SELECT doc_id, lang, n_tokens, cum_tokens
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum
     WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 2000 ELSE 500 END
     ORDER BY doc_id

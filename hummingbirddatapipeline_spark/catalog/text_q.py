@@ -114,7 +114,7 @@ def _duck_hits(markers: tuple[str, ...]) -> str:
       FROM h
     )
     SELECT lang_pred, COUNT(*) AS n_docs,
-           SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_match
+           CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
     FROM pred GROUP BY lang_pred ORDER BY lang_pred
     """,
 )
@@ -270,9 +270,9 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              n_tokens
       FROM chunks
     )
-    SELECT source, bin_id,
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
            COUNT(*) AS n_chunks,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM binned
     GROUP BY 1, 2
     ORDER BY source, bin_id

@@ -50,3 +50,36 @@ def test_sketches_within_tolerance(spark, sf_dir):
     assert qrows
     for r in qrows:
         assert r["p50_ok"] and r["p95_ok"] and r["p99_ok"], r
+
+
+def test_oracle_output_dtypes_driver_safe(sf_dir):
+    """Every oracle's DuckDB output must avoid int128/HUGEINT columns:
+    the driver's value hash is integer-width-sensitive, so an unwrapped
+    SUM(CASE...) (HUGEINT in DuckDB, BIGINT in Spark) hash-mismatches
+    even when every value is equal. This burned three driver rounds on
+    conditional_counters; now it fails CI instead."""
+    import os
+
+    import duckdb
+
+    from hummingbirddatapipeline_spark.catalog import ORACLES
+    from hummingbirddatapipeline_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    wide_by_query = {}
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        wide = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        ]
+        if wide:
+            wide_by_query[name] = wide
+    assert not wide_by_query, wide_by_query

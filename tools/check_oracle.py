@@ -83,14 +83,25 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(sql)
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(sql)
+            duck_cols = list(rel.columns)
+            duck_dtypes = dict(zip(duck_cols, rel.types))
+            duck_rows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
         problems = []
+        # Width check BEFORE value normalization: the driver's value hash
+        # is integer-width-sensitive, so a DuckDB HUGEINT/int128 output
+        # column (e.g. an unwrapped SUM(CASE...)) hash-mismatches a Spark
+        # BIGINT even when every value is equal. Python-int normalization
+        # below cannot see this, hence the explicit dtype gate.
+        wide = sorted(
+            c for c, t in duck_dtypes.items() if str(t) in ("HUGEINT", "UHUGEINT")
+        )
+        if wide:
+            problems.append(f"oracle emits int128 (driver hash-fails): {wide}")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
         if len(spark_rows) != len(duck_rows):
