@@ -108,16 +108,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     # r=2 x 24 bands: wide-probe configuration chosen so worst-pair miss
     # stays ~1e-4 even for the low-sim tail neighbors (~0.23 cosine) a
-    # sparse corpus pulls into its top-10
-    return lsh_topk(
-        emb, queries, dim=dim, k=_K, n_planes=48, bands=24
-    )
+    # sparse corpus pulls into its top-10; dim is derived executor-side
+    # from the first Arrow batch (no driver .first() probe job)
+    return lsh_topk(emb, queries, k=_K, n_planes=48, bands=24)
 
 
 @query(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import random
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -68,10 +69,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
-def lsh_signature(vec_col, planes: list[list[float]]):
+def lsh_signature(
+    vec_col,
+    planes: list[list[float]] | None = None,
+    *,
+    n_planes: int | None = None,
+    seed: int | None = None,
+):
     """Sign-bit signature (packed long) for a vector column against K
     seeded hyperplanes, as one Arrow-batched numpy matmul per batch:
     (batch x dim) @ (dim x K) -> sign bits -> packed int64.
+
+    Pass either an explicit ``planes`` matrix, or ``n_planes`` +
+    ``seed`` to have each executor derive the (deterministic, seeded)
+    matrix from the dimension of its first Arrow batch — no
+    driver-side ``.first()`` probe, no extra Spark job, and empty
+    input yields an empty frame instead of a probe crash. The lazy
+    build costs one K x D gauss fill per executor, cached by dim.
 
     The expression-tree alternative (K literal-array dot products)
     costs K*D plan nodes to construct and K interpreted
@@ -82,14 +96,30 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     matrix keeps the signature deterministic, and downstream recall
     contracts (vs the exact brute path) gate it at every SF.
     """
-    P = np.asarray(planes, dtype=np.float64)  # (K, D)
-    weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
+    if planes is not None:
+        P0 = np.asarray(planes, dtype=np.float64)  # (K, D)
+        k = P0.shape[0]
+    else:
+        if n_planes is None or seed is None:
+            raise ValueError("pass planes, or n_planes and seed")
+        P0 = None
+        k = n_planes
+    weights = np.uint64(1) << np.arange(k, dtype=np.uint64)
+    plane_cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
         V = np.vstack(v.to_numpy())  # (B, D)
+        P = P0
+        if P is None:
+            P = plane_cache.get(V.shape[1])
+            if P is None:
+                P = np.asarray(
+                    _hyperplanes(V.shape[1], k, seed), dtype=np.float64
+                )
+                plane_cache[V.shape[1]] = P
         bits = (V @ P.T) >= 0.0  # (B, K)
         packed = (bits.astype(np.uint64) * weights).sum(axis=1)
         # view, not astype: bit-pattern-preserving for K=64 packings
@@ -101,7 +131,7 @@ def lsh_signature(vec_col, planes: list[list[float]]):
 def lsh_topk(
     items: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     n_planes: int = 12,
     bands: int = 3,
@@ -115,9 +145,11 @@ def lsh_topk(
     ``bands``; pairs sharing any band bucket are scored exactly.
 
     Recall improves with more bands (more probes); cost scales with
-    bucket collision rate instead of corpus size.
+    bucket collision rate instead of corpus size. ``dim`` is optional:
+    when omitted, executors derive the seeded plane matrix from their
+    first Arrow batch (identical on both sides — same seed, same dim).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(dim, n_planes, seed) if dim is not None else None
     per_band = max(1, n_planes // bands)
     masks = [
         ((1 << per_band) - 1) << (b * per_band) for b in range(bands)
@@ -127,7 +159,7 @@ def lsh_topk(
         # ids only: the wide embedding never rides the band explode or
         # the bucket join — candidates are skinny (band, bucket, id)
         # rows and the vectors attach exactly once at verify time.
-        sig = lsh_signature(vecc, planes)
+        sig = lsh_signature(vecc, planes, n_planes=n_planes, seed=seed)
         d = df.withColumn("__sig", sig)
         bandcols = F.array(
             *[
@@ -226,12 +258,24 @@ def embedding_near_dup_pairs(
 
     if n_planes is None or bands is None:
         per_band, n_bands = _tune_banding(threshold)
+        if per_band < 3:
+            # Selectivity cutoff: at permissive thresholds (~<=0.4) the
+            # tuned bands are so coarse (<= 2^per_band buckets/band)
+            # that the pre-distinct candidate join can emit MORE volume
+            # than the cartesian it replaces (b * n^2 / 2^r rows). The
+            # banded plan must never cost more than brute — fall back.
+            warnings.warn(
+                f"threshold={threshold} tunes to {per_band} planes/band; "
+                "banding would out-cost brute force — using exact "
+                "all-pairs (pass n_planes/bands explicitly to override)",
+                stacklevel=2,
+            )
+            return verify(a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))
     else:
         n_bands = bands
         per_band = max(1, n_planes // bands)
-    if dim is None:
-        dim = len(items.select(item_vec).first()[0])
-    planes = _hyperplanes(dim, per_band * n_bands, seed)
+    total_planes = per_band * n_bands
+    planes = _hyperplanes(dim, total_planes, seed) if dim is not None else None
     masks = [
         ((1 << per_band) - 1) << (i * per_band) for i in range(n_bands)
     ]
@@ -251,7 +295,10 @@ def embedding_near_dup_pairs(
     # shuffle is what bounds the bytes moved).
     banded = (
         items.select(item_id, item_vec)
-        .withColumn("__sig", lsh_signature(item_vec, planes))
+        .withColumn(
+            "__sig",
+            lsh_signature(item_vec, planes, n_planes=total_planes, seed=seed),
+        )
         .select(item_id, F.explode(bandarr).alias("bb"))
         .select(item_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
@@ -357,8 +404,10 @@ def ivf_topk(
         ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(item_id))
+    # no terminal orderBy: a global sort is decorative here (the driver
+    # and oracles compare order-insensitively) and costs a range
+    # exchange + sampling pass — same policy as the rest of the catalog
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy(query_id, "rank")
     )

@@ -136,9 +136,12 @@ def test_curation_pipeline_lsh_matches_exact(spark, sf_dir_small):
 
 
 def test_embedding_near_dup_lsh_matches_brute(spark, sf_dir_small):
-    """Default (LSH-banded) near-dup pairs must equal the brute-force
-    set on the fixture (recall >= 0.99 contract; exact here), and the
-    plan must contain no cartesian/nested-loop join."""
+    """Permissive thresholds must trip the selectivity cutoff (banding
+    there would emit more candidate volume than brute force) and return
+    the exact all-pairs result with a warning; dedup-regime thresholds
+    keep the banded plan with no cartesian/nested-loop join."""
+    import pytest
+
     from hummingbirddatapipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
@@ -146,17 +149,23 @@ def test_embedding_near_dup_lsh_matches_brute(spark, sf_dir_small):
     emb = load(spark, sf_dir_small, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    lsh = embedding_near_dup_pairs(emb, threshold=0.35)
+    with pytest.warns(UserWarning, match="out-cost brute"):
+        lsh = embedding_near_dup_pairs(emb, threshold=0.35)
     brute = embedding_near_dup_pairs(emb, threshold=0.35, brute=True)
     got = {(r.id_a, r.id_b) for r in lsh.collect()}
     want = {(r.id_a, r.id_b) for r in brute.collect()}
     assert want, "fixture should contain near-dup pairs"
-    recall = len(got & want) / len(want)
-    assert recall >= 0.99
-    assert got <= want or got == want  # verify stage keeps only true pairs
-    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert got == want  # fallback IS the brute path: exact
+
+    # selective threshold: genuinely banded, sub-quadratic plan
+    banded = embedding_near_dup_pairs(emb, threshold=0.95)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    got95 = {(r.id_a, r.id_b) for r in banded.collect()}
+    want95 = {(r.id_a, r.id_b) for r in brute.collect() if r.sim >= 0.95}
+    assert got95 <= {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got95 == want95  # recall 1.0 at the tuned miss rate here
 
 
 def test_boilerplate_clusters_star_semantics(spark):
@@ -178,3 +187,14 @@ def test_boilerplate_clusters_star_semantics(spark):
     assert set(got) == set(range(30))  # all copies, not the unrelated doc
     assert all(c == 0 for c, _ in got.values())
     assert all(j == 1.0 for _, j in got.values())
+
+
+def test_embedding_near_dup_empty_input(spark):
+    """Empty input returns an empty frame — no driver-side dim probe to
+    crash on (the plane matrix is derived executor-side per batch)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup_pairs(df, threshold=0.95).count() == 0
