@@ -18,6 +18,7 @@ from hummingbirddatapipeline_spark.operators.dedup import (
     simhash64,
     simhash_dedup,
 )
+from hummingbirddatapipeline_spark.operators.graph import connected_components
 from hummingbirddatapipeline_spark.tables import load
 from hummingbirddatapipeline_spark.catalog.text_q import _DUCK_TOKS
 
@@ -143,4 +144,66 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
         .select("rep_doc_id", "n_members", "same_simhash")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    near AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / (sa.n + sb.n - inter) >= 0.85
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT node, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    ORDER BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS under the full oracle gate: the exact Jaccard
+    pair set (same definition as text_jaccard_near_dups) is closed into
+    connected components — (node, min-id cluster_id, cluster size) —
+    by the pointer-jumping label propagation in operators/graph.py,
+    while DuckDB independently computes the transitive closure with a
+    recursive CTE. Min-id labeling makes the assignment deterministic
+    and engine-free, so the driver hashes real cluster structure.
+
+    This is the step that turns pair generation into deduplication:
+    keep cluster_id == node (the representative), drop the rest
+    (``dedup_representatives``)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(
+        docs, "text", "doc_id", threshold=0.85, shingle_size=1
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    from pyspark.sql.window import Window
+
+    return cc.select(
+        "node",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
     )

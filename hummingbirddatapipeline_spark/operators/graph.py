@@ -1,0 +1,126 @@
+"""Distributed connected components over a pair/edge list.
+
+The missing last step of every near-dup pipeline: pair generation
+(MinHash-LSH, SimHash, exact Jaccard — operators/dedup.py) emits
+(id_a, id_b) edges; deduplication needs the transitive closure of
+those edges as CLUSTERS, so each duplicate group keeps exactly one
+representative. ``boilerplate_clusters`` (dedup.py) covers the
+degenerate mega-bucket case with a star assignment; this operator is
+the general graph form.
+
+Algorithm: min-label propagation with pointer jumping — each round
+every node takes the minimum label among itself and its neighbors
+(one edge-join shuffle), then labels are short-circuited through one
+pointer-jump (label := label(label), a self-join shuffle), the
+Shiloach–Vishkin doubling step that collapses label chains. Plain
+neighbor propagation alone needs O(diameter) rounds (a 1M-node path
+is 1M shuffles); with the jump the round count is O(log n) on any
+topology, so at 100 TB the job is ~30 bounded-size shuffle rounds in
+the worst case and 2-4 on real near-dup graphs (cliques glued by
+short chains). Per-round state is one (node, label) table — never
+adjacency lists in memory, no mega-hub collect, skew-safe because
+both shuffles key on node/label ids.
+
+DataFrame-only: each round is two joins + an aggregation; lineage is
+truncated with localCheckpoint so the plan does not grow across
+rounds (the iterative-algorithm escape hatch, like pyspark.ml's own
+iterations). The convergence check is one count() action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Component assignment for every node appearing in ``pairs``.
+
+    Returns (node, cluster_id) where ``cluster_id`` is the MINIMUM
+    node id of the component — a deterministic, engine-independent
+    labeling (the DuckDB oracle recomputes it via a recursive CTE).
+
+    ``pairs`` is an undirected edge list; duplicate and self edges are
+    tolerated. Raises if ``max_iter`` rounds don't converge (at
+    O(log n) rounds, 25 covers graphs far beyond 2^25 nodes).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lbl")
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint()
+        labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # 1. neighbor minimum: the label each node hears from its edges
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        # 2. pointer jump: lbl := lbl(lbl) — collapses label chains so
+        # convergence is logarithmic, not diameter-bound
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
+        jumped = (
+            stepped.join(parent, stepped.lbl == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        if checkpoint:
+            jumped = jumped.localCheckpoint()
+        n_changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if n_changed == 0:
+            return labels.select("node", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The deduplicated corpus: drop every clustered doc except its
+    cluster's minimum-id representative; singletons (no near-dup edge)
+    pass through untouched. One anti-join after the CC assignment."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

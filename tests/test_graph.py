@@ -1,0 +1,65 @@
+"""Connected-components operator: min-id labeling on adversarial
+topologies (long path — the pointer-jumping case), multi-component
+graphs, dirty edge lists, and the representative-keeping dedup form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hummingbirddatapipeline_spark.operators.graph import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_two_components_and_bridge(spark):
+    # clique {1,2,3}, clique {10,11,12}, bridged 3-10; separate pair {20,21}
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 12), (10, 12),
+        (3, 10),
+        (20, 21),
+    ]
+    got = _cc(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1,
+        20: 20, 21: 20,
+    }
+
+
+def test_cc_long_path_converges_logarithmically(spark):
+    # a 64-node path is the diameter worst case: plain neighbor
+    # propagation needs 63 rounds; pointer jumping must finish well
+    # inside max_iter=10 (2^10 >> 64)
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc(spark, edges, max_iter=10)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_cc_tolerates_dirty_edges(spark):
+    # duplicates, reversed duplicates, self-loops
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (3, 4)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_dedup_representatives_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 3), (3, 1)], "id_a long, id_b long")
+    kept = {
+        r["doc_id"]
+        for r in dedup_representatives(docs, pairs).select("doc_id").collect()
+    }
+    # {1,2,3} collapse to representative 1; 7 and 9 are singletons
+    assert kept == {1, 7, 9}
