@@ -22,10 +22,16 @@ HOUR_US = 3_600_000_000  # microseconds
 
 def _write_events(spark, path, rows):
     """rows: (event_id, ts_millis, user_id, event_type, value); stored
-    ts is nanos, matching the canonical events schema."""
+    ts is TIMESTAMP_NTZ micros, matching the canonical events parquet
+    encoding (tables._events_ts_to_nanos normalizes it on read)."""
     df = spark.createDataFrame(
-        [(e, t * 1_000_000, u, ty, v, None) for e, t, u, ty, v in rows],
+        [(e, t * 1_000, u, ty, v, None) for e, t, u, ty, v in rows],
         "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
