@@ -83,3 +83,37 @@ def test_oracle_output_dtypes_driver_safe(sf_dir):
         if wide:
             wide_by_query[name] = wide
     assert not wide_by_query, wide_by_query
+
+
+def test_testdata_schema_contract(spark, sf_dir):
+    """Fail fast (and legibly) when the driver regenerates testdata
+    with different physical encodings — round 4 silently switched
+    events.ts from INT64 nanos to TIMESTAMP_NTZ micros and broke 7
+    queries. `load` must present the canonical logical schema whatever
+    the parquet encoding underneath."""
+    from pyspark.sql import types as T
+
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.LongType), (
+        "events.ts must normalize to BIGINT epoch nanos; got "
+        f"{ev.schema['ts'].dataType} — update tables._events_ts_to_nanos"
+    )
+    # nanos sanity: epoch nanos for 2000-01-01..2100-01-01
+    lo, hi = 946_684_800 * 10**9, 4_102_444_800 * 10**9
+    r = ev.selectExpr("min(ts) AS a", "max(ts) AS b").first()
+    assert lo < r["a"] <= r["b"] < hi, (r["a"], r["b"])
+
+    emb = load(spark, sf_dir, "embeddings")
+    t = emb.schema["embedding"].dataType
+    assert isinstance(t, T.ArrayType) and isinstance(
+        t.elementType, (T.FloatType, T.DoubleType)
+    ), t
+    docs = load(spark, sf_dir, "documents")
+    assert isinstance(docs.schema["text"].dataType, T.StringType)
+    for tbl, date_col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        dt = load(spark, sf_dir, tbl).schema[date_col].dataType
+        assert isinstance(
+            dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ), (tbl, date_col, dt)
