@@ -297,3 +297,62 @@ def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS chars, {_DUCK_TOKS_CASED} AS t
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, chars,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks
+    ),
+    per_gram AS (
+      SELECT doc_id, chars, g, COUNT(*) AS c
+      FROM exploded GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+      FROM per_gram
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+               AS top_gram_count,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS rep,
+             CAST(MAX(CASE WHEN rn = 1 THEN length(g) * c END) AS BIGINT)
+               AS topchars,
+             MAX(chars) AS chars
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.top_gram_count, 0) AS top_gram_count,
+           COALESCE(FLOOR(a.rep / NULLIF(CAST(a.n_grams AS DOUBLE), 0.0)
+                          * 1000000 + 0.5) / 1000000, 0.0)
+             AS rep_instance_frac,
+           COALESCE(FLOOR(a.topchars / NULLIF(CAST(a.chars AS DOUBLE), 0.0)
+                          * 1000000 + 0.5) / 1000000, 0.0)
+             AS top_gram_char_frac,
+           COALESCE(a.topchars / NULLIF(CAST(a.chars AS DOUBLE), 0.0), 0.0)
+             > 0.20 AS repetitive
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-2-gram repetition signals per document
+    (functions.text.repetition_stats) under the full oracle gate: the
+    boilerplate/spam quality heuristic a curation funnel gates on.
+    One explode + two hash aggregations; the top gram is chosen by a
+    total order (count, length, gram) so both engines agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, "text", "doc_id", n=2)

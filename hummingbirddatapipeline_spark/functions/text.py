@@ -221,3 +221,84 @@ def pack_token_bins(
     return chunks.withColumn(
         "bin_id", F.floor((cum - F.col(token_col)) / budget).cast("long")
     )
+
+
+def repetition_stats(df, text_col: str, id_col: str, n: int = 2):
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 quality heuristics; public recipe): how much of a document is
+    the same word n-gram said again and again — the strongest cheap
+    signal for boilerplate/spam in training-data curation.
+
+    Returns one row per input doc:
+      - n_grams           total (overlapping, non-distinct) word n-grams
+      - top_gram_count    occurrences of the most frequent n-gram
+      - rep_instance_frac fraction of n-gram instances whose gram occurs
+                          more than once (6dp)
+      - top_gram_char_frac chars of the top gram * its count / doc chars
+                          (6dp) — Gopher's "top n-gram character fraction"
+      - repetitive        top_gram_char_frac > 0.20 (the published 2-gram
+                          threshold)
+
+    Scale shape: one explode + two hash aggregations on (doc, gram) —
+    map-side combinable, no window over the corpus, no per-doc O(L^2)
+    array lambdas. The top gram is picked by (count DESC, length DESC,
+    gram DESC) so the result is deterministic and engine-independent;
+    fractions are FLOOR-quantized at 6dp (the repo's cross-engine
+    rounding rule).
+    """
+    from pyspark.sql.window import Window
+
+    toks = ws_tokens(F.col(text_col))
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(-1)))
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    grams = F.when(count >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = df.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("__chars"),
+        F.explode_outer(grams).alias("g"),
+    )
+    per_gram = exploded.groupBy(id_col, "__chars", "g").agg(
+        F.count("g").alias("c")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.length("g").desc(), F.col("g").desc()
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    return (
+        per_gram.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col, "__chars")
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias(
+                "n_grams"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("c")).otherwise(0)).alias(
+                "top_gram_count"
+            ),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__rep"),
+            F.max(
+                F.when(F.col("rn") == 1, F.length("g") * F.col("c")).otherwise(0)
+            ).alias("__topchars"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+            F.coalesce(
+                q6(F.col("__rep") / F.nullif(F.col("n_grams"), F.lit(0))),
+                F.lit(0.0),
+            ).alias("rep_instance_frac"),
+            F.coalesce(
+                q6(F.col("__topchars") / F.nullif(F.col("__chars"), F.lit(0))),
+                F.lit(0.0),
+            ).alias("top_gram_char_frac"),
+            (
+                F.coalesce(
+                    F.col("__topchars") / F.nullif(F.col("__chars"), F.lit(0)),
+                    F.lit(0.0),
+                )
+                > 0.20
+            ).alias("repetitive"),
+        )
+    )
