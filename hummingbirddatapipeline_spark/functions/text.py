@@ -240,14 +240,13 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 2):
                           threshold)
 
     Scale shape: one explode + two hash aggregations on (doc, gram) —
-    map-side combinable, no window over the corpus, no per-doc O(L^2)
-    array lambdas. The top gram is picked by (count DESC, length DESC,
-    gram DESC) so the result is deterministic and engine-independent;
+    map-side combinable, no window sort, no per-doc O(L^2) array
+    lambdas. The top gram is picked via max(struct(count, length,
+    gram)) — the same total order as ORDER BY count DESC, length DESC,
+    gram DESC — so the result is deterministic and engine-independent;
     fractions are FLOOR-quantized at 6dp (the repo's cross-engine
     rounding rule).
     """
-    from pyspark.sql.window import Window
-
     toks = ws_tokens(F.col(text_col))
     count = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(-1)))
@@ -262,24 +261,26 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 2):
     per_gram = exploded.groupBy(id_col, "__chars", "g").agg(
         F.count("g").alias("c")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c").desc(), F.length("g").desc(), F.col("g").desc()
+    top = F.max(
+        F.when(
+            F.col("g").isNotNull(),
+            F.struct(
+                F.col("c").alias("c"),
+                F.length("g").alias("l"),
+                F.col("g").alias("g"),
+            ),
+        )
     )
     q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
     return (
-        per_gram.withColumn("rn", F.row_number().over(w))
-        .groupBy(id_col, "__chars")
+        per_gram.groupBy(id_col, "__chars")
         .agg(
             F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias(
                 "n_grams"
             ),
-            F.max(F.when(F.col("rn") == 1, F.col("c")).otherwise(0)).alias(
-                "top_gram_count"
-            ),
+            top["c"].alias("top_gram_count"),
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__rep"),
-            F.max(
-                F.when(F.col("rn") == 1, F.length("g") * F.col("c")).otherwise(0)
-            ).alias("__topchars"),
+            (top["c"] * top["l"]).alias("__topchars"),
         )
         .select(
             id_col,
