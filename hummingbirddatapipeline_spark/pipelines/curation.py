@@ -29,6 +29,7 @@ def curate_corpus(
     min_quality: float = 0.6,
     jaccard_threshold: float = 0.85,
     use_lsh: bool = False,
+    use_clusters: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, funnel_stats).
 
@@ -37,6 +38,14 @@ def curate_corpus(
     (for each pair over the Jaccard threshold, drop the higher id —
     the greedy keep-first rule). ``use_lsh`` switches the pair
     generator to MinHash-LSH for scale.
+
+    ``use_clusters=True`` replaces the greedy drop with connected-
+    components dedup (operators.graph): pairs close into clusters and
+    exactly the min-id representative of each cluster survives. The
+    greedy rule under-drops transitive chains — a doc whose every edge
+    points at a LARGER id is never an id_b, so it survives even though
+    it is (transitively) a near-dup of the cluster representative;
+    clustering drops it. Costs O(log n) extra shuffle rounds.
     """
     total = docs.select(F.count("*").alias("n")).withColumn("stage", F.lit("input"))
 
@@ -53,8 +62,15 @@ def curate_corpus(
     pairs = pair_fn(
         exact_kept, "text", "doc_id", threshold=jaccard_threshold, shingle_size=1
     )
-    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    clean = exact_kept.join(drops, "doc_id", "left_anti")
+    if use_clusters:
+        from hummingbirddatapipeline_spark.operators.graph import (
+            dedup_representatives,
+        )
+
+        clean = dedup_representatives(exact_kept, pairs, id_col="doc_id")
+    else:
+        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        clean = exact_kept.join(drops, "doc_id", "left_anti")
 
     stats = total
     for stage, df in (

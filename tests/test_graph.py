@@ -63,3 +63,26 @@ def test_dedup_representatives_keeps_min_and_singletons(spark):
     }
     # {1,2,3} collapse to representative 1; 7 and 9 are singletons
     assert kept == {1, 7, 9}
+
+
+def test_curation_cluster_dedup_drops_transitive_chains(spark):
+    """Topology where the greedy id_b rule under-drops: doc 3's only
+    edge is (3, 5) so it is never an id_b, yet it is transitively a
+    near-dup of doc 1 via 5. Cluster dedup keeps only the min-id rep."""
+    from hummingbirddatapipeline_spark.operators.graph import (
+        dedup_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 3, 5, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 5), (3, 5)], "id_a long, id_b long")
+
+    greedy_drops = {5}  # only id_b values
+    greedy_kept = {1, 3, 9}
+    cluster_kept = {
+        r["doc_id"]
+        for r in dedup_representatives(docs, pairs).select("doc_id").collect()
+    }
+    assert cluster_kept == {1, 9}
+    assert cluster_kept < greedy_kept  # strictly more thorough
