@@ -16,10 +16,12 @@ catalog/events_q.py; batch-stream parity is asserted in tests and the
 streaming results themselves are DuckDB-verified through the catalog
 (run with ``Trigger.AvailableNow`` into a memory sink, then read back).
 
-Event time: ``ts`` arrives as BIGINT nanoseconds (see tables.load);
-``event_time`` = exact integer-division to microseconds cast to
-timestamp. Window arithmetic stays on epoch integers end-to-end, so
-results are independent of the driver session's timezone.
+Event time: ``ts`` arrives as TIMESTAMP_NTZ micros in the parquet and
+is normalized to BIGINT epoch nanoseconds on read (same wall-clock
+arithmetic as tables.load); ``event_time`` = exact integer-division
+to microseconds cast to timestamp. Window arithmetic stays on epoch
+integers end-to-end, so results are independent of the driver
+session's timezone.
 """
 
 from __future__ import annotations
