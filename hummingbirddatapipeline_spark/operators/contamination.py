@@ -72,8 +72,10 @@ def ngram_contamination(
         .withColumn("__hit", F.lit(1))
     )
     # single corpus scan: explode_outer keeps gram-less docs as one NULL
-    # row, the left broadcast join marks benchmark collisions, and one
-    # aggregation produces both the total and the hit count
+    # row, grams are hashed post-explode (whole-stage-codegen'd; the
+    # explode feeds the broadcast join within one stage, so the strings
+    # never shuffle), the left broadcast join marks benchmark
+    # collisions, and one aggregation produces total and hit counts
     doc_grams = docs.select(
         id_col, F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g")
     ).withColumn(
