@@ -147,10 +147,11 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE tok AS (
+# Shared DuckDB fragment: exact Jaccard (>= 0.85, unigram shingles)
+# near-dup pair graph closed into min-id components via a recursive-CTE
+# transitive closure. Prefix with WITH RECURSIVE; exposes CTE ``cc``
+# (node, cluster_id). Reused by sample_split_leakfree.
+DUCK_JACCARD_CC_CTES = f"""tok AS (
       SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
@@ -176,7 +177,13 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc AS (
       SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
       FROM reach GROUP BY u
-    )
+    )"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES}
     SELECT node, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM cc

@@ -28,6 +28,7 @@ from hummingbirddatapipeline_spark.operators.sampling import (
     stratified_sample,
 )
 from hummingbirddatapipeline_spark.tables import load
+from hummingbirddatapipeline_spark.catalog.dedup_q import DUCK_JACCARD_CC_CTES
 
 _T10 = _threshold_hex(0.10)
 _T25 = _threshold_hex(0.25)
@@ -281,4 +282,39 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
         "contaminated",
+    )
+
+
+@query(
+    "sample_split_leakfree",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES}
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                     AS STRING) || ':split0'), 1, 4)
+                     < '{_T10}'
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN cc c ON c.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val split under the full oracle gate: near-dup
+    clusters (exact Jaccard >= 0.85 graph closed by connected
+    components) are assigned to splits as units via the deterministic
+    md5 cluster-id bucket, so no validation doc has a train near-dup.
+    DuckDB recomputes clusters (recursive CTE) and the identical md5
+    arithmetic; the driver hashes every (doc, cluster, split) row."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+    from hummingbirddatapipeline_spark.operators.sampling import split_leakfree
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(
+        docs, "text", "doc_id", threshold=0.85, shingle_size=1
+    ).select("id_a", "id_b")
+    return split_leakfree(
+        docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0"
     )

@@ -170,3 +170,43 @@ def split_train_holdout(
     return df.withColumn(
         "split", F.when(is_holdout, "holdout").otherwise("train")
     )
+
+
+def split_leakfree(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    seed: str = "split0",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Leak-free train/validation split: near-dup CLUSTERS, not docs,
+    are the unit of assignment, so a validation doc can never have a
+    near-duplicate in train (the standard eval-contamination guard when
+    corpora are deduplicated at-threshold rather than exactly).
+
+    ``pairs`` is the near-dup edge list (any generator: exact Jaccard,
+    MinHash-LSH, embedding LSH). Docs are joined to their connected
+    component (operators.graph); singletons form their own cluster.
+    The split is the deterministic md5 bucket of the CLUSTER id — same
+    idiom as the rest of the sampling family, so membership is stable
+    under reruns and repartitioning and both engines can recompute it.
+
+    Returns docs + (cluster_id, split in {'train','val'}).
+    """
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "node", id_col
+    )
+    joined = docs.join(cc, id_col, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    is_val = _bucket_hex(cluster, seed) < F.lit(_threshold_hex(val_fraction))
+    return joined.select(
+        *[F.col(c) for c in docs.columns],
+        cluster.alias("cluster_id"),
+        F.when(is_val, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

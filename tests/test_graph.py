@@ -86,3 +86,25 @@ def test_curation_cluster_dedup_drops_transitive_chains(spark):
     }
     assert cluster_kept == {1, 9}
     assert cluster_kept < greedy_kept  # strictly more thorough
+
+
+def test_split_leakfree_no_cross_split_pairs(spark):
+    """The invariant the operator exists for: no near-dup pair may
+    straddle the train/val boundary, at any seed."""
+    from hummingbirddatapipeline_spark.operators.sampling import split_leakfree
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chains and cliques across id space
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 10)]
+        + [(20, 25), (25, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    for seed in ("s1", "s2", "s3"):
+        out = split_leakfree(docs, pairs, val_fraction=0.5, seed=seed)
+        side = {r["doc_id"]: r["split"] for r in out.collect()}
+        for a, b in [(r["id_a"], r["id_b"]) for r in pairs.collect()]:
+            assert side[a] == side[b], (seed, a, b)
+        assert len(side) == 40  # every doc assigned exactly once
