@@ -356,3 +356,88 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (count, length, gram) so both engines agree exactly."""
     docs = load(spark, sf_dir, "documents")
     return TX.repetition_stats(docs, "text", "doc_id", n=2)
+
+
+@query(
+    "text_substring_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_CASED} AS t FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) = 0 THEN 0
+                  WHEN len(t) <= 20 THEN 1
+                  ELSE 1 + ((len(t) - 20 + 4) // 5) END AS nc
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, t, unnest(range(nc)) AS i FROM sized WHERE nc > 0
+    ),
+    full_wins AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i * 5 + 1 : i * 5 + 20], ' ')) AS wh
+      FROM wins
+      WHERE len(t[i * 5 + 1 : i * 5 + 20]) = 20
+    ),
+    occ AS (SELECT wh, COUNT(*) AS c FROM full_wins GROUP BY wh),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(CASE WHEN o.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM full_wins f JOIN occ o USING (wh)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.nw, 0) AS n_windows,
+           COALESCE(p.nd, 0) AS n_dup_windows,
+           COALESCE(FLOOR(p.nd / NULLIF(CAST(p.nw AS DOUBLE), 0.0)
+                          * 1000000 + 0.5) / 1000000, 0.0) AS dup_window_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), Spark-first: the suffix-array scan is
+    re-expressed as fixed-stride token windows (20 tokens, stride 5)
+    hashed and counted corpus-wide — a window whose hash occurs at
+    more than one (doc, position) marks duplicated substring content.
+    Per doc: window count, duplicated-window count, duplicated
+    fraction.
+
+    Scale shape: chunking is per-row codegen (no shuffle); one
+    hash-aggregation on the 16-byte window hash + one join back —
+    never the window strings; the corpus-wide occurrence table is the
+    only shuffled state.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wins = (
+        TX.chunk_token_windows(docs, "text", "doc_id", chunk_tokens=20, stride=5)
+        .filter(F.col("n_tokens") == 20)
+        .select("doc_id", F.md5("chunk_text").alias("wh"))
+    )
+    occ = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    per_doc = (
+        wins.join(occ, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("nd"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nw", F.lit(0)).alias("n_windows"),
+            F.coalesce("nd", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(
+                q6(F.col("nd") / F.nullif(F.col("nw").cast("double"), F.lit(0.0))),
+                F.lit(0.0),
+            ).alias("dup_window_frac"),
+        )
+    )
