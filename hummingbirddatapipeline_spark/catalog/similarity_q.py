@@ -240,3 +240,63 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q
+
+
+@query(
+    "similarity_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE near AS (
+      SELECT a.vec_id AS id_a, q.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings q ON a.vec_id < q.vec_id
+      WHERE ROUND({_DUCK_DOT}, 6) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT node, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    ORDER BY node
+    """,
+)
+def similarity_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS under the full oracle gate: the
+    exact cosine pair graph (>= 0.35 on this near-orthogonal fixture;
+    the demo threshold routes through the deterministic exact path)
+    closed into min-id components by operators/graph.py, while DuckDB
+    recomputes the same closure recursively. The embedding-modality
+    twin of dedup_connected_components — cluster-then-keep-one is the
+    last step of semantic dedup at 100 TB."""
+    import warnings as _warnings
+
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # expected brute fallback at 0.35
+        pairs = embedding_near_dup_pairs(emb, threshold=0.35).select(
+            "id_a", "id_b"
+        )
+    cc = connected_components(pairs)
+    return cc.select(
+        "node",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )

@@ -30,6 +30,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.85,
     use_lsh: bool = False,
     use_clusters: bool = False,
+    max_top_gram_char_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, funnel_stats).
 
@@ -46,6 +47,12 @@ def curate_corpus(
     points at a LARGER id is never an id_b, so it survives even though
     it is (transitively) a near-dup of the cluster representative;
     clustering drops it. Costs O(log n) extra shuffle rounds.
+
+    ``max_top_gram_char_frac`` (e.g. the Gopher 2-gram threshold 0.20)
+    inserts a repetition gate after the quality gate: docs whose top
+    word-2-gram covers more than that fraction of characters are
+    dropped (functions.text.repetition_stats), adding a
+    ``repetition_kept`` funnel stage.
     """
     total = docs.select(F.count("*").alias("n")).withColumn("stage", F.lit("input"))
 
@@ -54,7 +61,20 @@ def curate_corpus(
         F.round(quality_score(F.col("text")), 2) >= min_quality
     )
 
-    fp = quality_kept.withColumn("__fp", fingerprint(F.col("text")))
+    gated = quality_kept
+    rep_stage: list[tuple[str, DataFrame]] = []
+    if max_top_gram_char_frac is not None:
+        from hummingbirddatapipeline_spark.functions.text import (
+            repetition_stats,
+        )
+
+        keep = repetition_stats(quality_kept, "text", "doc_id").filter(
+            F.col("top_gram_char_frac") <= max_top_gram_char_frac
+        )
+        gated = quality_kept.join(keep.select("doc_id"), "doc_id", "left_semi")
+        rep_stage = [("repetition_kept", gated)]
+
+    fp = gated.withColumn("__fp", fingerprint(F.col("text")))
     keeper = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = fp.join(keeper, ["__fp", "doc_id"], "left_semi").drop("__fp")
 
@@ -76,6 +96,7 @@ def curate_corpus(
     for stage, df in (
         ("lang_kept", lang_kept),
         ("quality_kept", quality_kept),
+        *rep_stage,
         ("exact_deduped", exact_kept),
         ("near_deduped", clean),
     ):

@@ -25,3 +25,25 @@ def test_repetition_stats_flags_boilerplate(spark):
         r = out[d]
         assert r["n_grams"] == 0 and r["top_gram_count"] == 0
         assert r["rep_instance_frac"] == 0.0 and not r["repetitive"]
+
+
+def test_curation_repetition_gate(spark):
+    """The optional Gopher gate drops boilerplate docs the heuristic
+    quality score passes, and surfaces as a funnel stage."""
+    from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
+
+    spam = ("the and of to a in is that for it " * 4) + "buy now " * 60
+    good = (
+        "the report shows that revenue in the region is stable and "
+        "that for most of it the outlook to a degree is positive "
+    ) * 3
+    docs = spark.createDataFrame(
+        [(1, spam, "en", "s", len(spam)), (2, good, "en", "s", len(good))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    clean, stats = curate_corpus(docs, max_top_gram_char_frac=0.20)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    st = {r["stage"]: r["n"] for r in stats.collect()}
+    assert "repetition_kept" in st
+    assert 1 not in kept and 2 in kept
+    assert st["repetition_kept"] < st["quality_kept"]
