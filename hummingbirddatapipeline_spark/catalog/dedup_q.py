@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+import weakref
+
+from hummingbirddatapipeline_spark.catalog import (
+    bench_query,
+    query,
+    register_invalidate_hook,
+)
 from hummingbirddatapipeline_spark.operators.dedup import (
     jaccard_pairs_prefix,
     near_dup_pairs_minhash,
@@ -21,6 +27,43 @@ from hummingbirddatapipeline_spark.operators.dedup import (
 from hummingbirddatapipeline_spark.operators.graph import connected_components
 from hummingbirddatapipeline_spark.tables import load
 from hummingbirddatapipeline_spark.catalog.text_q import _DUCK_TOKS
+
+
+# The exact-Jaccard near-dup pair set (>= 0.85, unigram shingles) is
+# the shared input of three catalog queries (CC clusters, leak-free
+# split) and costs ~30 s cold at sf0.1 — compute it once per
+# (session, sf_dir) and hand out the checkpointed result. Cleared by
+# catalog.invalidate() like the plan cache.
+_JACCARD_PAIR_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (id_a, id_b) exact Jaccard >= 0.85 pair set over
+    ``documents`` — the canonical near-dup graph the cluster/split
+    queries close over. localCheckpoint materializes it eagerly on
+    first use; subsequent queries reuse the blocks."""
+    per = _JACCARD_PAIR_CACHE.setdefault(spark, {})
+    df = per.get(sf_dir)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        df = per[sf_dir] = (
+            jaccard_pairs_prefix(
+                docs, "text", "doc_id", threshold=0.85, shingle_size=1
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+    return df
+
+
+def _clear_pair_cache(sf_dir: str | None) -> None:
+    for per in _JACCARD_PAIR_CACHE.values():
+        keys = list(per) if sf_dir is None else [k for k in per if k == sf_dir]
+        for k in keys:
+            del per[k]
+
+
+register_invalidate_hook(_clear_pair_cache)
 
 
 @query(
@@ -79,7 +122,7 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_pairs")  # rows-only: the raw operator output
+@bench_query("dedup_minhash_pairs")  # bench-only: the raw operator output
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH pipeline alone (signatures -> banding ->
     hashed-shingle Jaccard verify) — the BENCH form of the operator.
@@ -87,6 +130,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract vs the exact pair set) at the driver's correctness SF;
     this entry exists so the benchmark measures the scale path's own
     cost, not the quadratic exact baseline it is contracted against.
+    Registered in BENCH_ONLY, not queries(): every driver-facing entry
+    carries an oracle, and this form's output is seed-dependent.
     No final sort: a global orderBy's range-partition sampling pass
     would re-execute the whole pipeline (~2x cost) for decoration."""
     docs = load(spark, sf_dir, "documents")
@@ -95,8 +140,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_groups")  # rows-only: 64-bit vote hashing
+@bench_query("dedup_simhash_groups")  # bench-only: 64-bit vote hashing
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of SimHash dedup (the raw per-doc 64-bit vote hash is
+    engine-specific, so no cross-engine oracle is possible); the
+    correctness gate is ``dedup_simhash_consistency`` above."""
     docs = load(spark, sf_dir, "documents")
     return (
         simhash_dedup(docs, "text", "doc_id", shingle_size=1)
@@ -202,10 +250,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step that turns pair generation into deduplication:
     keep cluster_id == node (the representative), drop the rest
     (``dedup_representatives``)."""
-    docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_prefix(
-        docs, "text", "doc_id", threshold=0.85, shingle_size=1
-    ).select("id_a", "id_b")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     from pyspark.sql.window import Window
 

@@ -306,15 +306,13 @@ def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 cluster-id bucket, so no validation doc has a train near-dup.
     DuckDB recomputes clusters (recursive CTE) and the identical md5
     arithmetic; the driver hashes every (doc, cluster, split) row."""
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        jaccard_pairs_prefix,
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
     )
     from hummingbirddatapipeline_spark.operators.sampling import split_leakfree
 
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_prefix(
-        docs, "text", "doc_id", threshold=0.85, shingle_size=1
-    ).select("id_a", "id_b")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
     return split_leakfree(
         docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0"
     )

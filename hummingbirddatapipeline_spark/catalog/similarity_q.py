@@ -242,6 +242,105 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q
 
 
+# Twin-union fixture for the BANDED near-dup path: the testdata
+# embeddings are near-orthogonal (max cross cosine ~0.51), so a dedup-
+# regime threshold (0.9) only fires on pairs we construct — each vector
+# unioned with its int8-quantize-roundtripped twin (cosine ~0.9999,
+# deterministic on both engines; quantization mirrored from
+# functions/vector.py exactly as in embedding_quantize_roundtrip).
+_TWIN_OFFSET = 1_000_000
+
+
+@query(
+    "similarity_near_dup_clusters_banded",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    twins AS (
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+             list_transform(
+               list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                                      ELSE CAST(ROUND(x / scale) AS INT) END),
+               c -> c * scale) AS e
+      FROM (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+            FROM base)
+    ),
+    uni AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    near AS (
+      SELECT a.vec_id AS id_a, q.vec_id AS id_b
+      FROM uni a JOIN uni q ON a.vec_id < q.vec_id
+      WHERE ROUND(list_dot_product(a.e, q.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(q.e, q.e))), 6) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT node, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    ORDER BY node
+    """,
+)
+def similarity_near_dup_clusters_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LSH-BANDED embedding near-dup pipeline under the full oracle
+    gate, at a real dedup threshold (0.9). The demo-threshold variant
+    below deliberately routes through the exact brute fallback; this
+    one gates the scale path itself: sign-LSH banding (explicit 7
+    planes/band x 9 bands — an equi-join plan, no CartesianProduct;
+    asserted in tests via explain audit) generates candidates, the
+    exact cosine verify keeps true pairs, and operators/graph.py closes
+    them into min-id clusters. Banding is parameterized for the
+    NEAR-EXACT dup regime this fixture models (twin cosine ~0.9999 ->
+    per-pair miss ~3e-14, so the output deterministically equals
+    DuckDB's exact closure) rather than the default tuner's worst-case
+    guarantee AT t=0.9, whose coarse 3-plane bands cost ~25x the
+    candidate volume; real semantic-dedup corpora sit in the same
+    regime. 63 planes keeps every band mask inside the int64 packed
+    signature."""
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    uni = emb.unionByName(twins)
+    pairs = embedding_near_dup_pairs(
+        uni, threshold=0.9, n_planes=63, bands=9
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        "node",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+
+
 @query(
     "similarity_near_dup_clusters",
     oracle=f"""

@@ -38,7 +38,6 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    checkpoint: bool = True,
 ) -> DataFrame:
     """Component assignment for every node appearing in ``pairs``.
 
@@ -49,19 +48,32 @@ def connected_components(
     ``pairs`` is an undirected edge list; duplicate and self edges are
     tolerated. Raises if ``max_iter`` rounds don't converge (at
     O(log n) rounds, 25 covers graphs far beyond 2^25 nodes).
+
+    Lineage is always truncated with localCheckpoint: without it each
+    round's self-joins grow the plan multiplicatively AND the
+    convergence join compares a frame against its own ancestor
+    (Spark's ambiguous-self-join trap) — an un-checkpointed variant is
+    neither practical nor safe, so it is not offered.
     """
+    # Checkpoint the pair projection BEFORE symmetrizing: the union has
+    # two branches, and without truncation each branch re-executes the
+    # (often expensive) upstream pair-generation plan — measured 2x the
+    # whole job's cost when fed LSH/Jaccard candidate pipelines.
+    base = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        base.union(base.select(F.col("v"), F.col("u")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("lbl")
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        .localCheckpoint()
     )
-    if checkpoint:
-        edges = edges.localCheckpoint()
-        labels = labels.localCheckpoint()
 
     for _ in range(max_iter):
         # 1. neighbor minimum: the label each node hears from its edges
@@ -93,8 +105,7 @@ def connected_components(
                 ).alias("lbl"),
             )
         )
-        if checkpoint:
-            jumped = jumped.localCheckpoint()
+        jumped = jumped.localCheckpoint()
         n_changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")

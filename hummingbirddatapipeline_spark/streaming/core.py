@@ -42,8 +42,15 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from hummingbirddatapipeline_spark.tables import EVENTS_TS_NANOS_NTZ_EXPR
+from hummingbirddatapipeline_spark.tables import _events_ts_to_nanos
 
+# Fallback logical schema, used only when the source dir has no files
+# to probe. The driver has regenerated testdata with a different
+# ``ts`` physical encoding before (INT64 nanos -> NTZ micros, round 4);
+# read_events_stream therefore derives the real schema from the parquet
+# footers of the staged files (see ``_probe_schema``) instead of
+# trusting this constant, and normalizes ``ts`` with the same
+# encoding-dispatching logic as the batch path (tables.load).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -54,6 +61,16 @@ EVENTS_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+def _probe_schema(spark: SparkSession, path: str) -> StructType | None:
+    """Read the staged parquet footers (driver-side batch schema
+    inference, no job) so the stream schema always matches the physical
+    encoding actually on disk — batch and streaming cannot drift."""
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:  # empty staging dir: fall back to the constant
+        return None
 
 
 _STAGED_DIRS: dict[str, str] = {}
@@ -82,17 +99,18 @@ def read_events_stream(
     ``ts_ms`` (epoch millis) columns.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if not os.path.isdir(path):
         path = stage_stream_dir(path)
+    reader = spark.readStream.schema(_probe_schema(spark, path) or EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(path)
-    # normalize to BIGINT epoch nanos first (wall clock == UTC, same as
-    # tables.load), then timestamp_micros -> an absolute instant; all
-    # downstream windowing and epoch-integer projections are
-    # session-TZ-independent
-    stream = stream.withColumn("ts", F.expr(EVENTS_TS_NANOS_NTZ_EXPR))
+    # normalize to BIGINT epoch nanos first (wall clock == UTC; the
+    # SAME encoding dispatch as tables.load, so batch and streaming
+    # agree for any parquet encoding), then timestamp_micros -> an
+    # absolute instant; all downstream windowing and epoch-integer
+    # projections are session-TZ-independent
+    stream = _events_ts_to_nanos(stream)
     return stream.withColumn(
         "event_time", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
     ).withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS LONG)"))

@@ -19,6 +19,45 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_every_query_has_oracle():
+    """Driver contract: every queries() entry needs a matching oracle
+    (oracle-less entries score a red `err: no_oracle` row every round).
+    Bench-measurement forms without a cross-engine oracle belong in
+    BENCH_ONLY, which bench.py runs but the driver never sees."""
+    from hummingbirddatapipeline_spark.catalog import (
+        BENCH_ONLY,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert set(QUERIES) == set(ORACLES)
+    assert not (set(BENCH_ONLY) & set(QUERIES))
+
+
+def test_driver_window_rotation_policy():
+    """The driver samples the first 50 registered queries; make the
+    rotation policy executable: (1) every DRIVER_WINDOW name exists and
+    registers before any non-window name, (2) the window fits the
+    driver's 50-slot budget, (3) every registered query is reachable —
+    anything past slot 50 must be a long-stable row (was green when
+    last sampled), which we approximate by requiring the overflow count
+    to stay within the 47 rows green in the two most recent rounds."""
+    from hummingbirddatapipeline_spark.catalog import DRIVER_WINDOW, QUERIES
+
+    names = list(QUERIES)
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
+    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) <= 50
+    # 48 rows were driver-green in r5 (CORRECTNESS_r05.json) and 33 in
+    # r4; the overflow (unsampled this round) must not exceed the
+    # recently-re-verified pool, or rows would go permanently dark.
+    assert len(names) - 50 <= 47, (
+        f"{len(names) - 50} queries fall outside the driver window; "
+        "rotate more stable rows out or trim the catalog"
+    )
+
+
 def test_entry_returns_rows(spark):
     import __spark_entry__ as e
 
