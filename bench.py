@@ -58,6 +58,10 @@ HEADLINE = [
     "sample_split_leakfree",
     "dedup_simhash_groups",
     "similarity_near_dup_clusters_banded",
+    # round-6 retrieval/quality operators
+    "text_bm25_topk",
+    "text_unigram_logprob",
+    "text_substring_dup_stride1",
 ]
 
 

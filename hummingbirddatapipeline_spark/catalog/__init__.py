@@ -164,6 +164,10 @@ DRIVER_WINDOW: list[str] = [
     "events_hypertable_rollup",
     "layout_zorder_codes",
     "dq_orders_expectations",
+    # new in round 6
+    "text_bm25_topk",
+    "text_unigram_logprob",
+    "text_substring_dup_stride1",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",

