@@ -62,6 +62,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_unigram_logprob",
     "text_substring_dup_stride1",
+    "search_hybrid_rrf",
 ]
 
 

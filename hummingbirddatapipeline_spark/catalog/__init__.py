@@ -168,6 +168,7 @@ DRIVER_WINDOW: list[str] = [
     "text_bm25_topk",
     "text_unigram_logprob",
     "text_substring_dup_stride1",
+    "search_hybrid_rrf",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",

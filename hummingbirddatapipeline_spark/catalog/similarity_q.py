@@ -242,6 +242,77 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q
 
 
+@query(
+    "search_hybrid_rrf",
+    oracle=None,  # set below: composes the BM25 CTEs from text_q
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical ranking over ``documents`` fused
+    with the exact-cosine embedding ranking for query vector 0 over
+    ``embeddings`` via reciprocal-rank fusion (1/(60+rank), Cormack et
+    al. 2009) — the stock two-tower retrieval combiner. Both input
+    rankings are themselves oracle-gated queries (text_bm25_topk /
+    similarity_cosine_topk); the fusion takes their top-50s, so the
+    only new plan cost is an outer join of two 50-row frames. The
+    fused score is rounded before ranking with doc_id tiebreak, making
+    the top-10 cut deterministic on both engines."""
+    from hummingbirddatapipeline_spark.catalog.text_q import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bm25 = bm25_topk(docs, list(_BM25_TERMS), k=50, k1=_BM25_K1, b=_BM25_B)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cos = cosine_topk(emb, q0, k=50, exclude_self=False).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([bm25.select("doc_id", "rank"), cos], k=10)
+
+
+def _install_hybrid_oracle() -> None:
+    from hummingbirddatapipeline_spark.catalog import ORACLES
+    from hummingbirddatapipeline_spark.catalog.text_q import DUCK_BM25_CTES
+
+    ORACLES["search_hybrid_rrf"] = f"""
+    WITH {DUCK_BM25_CTES},
+    cos_ranked AS (
+      SELECT a.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND({_DUCK_DOT}, 6) DESC, a.vec_id) AS rank
+      FROM embeddings a
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id = 0) q
+    ),
+    cos_top AS (SELECT doc_id, rank FROM cos_ranked WHERE rank <= 50),
+    bm_top AS (SELECT doc_id, rank FROM bm25_ranked WHERE rank <= 50),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + b.rank), 0)
+                   + COALESCE(1.0 / (60 + c.rank), 0), 6) AS rrf_score
+      FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, rrf_score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    ORDER BY rank
+    """
+
+
+_install_hybrid_oracle()
+
+
 # Twin-union fixture for the BANDED near-dup path: the testdata
 # embeddings are near-orthogonal (max cross cosine ~0.51), so a dedup-
 # regime threshold (0.9) only fires on pairs we construct — each vector

@@ -447,10 +447,10 @@ _BM25_TERMS = ("hash", "join", "vector")
 _BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+# Shared DuckDB fragment: BM25 scores for the literal query terms,
+# ending in CTE ``bm25_ranked`` (doc_id, score, rank). Prefix with
+# WITH; reused by the hybrid-RRF oracle in similarity_q.py.
+DUCK_BM25_CTES = f"""toks AS (
       SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
     ),
     dl AS (
@@ -464,7 +464,7 @@ _BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
       WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w
     ),
     dfs AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w),
-    scored AS (
+    bm25_scored AS (
       SELECT t.doc_id,
              ROUND(SUM(
                ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
@@ -475,11 +475,20 @@ _BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
       FROM tf t JOIN dfs f USING (w) JOIN dl d USING (doc_id)
       CROSS JOIN stats s
       GROUP BY t.doc_id
-    )
-    SELECT doc_id, score, rank FROM (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-      FROM scored
-    ) WHERE rank <= {_BM25_K}
+    ),
+    bm25_ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm25_scored
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {DUCK_BM25_CTES}
+    SELECT doc_id, score, rank FROM bm25_ranked
+    WHERE rank <= {_BM25_K}
     ORDER BY rank
     """,
 )

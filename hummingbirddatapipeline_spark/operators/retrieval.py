@@ -98,6 +98,48 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009):
+    ``fused(d) = sum over rankers of 1 / (c + rank_r(d))``, the
+    standard score-free combiner for hybrid (lexical + embedding)
+    retrieval. Each input must carry (id_col, rank); items missing
+    from a ranker contribute nothing for it.
+
+    Returns (id, rrf_score, rank); the fused score is rounded to 6dp
+    BEFORE the final ranking (ties broken by id) so the cut is
+    cross-engine deterministic. Plan shape: the ranked lists are tiny
+    (top-N each), so the fusion is an outer join of k-row frames —
+    negligible next to the rankers themselves.
+    """
+    contribs = [
+        r.select(
+            id_col, (1.0 / (c + F.col("rank"))).alias(f"__rrf_{i}")
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = contribs[0]
+    for nxt in contribs[1:]:
+        fused = fused.join(nxt, id_col, "outer")
+    score = F.round(
+        sum(
+            (F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0)) for i in range(len(contribs))),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.select(id_col, score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",
