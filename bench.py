@@ -63,6 +63,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_substring_dup_stride1",
     "search_hybrid_rrf",
+    "sample_temperature_mix",
 ]
 
 

@@ -177,6 +177,67 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
 
 
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             substr(md5(CAST(doc_id AS STRING) || ':tmix'), 1, 4) AS bk,
+             md5(CAST(doc_id AS STRING) || ':tmix') AS fh
+      FROM documents
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS nt FROM sized GROUP BY lang
+    ),
+    z AS (SELECT SUM(POW(nt, 0.3)) AS zsum FROM tot),
+    quota AS (
+      SELECT lang,
+             CAST(FLOOR(ROUND(10000 * POW(nt, 0.3) / zsum, 6)) AS BIGINT)
+               AS quota
+      FROM tot CROSS JOIN z
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY bk, fh, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM sized
+    )
+    SELECT c.doc_id, c.lang, c.n_tokens,
+           CAST(c.cum_tokens AS BIGINT) AS cum_tokens, q.quota
+    FROM cum c JOIN quota q USING (lang)
+    WHERE c.cum_tokens <= q.quota
+    ORDER BY c.doc_id
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixing (XLM-R, alpha=0.3): each
+    language's token quota is computed FROM the corpus as
+    ``floor(B * n_lang^alpha / sum(n^alpha))`` — flattening the en-heavy
+    skew so low-resource languages are upweighted — then documents are
+    admitted in content-hash priority order until the quota is spent.
+    Deterministic end-to-end; DuckDB recomputes the quota arithmetic
+    and the admission window identically."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        sample_temperature_mix as _tmix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = _tmix(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        text_col="text",
+        total_budget=10000,
+        alpha=0.3,
+        seed="tmix",
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens", "quota")
+
+
 # shared synthetic PII injection (the corpus itself is clean word soup):
 # deterministic per doc, same SQL shape on both engines
 _INJECT_SQL = (

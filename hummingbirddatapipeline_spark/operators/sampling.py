@@ -155,6 +155,75 @@ def sample_token_budget(
     return out.filter(F.col("cum_tokens") <= budget)
 
 
+def sample_temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    text_col: str,
+    total_budget: int,
+    alpha: float = 0.3,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (XLM-R, Conneau et al.
+    2020 §3.1): stratum sampling probability ``p_s = n_s^alpha /
+    sum(n_m^alpha)`` over token counts, flattening the natural skew so
+    low-resource strata are upweighted (alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform). Each stratum gets a
+    token quota ``floor(total_budget * p_s)`` and admits documents in
+    content-hash priority order until the quota is spent — the same
+    deterministic, monotone admission rule as
+    :func:`sample_token_budget`, with the budget COMPUTED from the
+    corpus instead of hand-set.
+
+    Quota arithmetic is rounded to 6dp before the floor so both
+    engines agree despite last-ulp ``pow`` differences. Scale: one
+    stratum-total aggregation (a handful of rows, broadcast back) and
+    one cumulative-sum window per stratum — no extra corpus shuffle
+    beyond the stratum partition.
+
+    Output adds ``n_tokens``, ``cum_tokens``, ``quota``.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    toks = df.withColumn(
+        "n_tokens", ws_token_count(F.col(text_col)).cast("long")
+    )
+    tot = toks.groupBy(strata_col).agg(
+        F.sum("n_tokens").cast("double").alias("__nt")
+    )
+    z = tot.agg(F.sum(F.pow("__nt", F.lit(alpha))).alias("__z"))
+    quota = (
+        tot.crossJoin(F.broadcast(z))
+        .select(
+            strata_col,
+            F.floor(
+                F.round(
+                    F.lit(float(total_budget))
+                    * F.pow("__nt", F.lit(alpha))
+                    / F.col("__z"),
+                    6,
+                )
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(
+            _bucket_hex(F.col(key_col), seed),
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))),
+            F.col(key_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(quota), strata_col)
+    )
+    return out.filter(F.col("cum_tokens") <= F.col("quota"))
+
+
 def split_train_holdout(
     df: DataFrame,
     key_col: str,

@@ -144,3 +144,43 @@ def test_token_budget_monotone_and_bounded(spark, sf_dir):
         small.groupBy("lang").agg(F.max("cum_tokens").alias("m")).collect()
     )
     assert all(r["m"] <= 400 for r in per_lang)
+
+
+def test_temperature_mix_flattens_skew(spark, sf_dir):
+    """alpha<1 upweights low-resource strata: every stratum's quota
+    share must sit between uniform (1/K) and its natural token share
+    on the side that flattens, no stratum exceeds its quota, and the
+    quota allocation spends at most the total budget."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        sample_temperature_mix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_temperature_mix(
+        docs, "doc_id", "lang", "text", total_budget=5000, alpha=0.3
+    )
+    rows = (
+        out.groupBy("lang", "quota")
+        .agg(F.max("cum_tokens").alias("spent"))
+        .collect()
+    )
+    assert rows and all(r["spent"] <= r["quota"] for r in rows)
+    assert sum(r["quota"] for r in rows) <= 5000
+    natural = {
+        r["lang"]: r["nt"]
+        for r in docs.select(
+            "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("nt"))
+        .collect()
+    }
+    tot_nat = sum(natural.values())
+    tot_q = sum(r["quota"] for r in rows)
+    for r in rows:
+        nat_share = natural[r["lang"]] / tot_nat
+        q_share = r["quota"] / tot_q
+        if nat_share > 1 / len(rows):  # high-resource: downweighted
+            assert q_share < nat_share
+        else:  # low-resource: upweighted
+            assert q_share > nat_share
