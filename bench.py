@@ -64,6 +64,7 @@ HEADLINE = [
     "text_substring_dup_stride1",
     "search_hybrid_rrf",
     "sample_temperature_mix",
+    "text_dedup_representatives",
 ]
 
 

@@ -170,6 +170,7 @@ DRIVER_WINDOW: list[str] = [
     "text_substring_dup_stride1",
     "search_hybrid_rrf",
     "sample_temperature_mix",
+    "text_dedup_representatives",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",

@@ -259,3 +259,38 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
     )
+
+
+@query(
+    "text_dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES}
+    SELECT d.doc_id, COALESCE(cs.n, 1) AS cluster_size
+    FROM documents d
+    LEFT JOIN cc c ON c.node = d.doc_id
+    LEFT JOIN (
+      SELECT cluster_id, COUNT(*) AS n FROM cc GROUP BY cluster_id
+    ) cs ON cs.cluster_id = c.cluster_id
+    WHERE c.node IS NULL OR c.cluster_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deduplicated corpus — the artifact every near-dup pipeline
+    exists to produce: singletons pass through, and each near-dup
+    cluster (exact Jaccard >= 0.85 graph closed by connected
+    components) keeps exactly its minimum-id representative, tagged
+    with the cluster size it represents. DuckDB recomputes the closure
+    recursively and applies the same keep rule, so the driver hashes
+    the kept set itself, not just the cluster assignment. One
+    anti-join-shaped filter after the (cached) CC labeling."""
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(cc, docs.doc_id == cc.node, "left").join(
+        sizes, "cluster_id", "left"
+    )
+    return labeled.filter(
+        F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    ).select("doc_id", F.coalesce("n", F.lit(1)).alias("cluster_size"))

@@ -1,0 +1,92 @@
+"""Physical-plan contracts: the scale-critical queries must compile to
+the plan SHAPE they claim (equi-join banding, no cartesian products,
+broadcasted small sides). These pin the 100 TB design at test time —
+a regression that silently degrades a banded pipeline into a cross
+join fails here, not in a cluster bill."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_banded_near_dup_is_equi_join_not_cartesian(spark, sf_dir):
+    """The LSH-banded near-dup path must be a (band, bucket) equi-join:
+    no CartesianProduct and no corpus-sized BroadcastNestedLoopJoin."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    plan = _physical(
+        embedding_near_dup_pairs(emb, threshold=0.9, n_planes=63, bands=9)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_fallback_is_explicit_not_default(spark, sf_dir):
+    """At dedup-regime thresholds the default path must stay banded;
+    the brute escape hatch only engages when asked (or warned at
+    permissive thresholds)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    banded = _physical(embedding_near_dup_pairs(emb, threshold=0.95))
+    assert "CartesianProduct" not in banded
+    assert "BroadcastNestedLoopJoin" not in banded
+    # the explicit brute path IS all-pairs (cartesian, or its
+    # broadcast-nested-loop form when one side fits in memory)
+    brute = _physical(embedding_near_dup_pairs(emb, threshold=0.95, brute=True))
+    assert "CartesianProduct" in brute or "BroadcastNestedLoopJoin" in brute
+
+
+def test_lsh_topk_buckets_not_cartesian(spark, sf_dir):
+    from hummingbirddatapipeline_spark.operators.similarity import lsh_topk
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _physical(lsh_topk(emb, queries, k=5, n_planes=48, bands=24))
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_check_broadcasts_gram_side(spark, sf_dir):
+    """Decontamination must broadcast the (small) eval-gram side and
+    never shuffle the corpus into a cartesian."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["text_contamination_check"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_pipeline_no_cartesian(spark, sf_dir):
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        near_dup_pairs_minhash,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _physical(
+        near_dup_pairs_minhash(
+            docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8,
+            shingle_size=1,
+        )
+    )
+    assert "CartesianProduct" not in plan
