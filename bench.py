@@ -65,6 +65,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "sample_temperature_mix",
     "text_dedup_representatives",
+    "curation_funnel_gated",
 ]
 
 

@@ -171,6 +171,7 @@ DRIVER_WINDOW: list[str] = [
     "search_hybrid_rrf",
     "sample_temperature_mix",
     "text_dedup_representatives",
+    "curation_funnel_gated",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",

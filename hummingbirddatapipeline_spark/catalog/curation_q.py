@@ -92,3 +92,132 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, langs=("en",), min_quality=0.6, jaccard_threshold=0.85
     )
     return stats
+
+
+@query(
+    "curation_funnel_gated",
+    oracle=f"""
+    WITH RECURSIVE lang_kept AS (
+      SELECT * FROM documents WHERE lang = 'en'
+    ),
+    quality_kept AS (
+      SELECT * FROM lang_kept WHERE {_QUALITY} >= 0.6
+    ),
+    rep_toks AS (
+      SELECT doc_id, length(text) AS chars, {_DUCK_TOKS_CASED} AS t
+      FROM quality_kept
+    ),
+    rep_grams AS (
+      SELECT doc_id, chars,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM rep_toks
+    ),
+    rep_per_gram AS (
+      SELECT doc_id, chars, g, COUNT(*) AS c FROM rep_grams GROUP BY 1, 2, 3
+    ),
+    rep_frac AS (
+      SELECT doc_id,
+             FLOOR(MAX(length(g) * c) / NULLIF(CAST(MAX(chars) AS DOUBLE), 0.0)
+                   * 1000000 + 0.5) / 1000000 AS top_frac
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+        FROM rep_per_gram
+      ) WHERE rn = 1 GROUP BY doc_id
+    ),
+    rep_kept AS (
+      SELECT q.* FROM quality_kept q
+      LEFT JOIN rep_frac r USING (doc_id)
+      WHERE COALESCE(r.top_frac, 0.0) <= 0.20
+    ),
+    nll_toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    nll_counts AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM nll_toks GROUP BY w
+    ),
+    nll_tot AS (SELECT SUM(c) AS t FROM nll_counts),
+    nll_doc AS (
+      SELECT doc_id, ROUND(AVG(-ln(c / t)), 4) AS mean_nll
+      FROM nll_toks JOIN nll_counts USING (w) CROSS JOIN nll_tot
+      GROUP BY doc_id
+    ),
+    nll_kept AS (
+      SELECT r.* FROM rep_kept r
+      JOIN nll_doc n USING (doc_id)
+      WHERE n.mean_nll BETWEEN 3.396 AND 3.410
+    ),
+    fp AS (
+      SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM nll_kept
+    ),
+    exact_kept AS (
+      SELECT fp.* FROM fp
+      JOIN (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f) k
+      ON fp.f = k.f AND fp.doc_id = k.doc_id
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM exact_kept
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    near AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / (sa.n + sb.n - inter) >= 0.85
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    clean AS (
+      SELECT e.* FROM exact_kept e
+      LEFT JOIN cc ON cc.node = e.doc_id
+      WHERE cc.node IS NULL OR cc.cluster_id = e.doc_id
+    )
+    SELECT 'input' AS stage, COUNT(*) AS n FROM documents
+    UNION ALL SELECT 'lang_kept', COUNT(*) FROM lang_kept
+    UNION ALL SELECT 'quality_kept', COUNT(*) FROM quality_kept
+    UNION ALL SELECT 'repetition_kept', COUNT(*) FROM rep_kept
+    UNION ALL SELECT 'nll_kept', COUNT(*) FROM nll_kept
+    UNION ALL SELECT 'exact_deduped', COUNT(*) FROM exact_kept
+    UNION ALL SELECT 'near_deduped', COUNT(*) FROM clean
+    ORDER BY stage
+    """,
+)
+def curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-GATED curation funnel under one end-to-end oracle:
+    language filter -> heuristic quality gate -> Gopher repetition
+    gate (top-2-gram char fraction <= 0.20) -> CCNet-shaped surprisal
+    band (corpus-unigram mean NLL in [3.396, 3.410], scored against
+    the full input corpus) -> exact fingerprint dedup -> CLUSTER-mode
+    near-dup dedup (connected components keep the min-id
+    representative — the transitive-chain-correct rule, unlike the
+    base funnel's greedy drop). DuckDB independently recomputes every
+    stage including the recursive cluster closure, so a regression in
+    any gate, the CC labeling, or the keep rule moves a funnel count
+    and goes driver-red."""
+    docs = load(spark, sf_dir, "documents")
+    _, stats = curate_corpus(
+        docs,
+        langs=("en",),
+        min_quality=0.6,
+        jaccard_threshold=0.85,
+        use_clusters=True,
+        max_top_gram_char_frac=0.20,
+        nll_band=(3.396, 3.410),
+    )
+    return stats

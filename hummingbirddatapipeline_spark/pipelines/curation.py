@@ -31,6 +31,7 @@ def curate_corpus(
     use_lsh: bool = False,
     use_clusters: bool = False,
     max_top_gram_char_frac: float | None = None,
+    nll_band: tuple[float, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, funnel_stats).
 
@@ -53,6 +54,13 @@ def curate_corpus(
     word-2-gram covers more than that fraction of characters are
     dropped (functions.text.repetition_stats), adding a
     ``repetition_kept`` funnel stage.
+
+    ``nll_band=(lo, hi)`` inserts the perplexity-filter shape (CCNet
+    "keep the middle" rule) after the repetition gate: docs whose mean
+    corpus-unigram surprisal (operators.retrieval.unigram_logprob,
+    scored against the FULL input corpus so the reference distribution
+    is gate-independent) falls outside the band are dropped — too low
+    is boilerplate, too high is noise. Adds an ``nll_kept`` stage.
     """
     total = docs.select(F.count("*").alias("n")).withColumn("stage", F.lit("input"))
 
@@ -73,6 +81,19 @@ def curate_corpus(
         )
         gated = quality_kept.join(keep.select("doc_id"), "doc_id", "left_semi")
         rep_stage = [("repetition_kept", gated)]
+
+    nll_stage: list[tuple[str, DataFrame]] = []
+    if nll_band is not None:
+        from hummingbirddatapipeline_spark.operators.retrieval import (
+            unigram_logprob,
+        )
+
+        lo, hi = nll_band
+        nll_keep = unigram_logprob(docs).filter(
+            F.col("mean_nll").between(F.lit(lo), F.lit(hi))
+        )
+        gated = gated.join(nll_keep.select("doc_id"), "doc_id", "left_semi")
+        nll_stage = [("nll_kept", gated)]
 
     fp = gated.withColumn("__fp", fingerprint(F.col("text")))
     keeper = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
@@ -97,6 +118,7 @@ def curate_corpus(
         ("lang_kept", lang_kept),
         ("quality_kept", quality_kept),
         *rep_stage,
+        *nll_stage,
         ("exact_deduped", exact_kept),
         ("near_deduped", clean),
     ):
