@@ -371,18 +371,16 @@ def similarity_near_dup_clusters_banded(
     """The LSH-BANDED embedding near-dup pipeline under the full oracle
     gate, at a real dedup threshold (0.9). The demo-threshold variant
     below deliberately routes through the exact brute fallback; this
-    one gates the scale path itself: sign-LSH banding (explicit 7
-    planes/band x 9 bands — an equi-join plan, no CartesianProduct;
-    asserted in tests via explain audit) generates candidates, the
-    exact cosine verify keeps true pairs, and operators/graph.py closes
-    them into min-id clusters. Banding is parameterized for the
-    NEAR-EXACT dup regime this fixture models (twin cosine ~0.9999 ->
-    per-pair miss ~3e-14, so the output deterministically equals
-    DuckDB's exact closure) rather than the default tuner's worst-case
-    guarantee AT t=0.9, whose coarse 3-plane bands cost ~25x the
-    candidate volume; real semantic-dedup corpora sit in the same
-    regime. 63 planes keeps every band mask inside the int64 packed
-    signature."""
+    one gates the scale path itself: sign-LSH banding (an equi-join
+    plan, no CartesianProduct; pinned in tests/test_plan_contracts.py)
+    generates candidates, the exact cosine verify keeps true pairs,
+    and operators/graph.py closes them into min-id clusters. Banding
+    is tuned via ``expected_dup_sim=0.9999`` — the NEAR-EXACT dup
+    regime this fixture models (quantization twins; real semantic-dedup
+    corpora sit in the same regime) — giving 8 planes/band x 5 bands
+    instead of the worst-case-at-0.9 tuner's coarse 3 x 14 (~3.5x the
+    candidates). With the fixed seed the plan is deterministic and the
+    output equals DuckDB's exact closure."""
     from pyspark.sql.window import Window
 
     from hummingbirddatapipeline_spark.functions.vector import (
@@ -402,7 +400,7 @@ def similarity_near_dup_clusters_banded(
     )
     uni = emb.unionByName(twins)
     pairs = embedding_near_dup_pairs(
-        uni, threshold=0.9, n_planes=63, bands=9
+        uni, threshold=0.9, expected_dup_sim=0.9999
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return cc.select(

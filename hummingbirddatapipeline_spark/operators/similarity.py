@@ -203,7 +203,8 @@ def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int
     pair at exactly the threshold angle; a band of ``r`` planes matches
     with ``(1-p)^r`` and ``b`` bands miss with ``(1-(1-p)^r)^b``. Choose
     the largest ``r`` (most selective buckets => fewest candidates)
-    whose required ``b`` still fits the 64-bit packed signature. High
+    whose required ``b`` still fits the packed signature — capped at 63
+    bits so every band mask stays a valid positive int64 literal. High
     thresholds (>=0.9, the dedup regime) get selective banding that is
     genuinely sub-quadratic; permissive thresholds degrade gracefully
     toward coarse buckets — still an equi-join plan, never a cartesian.
@@ -214,9 +215,9 @@ def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int
         if not 0.0 < match < 1.0:
             continue
         b = math.ceil(math.log(target_miss) / math.log(1.0 - match))
-        if r * b <= 64:
+        if r * b <= 63:
             return r, b
-    return 1, 64
+    return 1, 63
 
 
 def embedding_near_dup_pairs(
@@ -229,6 +230,7 @@ def embedding_near_dup_pairs(
     n_planes: int | None = None,
     bands: int | None = None,
     seed: int = 42,
+    expected_dup_sim: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
@@ -241,6 +243,16 @@ def embedding_near_dup_pairs(
     miss at the stated threshold; the seeded planes make the plan
     deterministic). ``brute=True`` is the explicit small-data escape
     hatch: exact all-pairs, O(n^2), never the default.
+
+    ``expected_dup_sim`` shifts the tuning point: when the TRUE
+    duplicates are known to sit well above the verify threshold (the
+    near-exact regime — quantization twins, boilerplate copies,
+    re-encodes at cosine >= 0.99), tuning the ~1e-6 miss guarantee at
+    that similarity instead of at the worst-case threshold yields far
+    more selective bands (e.g. 8 planes/band x 5 bands vs 3 x 14 at
+    t=0.9 — ~3.5x fewer candidates) at the cost of weaker recall for
+    borderline pairs near the threshold itself. The verify filter is
+    unchanged, so precision is never affected.
 
     Scale: the banded plan is shuffle-on-bucket + hash join — no
     CartesianProduct — and at dedup-regime thresholds (>=0.9) candidate
@@ -257,7 +269,9 @@ def embedding_near_dup_pairs(
         return verify(a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))
 
     if n_planes is None or bands is None:
-        per_band, n_bands = _tune_banding(threshold)
+        per_band, n_bands = _tune_banding(
+            threshold if expected_dup_sim is None else expected_dup_sim
+        )
         if per_band < 3:
             # Selectivity cutoff: at permissive thresholds (~<=0.4) the
             # tuned bands are so coarse (<= 2^per_band buckets/band)

@@ -198,3 +198,21 @@ def test_embedding_near_dup_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_near_dup_pairs(df, threshold=0.95).count() == 0
+
+
+def test_tune_banding_dup_regime_is_more_selective():
+    """Tuning at the expected-dup similarity must give more selective
+    bands (more planes/band, fewer band*n^2/2^r candidates) than
+    worst-case tuning at the threshold, and every configuration must
+    fit the 63-bit packed-signature mask budget."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        _tune_banding,
+    )
+
+    r_t, b_t = _tune_banding(0.9)
+    r_d, b_d = _tune_banding(0.9999)
+    assert r_d > r_t
+    assert b_d * 2 ** -r_d < b_t * 2 ** -r_t  # candidate-volume proxy
+    for t in (0.1, 0.35, 0.5, 0.8, 0.9, 0.95, 0.99, 0.9999):
+        r, b = _tune_banding(t)
+        assert 1 <= r and 1 <= b and r * b <= 63

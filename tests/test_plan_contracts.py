@@ -25,7 +25,7 @@ def test_banded_near_dup_is_equi_join_not_cartesian(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     plan = _physical(
-        embedding_near_dup_pairs(emb, threshold=0.9, n_planes=63, bands=9)
+        embedding_near_dup_pairs(emb, threshold=0.9, expected_dup_sim=0.9999)
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
