@@ -108,3 +108,47 @@ def test_split_leakfree_no_cross_split_pairs(spark):
         for a, b in [(r["id_a"], r["id_b"]) for r in pairs.collect()]:
             assert side[a] == side[b], (seed, a, b)
         assert len(side) == 40  # every doc assigned exactly once
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property: on arbitrary random graphs the distributed CC labeling
+    must equal a reference union-find's min-id components — including
+    graphs with long chains (the pointer-jumping stress case), dense
+    blobs, self-loops, and duplicate edges."""
+    import random as _random
+
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = _random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] + [(i, i + 1) for i in range(0, min(15, n - 1))]  # a long chain
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e if e[0] != e[1]}
+        expect = {
+            v: min(u for u in touched if find(u) == find(v)) for v in touched
+        }
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"
