@@ -355,3 +355,49 @@ def test_foreach_batch_upsert_replay_idempotent(spark, tmp_path):
 
     # bounded disk: no .tmp_* staging dirs survive
     assert glob.glob(os.path.join(out_dir, "latest_per_user.tmp_*")) == []
+
+
+def test_stream_schema_probe_handles_all_ts_encodings(spark, tmp_path):
+    """The testdata parquet has shipped events.ts under three physical
+    encodings across driver regenerations (INT64 nanos, TIMESTAMP_NTZ
+    micros, instant TIMESTAMP). read_events_stream probes the staged
+    footers instead of trusting a hardcoded schema, and must agree
+    with the batch normalizer for EVERY encoding — including ones not
+    currently on disk."""
+    base = 1_600_000_000  # seconds
+    rows = [(1, base, 10), (2, base + 3600, 11)]
+
+    def stream_ts(path):
+        out = run_available_now(
+            read_events_stream(spark, path).select("event_id", "ts"),
+            "append",
+            checkpoint=str(tmp_path / ("ck_" + os.path.basename(path))),
+        )
+        return {r["event_id"]: r["ts"] for r in out.collect()}
+
+    expect = {e: s * 10**9 for e, s, _ in rows}
+
+    ntz = str(tmp_path / "ntz")
+    spark.createDataFrame(
+        [(e, s * 10**6, u) for e, s, u in rows],
+        "event_id long, ts long, user_id long",
+    ).withColumn(
+        # instant -> NTZ under the UTC session == the wall-clock-is-UTC
+        # contract the NTZ normalizer assumes
+        "ts", F.expr("CAST(timestamp_micros(ts) AS TIMESTAMP_NTZ)")
+    ).write.parquet(ntz)
+
+    instant = str(tmp_path / "instant")
+    spark.createDataFrame(
+        [(e, s, u) for e, s, u in rows],
+        "event_id long, ts long, user_id long",
+    ).withColumn("ts", F.expr("timestamp_seconds(ts)")).write.parquet(instant)
+
+    nanos = str(tmp_path / "nanos")
+    spark.createDataFrame(
+        [(e, s * 10**9, u) for e, s, u in rows],
+        "event_id long, ts long, user_id long",
+    ).write.parquet(nanos)
+
+    for path in (ntz, instant, nanos):
+        assert stream_ts(path) == expect, path
