@@ -210,6 +210,10 @@ def curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage including the recursive cluster closure, so a regression in
     any gate, the CC labeling, or the keep rule moves a funnel count
     and goes driver-red."""
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+
     docs = load(spark, sf_dir, "documents")
     _, stats = curate_corpus(
         docs,
@@ -219,5 +223,8 @@ def curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_clusters=True,
         max_top_gram_char_frac=0.20,
         nll_band=(3.396, 3.410),
+        # same threshold/shingling as the funnel's near-dup stage;
+        # pair-locality makes the restriction exact (see curate_corpus)
+        precomputed_pairs=shared_jaccard_pairs(spark, sf_dir),
     )
     return stats

@@ -32,6 +32,7 @@ def curate_corpus(
     use_clusters: bool = False,
     max_top_gram_char_frac: float | None = None,
     nll_band: tuple[float, float] | None = None,
+    precomputed_pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, funnel_stats).
 
@@ -61,6 +62,15 @@ def curate_corpus(
     scored against the FULL input corpus so the reference distribution
     is gate-independent) falls outside the band are dropped — too low
     is boilerplate, too high is noise. Adds an ``nll_kept`` stage.
+
+    ``precomputed_pairs`` reuses an existing near-dup pair set for the
+    WHOLE corpus (e.g. dedup_q.shared_jaccard_pairs) instead of
+    re-running pair generation on the gated survivors. Sound because
+    pairwise Jaccard is pair-local: the pair set of a subset equals
+    the full pair set restricted to pairs whose BOTH endpoints
+    survive — which is exactly the semi-join applied here. The caller
+    must ensure the precomputed set used the same threshold and
+    shingling as this funnel's near-dup stage.
     """
     total = docs.select(F.count("*").alias("n")).withColumn("stage", F.lit("input"))
 
@@ -99,10 +109,19 @@ def curate_corpus(
     keeper = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = fp.join(keeper, ["__fp", "doc_id"], "left_semi").drop("__fp")
 
-    pair_fn = near_dup_pairs_minhash if use_lsh else jaccard_pairs_prefix
-    pairs = pair_fn(
-        exact_kept, "text", "doc_id", threshold=jaccard_threshold, shingle_size=1
-    )
+    if precomputed_pairs is not None:
+        ids = exact_kept.select("doc_id")
+        pairs = (
+            precomputed_pairs.join(
+                ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+            ).join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        )
+    else:
+        pair_fn = near_dup_pairs_minhash if use_lsh else jaccard_pairs_prefix
+        pairs = pair_fn(
+            exact_kept, "text", "doc_id",
+            threshold=jaccard_threshold, shingle_size=1,
+        )
     if use_clusters:
         from hummingbirddatapipeline_spark.operators.graph import (
             dedup_representatives,
