@@ -897,3 +897,50 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="fk_o_custkey_references_c_custkey",
     )
     return row_checks.unionByName(fk)
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostics (pre-shuffle planning report; operators/scale.py)
+# --------------------------------------------------------------------------
+@query(
+    "dq_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ),
+    top AS (
+      SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+      FROM c QUALIFY rank <= 5
+    )
+    SELECT t.key, CAST(t.cnt AS BIGINT) AS cnt, CAST(t.rank AS INT) AS rank,
+           ROUND(CAST(t.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6) AS share,
+           ROUND(CAST(s.max_cnt AS DOUBLE)
+                 / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)), 4)
+             AS skew_ratio,
+           GREATEST(1, CAST(CEIL(CAST(t.cnt AS DOUBLE)
+                 / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)))
+               AS BIGINT)) AS suggested_salt,
+           s.n_keys
+    FROM top t CROSS JOIN s
+    ORDER BY t.rank
+    """,
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report over orders.o_custkey — the diagnostic run
+    before shuffling a 100 TB fact on a key: top-5 hot keys, their row
+    share, the max/avg skew ratio, and the per-key salt factor that
+    would level each to an average task. All counts stay exact BIGINTs
+    and avg derives from one double division, so both engines evaluate
+    bit-identical arithmetic."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        key_skew_report,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_custkey", top_k=5)

@@ -541,6 +541,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+_BIGRAM_LAM = 0.9
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM occ GROUP BY w),
+    tot AS (SELECT SUM(c) AS t_occ FROM uni),
+    big AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM big GROUP BY w1, w2
+    ),
+    nll AS (
+      SELECT b.w1, b.w2,
+             -ln({_BIGRAM_LAM!r} * b.cb / u1.c
+                 + {(1.0 - _BIGRAM_LAM)!r} * u2.c / t.t_occ) AS nll
+      FROM bg b
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN tot t
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(nll), 4) AS mean_nll
+      FROM big JOIN nll USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, p.mean_nll
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document (Jelinek–Mercer
+    smoothing, lam=0.9 bigram / 0.1 unigram backoff) — the next
+    fidelity step of the CCNet/Gopher perplexity-filter family after
+    text_unigram_logprob, still 100% native expressions. The per-bigram
+    NLL is computed once on the distinct-bigram table; both engines
+    evaluate the identical double arithmetic, and the per-doc average
+    is rounded 4dp for cross-engine sum-order stability."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        bigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob(docs, lam=_BIGRAM_LAM)
+
+
 @query(
     "text_substring_dup_stride1",
     oracle=f"""

@@ -140,6 +140,88 @@ def rrf_fuse(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.9,
+) -> DataFrame:
+    """Per-document mean surprisal under an interpolated bigram LM
+    trained on the corpus itself — one fidelity step up from
+    :func:`unigram_logprob` toward the KenLM n-gram filters of
+    CCNet/Gopher, still entirely native expressions:
+
+        P(w2 | w1) = lam * c(w1 w2) / c(w1) + (1 - lam) * c(w2) / T
+
+    (fixed-weight Jelinek–Mercer interpolation; the unigram backoff
+    term keeps every probability > 0 because each observed token has
+    corpus count >= 1). ``mean_nll`` averages ``-ln P`` over the doc's
+    bigram positions, rounded 4dp; docs with < 2 tokens report
+    n_bigrams = 0 and NULL mean_nll.
+
+    Plan shape: one explode for unigram counts, one bigram explode
+    (array ``transform`` over token positions — no self-join), a
+    bigram-count hash aggregate, and the per-bigram NLL computed ONCE
+    on the distinct-bigram table before joining back to occurrences.
+    All joins are equi-joins on token/bigram keys — O(total tokens),
+    nothing quadratic; corpus total rides the single-row crossJoin.
+    """
+    toks_arr = docs.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("t")
+    )
+    occ = toks_arr.select(id_col, F.explode("t").alias("w"))
+    uni = occ.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = uni.agg(F.sum("c").alias("t_occ"))
+    big = (
+        toks_arr.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cb"))
+    uni1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    uni2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    nll_tab = (
+        bg.join(uni1, "w1")
+        .join(uni2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    F.lit(lam) * F.col("cb") / F.col("c1")
+                    + F.lit(1.0 - lam) * F.col("c2") / F.col("t_occ")
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = (
+        big.join(nll_tab, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_nll",
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",

@@ -137,3 +137,58 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — the planner
     reads bucket layout from the catalog and elides both shuffles."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join-key skew diagnostics — the report an engineer reads BEFORE
+    shuffling a 100 TB fact table on ``key_col``: the ``top_k``
+    heaviest keys with their row share, the global max/avg skew ratio,
+    and the per-key salt factor (:func:`salted_join`'s ``n_salts``)
+    that would level each hot key to an average-sized task.
+
+    Plan: one per-key hash aggregate (map-side combined), a tiny
+    4-column global aggregate over the key counts, and a top-k via
+    ``orderBy(...).limit(k)`` — Spark's TakeOrdered keeps the sort a
+    per-partition partial top-k, never a single-reducer full sort of
+    the key space (which for a billion-user table is itself big data).
+
+    Cross-engine determinism: every count stays an exact BIGINT and
+    avg_cnt is derived as one double division n_rows / n_keys, so both
+    engines evaluate bit-identical doubles (no float aggregation whose
+    sum order could differ); ties in the top-k break by key.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.col(key_col)).limit(top_k)
+    avg_cnt = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    w = Window.orderBy(F.desc("cnt"), F.col(key_col))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("cnt"),
+            "rank",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("share"),
+            F.round(F.col("max_cnt").cast("double") / avg_cnt, 4).alias(
+                "skew_ratio"
+            ),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("cnt").cast("double") / avg_cnt),
+            ).alias("suggested_salt"),
+            F.col("n_keys"),
+        )
+    )
