@@ -228,3 +228,110 @@ def curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         precomputed_pairs=shared_jaccard_pairs(spark, sf_dir),
     )
     return stats
+
+
+@query(
+    "corpus_stats_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, {_QUALITY} AS q,
+             CAST(len({_DUCK_TOKS_CASED}) AS BIGINT) AS n_tok,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             ROUND(AVG(q), 4) AS mean_quality,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique
+      FROM base GROUP BY source
+    ),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang),
+    ent AS (
+      SELECT lc.source,
+             ROUND(SUM(-(CAST(lc.c AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+                       * ln(CAST(lc.c AS DOUBLE) / CAST(p.n_docs AS DOUBLE))),
+                   6) AS lang_entropy
+      FROM lc JOIN per_src p USING (source) GROUP BY lc.source
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.mean_quality, p.n_langs,
+           ROUND(1.0 - CAST(p.n_unique AS DOUBLE) / CAST(p.n_docs AS DOUBLE),
+                 6) AS dup_rate,
+           e.lang_entropy
+    FROM per_src p JOIN ent e USING (source)
+    ORDER BY p.source
+    """,
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (datasheet practice, Gebru et al. 2021):
+    volume, mean quality, language spread + entropy, exact-dup rate —
+    the release-gate summary of a training corpus. Counts stay exact
+    BIGINTs on both engines; ratios/entropy rounded against
+    summation-order drift."""
+    from hummingbirddatapipeline_spark.pipelines.curation import corpus_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
+@query(
+    "curation_source_gate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT DISTINCT x AS doc_id FROM (
+        SELECT p.id_a AS x FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE inter / (sa.n + sb.n - inter) >= 0.85
+        UNION ALL
+        SELECT p.id_b FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE inter / (sa.n + sb.n - inter) >= 0.85
+      )
+    ),
+    base AS (
+      SELECT doc_id, source, {_QUALITY} AS q FROM documents
+    )
+    SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(b.q), 4) AS mean_quality,
+           ROUND(CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS near_dup_frac,
+           ROUND(AVG(b.q), 4) >= 0.87
+             AND ROUND(CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) <= 0.80 AS kept
+    FROM base b LEFT JOIN nd USING (doc_id)
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def curation_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level gating (the FineWeb/RefinedWeb move): sources are
+    scored on mean quality and the fraction of their docs involved in
+    near-dup pairs (exact Jaccard >= 0.85, the shared checkpointed pair
+    set), and whole sources below the bar are dropped. The verdict
+    table is the oracled surface; the doc-level filter is a broadcast
+    semi-join on the surviving sources."""
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.pipelines.curation import source_gate
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    _, verdicts = source_gate(
+        docs, pairs, min_mean_quality=0.87, max_near_dup_frac=0.80
+    )
+    return verdicts

@@ -145,3 +145,118 @@ def curate_corpus(
             df.select(F.count("*").alias("n")).withColumn("stage", F.lit(stage))
         )
     return clean, stats.select("stage", "n")
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-source dataset card — the summary table a corpus release
+    ships with (datasheet/data-card practice; Gebru et al. 2021): doc
+    and token volume, mean heuristic quality, language spread (distinct
+    langs + Shannon entropy of the language mix), and the exact-dup
+    rate (1 - distinct fingerprints / docs).
+
+    Plan: one scan computes quality/token/fingerprint columns, then two
+    hash aggregates keyed on source and (source, lang) — both map-side
+    combined; the per-source table (thousands of rows at worst) joins
+    back broadcast. Cross-engine determinism: all counts stay exact
+    BIGINTs; only the final ratios divide, and entropy/mean-quality are
+    rounded (6dp/4dp) against summation-order drift.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    base = docs.select(
+        "source",
+        "lang",
+        F.round(quality_score(F.col("text")), 2).alias("q"),
+        ws_token_count(F.col("text")).cast("long").alias("n_tok"),
+        fingerprint(F.col("text")).alias("f"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("f").alias("n_unique"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    p = F.col("c").cast("double") / F.col("n_docs").cast("double")
+    ent = (
+        lc.join(per_src.select("source", "n_docs"), "source")
+        .groupBy("source")
+        .agg(F.round(F.sum(-p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    return (
+        per_src.join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "n_langs",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            "lang_entropy",
+        )
+    )
+
+
+def source_gate(
+    docs: DataFrame,
+    pairs: DataFrame,
+    min_mean_quality: float = 0.87,
+    max_near_dup_frac: float = 0.80,
+) -> tuple[DataFrame, DataFrame]:
+    """Domain-level curation gate (the FineWeb/RefinedWeb move): score
+    each SOURCE by its aggregate signals — mean heuristic quality and
+    the fraction of its docs involved in near-dup pairs — and drop
+    whole sources below the bar, on the logic that a domain that is
+    mostly boilerplate or cross-duplicated is bad at the domain level,
+    not per-document.
+
+    ``pairs`` is the corpus near-dup edge list (id_a, id_b) from any
+    generator (exact Jaccard, MinHash-LSH). Returns (kept_docs,
+    verdicts) where verdicts is one row per source: (source, n_docs,
+    mean_quality, near_dup_frac, kept).
+
+    Plan: near-dup membership is a distinct over the pair endpoints
+    (skinny ids-only shuffle), one per-source aggregate, and the
+    surviving-source set — tiny by construction — broadcasts back as a
+    semi-join filter on the corpus scan. Counts stay exact BIGINTs so
+    both engines evaluate identical ratio doubles.
+    """
+    nd_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__nd", F.lit(1).cast("long"))
+    )
+    base = docs.select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 2).alias("q")
+    )
+    verdicts = (
+        base.join(nd_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.round(
+                F.sum(F.coalesce(F.col("__nd"), F.lit(0))).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("near_dup_frac"),
+        )
+        .withColumn(
+            "kept",
+            (F.col("mean_quality") >= min_mean_quality)
+            & (F.col("near_dup_frac") <= max_near_dup_frac),
+        )
+    )
+    kept_docs = docs.join(
+        F.broadcast(verdicts.filter(F.col("kept")).select("source")),
+        "source",
+        "left_semi",
+    )
+    return kept_docs, verdicts
