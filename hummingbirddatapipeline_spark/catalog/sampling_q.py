@@ -377,3 +377,106 @@ def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakfree(
         docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0"
     )
+
+
+_DUCK_8GRAMS = """
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+                    THEN list_distinct(list_transform(range(len(t) - 7),
+                         i -> array_to_string(t[i + 1 : i + 8], ' ')))
+                    ELSE []::VARCHAR[] END) AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents)"""
+
+
+def _duck_overlap_row(method: str, split_cte: str) -> str:
+    return f"""
+    SELECT '{method}' AS split_method,
+           d.n_train_docs, d.n_val_docs,
+           CAST(SUM(f.iv) AS BIGINT) AS n_val_grams,
+           CAST(SUM(f.iv * f.it) AS BIGINT) AS n_overlap_grams,
+           ROUND(CAST(SUM(f.iv * f.it) AS DOUBLE)
+                 / CAST(SUM(f.iv) AS DOUBLE), 6) AS overlap_frac
+    FROM (
+      SELECT g.g,
+             MAX(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS it,
+             MAX(CASE WHEN s.split = 'val' THEN 1 ELSE 0 END) AS iv
+      FROM grams g JOIN {split_cte} s USING (doc_id) GROUP BY g.g
+    ) f
+    CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train_docs,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val_docs
+      FROM {split_cte}
+    ) d
+    GROUP BY d.n_train_docs, d.n_val_docs"""
+
+
+@query(
+    "sample_split_ngram_overlap",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES},
+    leak AS (
+      SELECT d.doc_id,
+             CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                       AS STRING) || ':split0'), 1, 4)
+                       < '{_T10}'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN cc c ON c.node = d.doc_id
+    ),
+    naive AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS STRING) || ':split0'),
+                              1, 4) < '{_T10}'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    ),
+    grams AS ({_DUCK_8GRAMS}
+    )
+    {_duck_overlap_row("leakfree_cluster", "leak")}
+    UNION ALL
+    {_duck_overlap_row("naive_doc_hash", "naive")}
+    ORDER BY split_method
+    """,
+)
+def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-leakage AUDIT: distinct word 8-gram overlap between
+    the val and train sides, measured for BOTH the cluster-unit
+    leak-free split and a naive doc-hash split at the same fraction and
+    seed. The side-by-side is the point — cluster-unit assignment must
+    not exceed the naive split's leakage, and the driver hashes every
+    field of both report rows (doc counts, gram counts, overlap
+    fraction), so a regression in the splitter, the CC closure, or the
+    gram pipeline moves a number and goes red."""
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        _bucket_hex,
+        split_leakfree,
+        split_ngram_overlap,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    lf = split_leakfree(
+        docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0"
+    ).select("doc_id", "split")
+    naive = docs.select(
+        "doc_id",
+        F.when(
+            _bucket_hex(F.col("doc_id"), "split0") < F.lit(_T10), "val"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    r_lf = split_ngram_overlap(docs, lf).select(
+        F.lit("leakfree_cluster").alias("split_method"), "*"
+    )
+    r_nv = split_ngram_overlap(docs, naive).select(
+        F.lit("naive_doc_hash").alias("split_method"), "*"
+    )
+    return r_lf.unionByName(r_nv)

@@ -279,3 +279,83 @@ def split_leakfree(
         cluster.alias("cluster_id"),
         F.when(is_val, F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def split_ngram_overlap(
+    docs: DataFrame,
+    split_assign: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split n-gram leakage audit — the measurement that PROVES a
+    train/val split is leak-free (Lee et al. 2022's argument for dedup
+    before splitting): how many distinct word n-grams of the val side
+    also occur on the train side.
+
+    ``split_assign`` maps ``id_col`` to 'train' | 'val' (any splitter:
+    :func:`split_leakfree`, a naive doc-hash split). Returns ONE row:
+    (n_train_docs, n_val_docs, n_val_grams, n_overlap_grams,
+    overlap_frac). Run it on two splitters and compare — cluster-unit
+    assignment should strictly reduce overlap vs doc-unit assignment.
+
+    Plan: one corpus scan explodes n-grams (hashed to 8-byte longs
+    post-explode, the contamination operator's trick — a cross-gram
+    xxhash64 collision needs ~2^32 distinct grams for birthday odds),
+    ONE hash aggregate on the gram computes per-gram train/val
+    membership flags, and a scalar aggregate reduces to the report row
+    — no gram self-join, no second scan. Doc counts ride the standard
+    single-row crossJoin.
+    """
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        word_ngrams,
+    )
+
+    tagged = docs.select(id_col, text_col).join(
+        split_assign.select(id_col, split_col), id_col
+    )
+    flags = (
+        tagged.select(
+            F.col(split_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .select(split_col, F.xxhash64("g").alias("gh"))
+        .groupBy("gh")
+        .agg(
+            F.max(
+                F.when(F.col(split_col) == "train", 1).otherwise(0)
+            ).alias("in_train"),
+            F.max(F.when(F.col(split_col) == "val", 1).otherwise(0)).alias(
+                "in_val"
+            ),
+        )
+    )
+    gram_row = flags.agg(
+        F.sum("in_val").cast("long").alias("n_val_grams"),
+        F.sum(F.col("in_val") * F.col("in_train"))
+        .cast("long")
+        .alias("n_overlap_grams"),
+    )
+    doc_row = tagged.agg(
+        F.sum(F.when(F.col(split_col) == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col(split_col) == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val_docs"),
+    )
+    return (
+        doc_row.crossJoin(F.broadcast(gram_row))
+        .select(
+            "n_train_docs",
+            "n_val_docs",
+            "n_val_grams",
+            "n_overlap_grams",
+            F.round(
+                F.col("n_overlap_grams").cast("double")
+                / F.col("n_val_grams").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
