@@ -310,3 +310,63 @@ def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_event_id",
         )
     )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    segged AS (
+      SELECT *,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM flagged
+    ),
+    per_seg AS (
+      SELECT user_id, seg, MIN(event_type) AS event_type,
+             CAST(MIN(ts_ms) AS BIGINT) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM segged GROUP BY user_id, seg
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to, n_events,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+           LEAD(valid_from) OVER w2 IS NULL AS is_current
+    FROM per_seg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+    ORDER BY user_id, version
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream: each user's
+    consecutive same-type runs collapse into versioned validity
+    intervals (valid_from, valid_to], NULL-open on the current one —
+    the warehouse pattern behind "what was the user's state at time
+    t" as-of lookups. One shuffle on user_id serves the change-flag
+    window, the segment aggregate, and the interval chain."""
+    from hummingbirddatapipeline_spark.operators.temporal import scd2_history
+
+    ev = _ts_ms(load(spark, sf_dir, "events"))
+    return scd2_history(
+        ev, "user_id", "event_type", "ts_ms", "event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "n_events",
+        "version",
+        "is_current",
+    )

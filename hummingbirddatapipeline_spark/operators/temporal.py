@@ -157,3 +157,58 @@ def range_join(
     out_cols.append(F.col("__rt").alias(right_ts))
     out_cols.extend(F.col(c) for c in right_cols)
     return l_.join(r, [*keys, "__bucket"], "inner").filter(in_range).select(*out_cols)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an event stream into SCD Type-2 validity intervals —
+    the slowly-changing-dimension build every warehouse runs to answer
+    "what was this entity's attribute AT time t": consecutive rows with
+    the same ``attr_col`` merge into one versioned interval
+    (valid_from, valid_to], open-ended for the current value (Kimball's
+    type-2 dimension; the gaps-and-islands formulation).
+
+    Returns (key, attr, valid_from, valid_to, n_events, version,
+    is_current) where valid_from/valid_to carry ``ts_col``'s values,
+    valid_to is NULL on each key's live interval, and version numbers
+    intervals 1..k in time order.
+
+    Scale: every window and the segment aggregate partition on
+    ``key_col`` alone, so Catalyst reuses ONE hash exchange for the
+    change-flag window, the groupBy, and the lead/version window — the
+    whole build is a single shuffle of (key, attr, ts, tiebreak)-width
+    rows regardless of history depth. Ordering ties break on
+    ``tiebreak_col`` so the segmentation is total-order deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(attr_col)).over(w)
+    seg = F.sum(
+        F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_seg = (
+        df.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("__seg", seg)
+        .groupBy(key_col, "__seg")
+        .agg(
+            F.min(attr_col).alias(attr_col),
+            F.min(ts_col).alias("valid_from"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    # order the interval chain by segment index, not valid_from: two
+    # segments of one key can share a timestamp (same-ms flip-flop),
+    # and __seg is the change-order total order by construction
+    w2 = Window.partitionBy(key_col).orderBy("__seg")
+    return (
+        per_seg.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__seg")
+    )
