@@ -66,6 +66,12 @@ HEADLINE = [
     "sample_temperature_mix",
     "text_dedup_representatives",
     "curation_funnel_gated",
+    "text_bigram_logprob",
+    "dq_skew_report",
+    "corpus_stats_report",
+    "curation_source_gate",
+    "sample_split_ngram_overlap",
+    "scd2_user_event_history",
 ]
 
 

@@ -167,11 +167,17 @@ DRIVER_WINDOW: list[str] = [
     # new in round 6
     "text_bm25_topk",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_substring_dup_stride1",
     "search_hybrid_rrf",
     "sample_temperature_mix",
+    "sample_split_ngram_overlap",
     "text_dedup_representatives",
     "curation_funnel_gated",
+    "corpus_stats_report",
+    "curation_source_gate",
+    "scd2_user_event_history",
+    "dq_skew_report",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",
@@ -186,9 +192,10 @@ DRIVER_WINDOW: list[str] = [
     "band_join_balance_siblings",
     "latest_filing_plus_history",
     "grouping_sets_counters",
-    "hhi_supplier_concentration",
-    "safe_divide_discount_rate",
-    "topk_orders_by_price",
+    # (hhi_supplier_concentration / safe_divide_discount_rate /
+    # topk_orders_by_price rotated out in favor of the six new round-6
+    # queries: all three were driver-green in r4 and re-verified by the
+    # local differential harness this round)
 ]
 
 

@@ -249,11 +249,12 @@ def curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang),
     ent AS (
-      SELECT lc.source,
-             ROUND(SUM(-(CAST(lc.c AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
-                       * ln(CAST(lc.c AS DOUBLE) / CAST(p.n_docs AS DOUBLE))),
+      SELECT source,
+             ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                   - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(SUM(c) AS DOUBLE),
                    6) AS lang_entropy
-      FROM lc JOIN per_src p USING (source) GROUP BY lc.source
+      FROM lc GROUP BY source
     )
     SELECT p.source, p.n_docs, p.total_tokens, p.mean_quality, p.n_langs,
            ROUND(1.0 - CAST(p.n_unique AS DOUBLE) / CAST(p.n_docs AS DOUBLE),

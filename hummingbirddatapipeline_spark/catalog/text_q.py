@@ -558,9 +558,11 @@ _BIGRAM_LAM = 0.9
       FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
             FROM toks WHERE len(t) >= 2)
     ),
-    bg AS (
-      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM big GROUP BY w1, w2
+    dtf AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM big GROUP BY doc_id, w1, w2
     ),
+    bg AS (SELECT w1, w2, SUM(tf) AS cb FROM dtf GROUP BY w1, w2),
     nll AS (
       SELECT b.w1, b.w2,
              -ln({_BIGRAM_LAM!r} * b.cb / u1.c
@@ -571,9 +573,9 @@ _BIGRAM_LAM = 0.9
       CROSS JOIN tot t
     ),
     per_doc AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             ROUND(AVG(nll), 4) AS mean_nll
-      FROM big JOIN nll USING (w1, w2) GROUP BY doc_id
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(tf * nll) / SUM(tf), 4) AS mean_nll
+      FROM dtf JOIN nll USING (w1, w2) GROUP BY doc_id
     )
     SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, p.mean_nll
     FROM documents d LEFT JOIN per_doc p USING (doc_id)

@@ -159,18 +159,30 @@ def bigram_logprob(
     bigram positions, rounded 4dp; docs with < 2 tokens report
     n_bigrams = 0 and NULL mean_nll.
 
-    Plan shape: one explode for unigram counts, one bigram explode
-    (array ``transform`` over token positions — no self-join), a
-    bigram-count hash aggregate, and the per-bigram NLL computed ONCE
-    on the distinct-bigram table before joining back to occurrences.
-    All joins are equi-joins on token/bigram keys — O(total tokens),
-    nothing quadratic; corpus total rides the single-row crossJoin.
+    Plan shape: one explode for unigram counts and ONE bigram explode
+    (array ``transform`` over token positions — no self-join) that
+    immediately aggregates to the per-(doc, bigram) tf table;
+    everything downstream — corpus bigram counts, the per-bigram NLL
+    (computed once on the distinct-bigram table), and the tf-weighted
+    per-doc mean — reuses that table instead of re-exploding the
+    corpus. All joins are equi-joins on token/bigram keys — O(total
+    tokens), nothing quadratic; the corpus total rides the single-row
+    crossJoin.
     """
     toks_arr = docs.select(
         F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("t")
     )
     occ = toks_arr.select(id_col, F.explode("t").alias("w"))
-    uni = occ.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    # The vocabulary count table is consumed three times (w1 side, w2
+    # side, corpus total); without materialization Spark re-runs the
+    # corpus explode for each branch (no exchange reuse across the
+    # differently-pruned subplans). It is vocabulary-sized — tiny next
+    # to the corpus at any scale — so localCheckpoint it once.
+    uni = (
+        occ.groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint()
+    )
     total = uni.agg(F.sum("c").alias("t_occ"))
     big = (
         toks_arr.filter(F.size("t") >= 2)
@@ -185,31 +197,34 @@ def bigram_logprob(
         )
         .select(id_col, "p.w1", "p.w2")
     )
-    bg = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cb"))
+    dtf = big.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    # corpus bigram count as a window sum over the (doc, bigram) tf
+    # table: dtf is consumed ONCE — no second corpus explode to build
+    # a separate bigram-count table. Sums of integer-valued doubles
+    # are exact, so cb is bit-identical to a groupBy formulation.
+    wb = Window.partitionBy("w1", "w2")
     uni1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     uni2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
-    nll_tab = (
-        bg.join(uni1, "w1")
+    scored = (
+        dtf.withColumn("cb", F.sum("tf").over(wb))
+        .join(uni1, "w1")
         .join(uni2, "w2")
         .crossJoin(F.broadcast(total))
-        .select(
-            "w1",
-            "w2",
-            (
-                -F.log(
-                    F.lit(lam) * F.col("cb") / F.col("c1")
-                    + F.lit(1.0 - lam) * F.col("c2") / F.col("t_occ")
-                )
-            ).alias("nll"),
+        .withColumn(
+            "nll",
+            -F.log(
+                F.lit(lam) * F.col("cb") / F.col("c1")
+                + F.lit(1.0 - lam) * F.col("c2") / F.col("t_occ")
+            ),
         )
     )
-    per_doc = (
-        big.join(nll_tab, ["w1", "w2"])
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg("nll"), 4).alias("mean_nll"),
-        )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * F.col("nll")) / F.sum("tf"), 4).alias(
+            "mean_nll"
+        ),
     )
     return (
         docs.select(id_col)

@@ -177,12 +177,18 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("f").alias("n_unique"),
     )
+    # Shannon entropy via H = ln(n) - sum(c * ln c) / n: algebraically
+    # identical to -sum(p ln p) but needs only the (source, lang)
+    # counts — no join back to the per-source totals, so the heavy
+    # quality/fingerprint branch is computed exactly once
     lc = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
-    p = F.col("c").cast("double") / F.col("n_docs").cast("double")
-    ent = (
-        lc.join(per_src.select("source", "n_docs"), "source")
-        .groupBy("source")
-        .agg(F.round(F.sum(-p * F.log(p)), 6).alias("lang_entropy"))
+    c_d = F.col("c").cast("double")
+    ent = lc.groupBy("source").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(c_d * F.log(c_d)) / F.sum("c").cast("double"),
+            6,
+        ).alias("lang_entropy")
     )
     return (
         per_src.join(ent, "source")

@@ -38,10 +38,14 @@ def test_driver_window_rotation_policy():
     """The driver samples the first 50 registered queries; make the
     rotation policy executable: (1) every DRIVER_WINDOW name exists and
     registers before any non-window name, (2) the window fits the
-    driver's 50-slot budget, (3) every registered query is reachable —
-    anything past slot 50 must be a long-stable row (was green when
-    last sampled), which we approximate by requiring the overflow count
-    to stay within the 47 rows green in the two most recent rounds."""
+    driver's 50-slot budget, (3) every query OUTSIDE the first 50 slots
+    (which the driver will NOT sample this round) was driver-green when
+    last sampled — checked against the actual CORRECTNESS_r{N}.json
+    records, so a red or never-sampled row can never rotate out."""
+    import glob
+    import json
+    import os
+
     from hummingbirddatapipeline_spark.catalog import DRIVER_WINDOW, QUERIES
 
     names = list(QUERIES)
@@ -49,12 +53,21 @@ def test_driver_window_rotation_policy():
     assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) <= 50
-    # 48 rows were driver-green in r5 (CORRECTNESS_r05.json) and 33 in
-    # r4; the overflow (unsampled this round) must not exceed the
-    # recently-re-verified pool, or rows would go permanently dark.
-    assert len(names) - 50 <= 47, (
-        f"{len(names) - 50} queries fall outside the driver window; "
-        "rotate more stable rows out or trim the catalog"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            # last-sample-wins: a later red overrides an earlier green
+            ok = bool(rec.get("rows_match")) and bool(rec.get("hash_match"))
+            (green.add if ok else green.discard)(name)
+    dark = [n for n in names[50:] if n not in green]
+    assert not dark, (
+        f"queries outside the driver window without a green driver row "
+        f"from their last sample: {dark} — keep them inside the first "
+        "50 slots until the driver has verified them"
     )
 
 

@@ -90,3 +90,35 @@ def test_minhash_pipeline_no_cartesian(spark, sf_dir):
         )
     )
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """The SCD2 build must reuse ONE hash exchange on the entity key
+    for the change-flag window, the segment aggregate, and the
+    interval chain — history depth must not multiply shuffles."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["scd2_user_event_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skew_report_topk_not_global_sort(spark, sf_dir):
+    """The hot-key cut must be TakeOrdered (per-partition partial
+    top-k), never a single-reducer global sort of the key space."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["dq_skew_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_single_bigram_explode(spark, sf_dir):
+    """The bigram LM must explode the corpus into bigrams exactly once
+    (dtf consumed via window sum, vocab table checkpointed) — the
+    2x-corpus-explode shape is the regression this pins out."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["text_bigram_logprob"](spark, sf_dir))
+    # one unigram-occurrence explode + one bigram explode, nothing more
+    assert plan.count("Generate explode") <= 2
+    assert "CartesianProduct" not in plan

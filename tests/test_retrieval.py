@@ -118,3 +118,32 @@ def test_bm25_plan_has_no_cartesian_on_corpus(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     plan = bm25_topk(docs, ["hash", "join"], k=10)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        bigram_logprob,
+    )
+
+    # corpus: uni a:3 b:2 T=5; bigrams (a,b):2 (b,a):1
+    docs = _docs(spark, [(1, "a b"), (2, "a b a")])
+    out = {r["doc_id"]: r for r in bigram_logprob(docs, lam=0.9).collect()}
+    p_ab = 0.9 * 2 / 3 + 0.1 * 2 / 5
+    p_ba = 0.9 * 1 / 2 + 0.1 * 3 / 5
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["mean_nll"] == round(-math.log(p_ab), 4)
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["mean_nll"] == round(
+        (-math.log(p_ab) - math.log(p_ba)) / 2, 4
+    )
+
+
+def test_bigram_logprob_short_doc_is_null(spark):
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        bigram_logprob,
+    )
+
+    docs = _docs(spark, [(1, "solo"), (2, "two words")])
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["mean_nll"] is None
+    assert out[2]["n_bigrams"] == 1 and out[2]["mean_nll"] is not None

@@ -184,3 +184,42 @@ def test_temperature_mix_flattens_skew(spark, sf_dir):
             assert q_share < nat_share
         else:  # low-resource: upweighted
             assert q_share > nat_share
+
+
+def test_split_ngram_overlap_counts(spark):
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        split_ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),   # train: grams a..h, b..i
+            (2, "a b c d e f g h"),     # val: gram a..h (leaks)
+            (3, "p q r s t u v w"),     # val: gram p..w (clean)
+        ],
+        "doc_id long, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "val")], "doc_id long, split string"
+    )
+    row = split_ngram_overlap(docs, split, n=8).collect()[0]
+    assert row["n_train_docs"] == 1 and row["n_val_docs"] == 2
+    assert row["n_val_grams"] == 2
+    assert row["n_overlap_grams"] == 1
+    assert row["overlap_frac"] == 0.5
+
+
+def test_split_ngram_overlap_disjoint_is_zero(spark):
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        split_ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "q r s t u v w x")],
+        "doc_id long, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "val")], "doc_id long, split string"
+    )
+    row = split_ngram_overlap(docs, split, n=8).collect()[0]
+    assert row["n_overlap_grams"] == 0 and row["overlap_frac"] == 0.0

@@ -152,3 +152,27 @@ def test_merge_rollups_equals_full_rollup(spark):
     )
     got = {r["k"]: (r["n"], r["cents"]) for r in merged.collect()}
     assert got == full
+
+
+def test_key_skew_report_hand_computed(spark):
+    from hummingbirddatapipeline_spark.operators.scale import key_skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_k=2).collect()
+    assert [r["key"] for r in out] == ["a", "b"]
+    a, b = out
+    # n_rows=10, n_keys=4, avg=2.5
+    assert a["cnt"] == 6 and a["share"] == 0.6 and a["n_keys"] == 4
+    assert a["skew_ratio"] == 2.4
+    assert a["suggested_salt"] == 3  # ceil(6 / 2.5)
+    assert b["suggested_salt"] == 1  # ceil(0.8) but floored at 1
+    assert a["rank"] == 1 and b["rank"] == 2
+
+
+def test_key_skew_report_tie_breaks_by_key(spark):
+    from hummingbirddatapipeline_spark.operators.scale import key_skew_report
+
+    df = spark.createDataFrame([("z",), ("y",), ("x",)], "k string")
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert [r["key"] for r in out] == ["x", "y", "z"]

@@ -102,3 +102,41 @@ def test_hypertable_rollup_conserves_totals(spark):
         abs(by_grain["hour"][1] - by_grain["day"][1]) < 0.01
         and abs(by_grain["day"][1] - by_grain["week"][1]) < 0.01
     )
+
+
+def test_scd2_history_intervals(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, "A", 1, 10),
+        (1, "A", 2, 11),
+        (1, "B", 3, 12),
+        (1, "A", 5, 13),
+    ]
+    df = spark.createDataFrame(rows, "uid long, attr string, ts long, eid long")
+    out = sorted(
+        scd2_history(df, "uid", "attr", "ts", "eid").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["attr"], r["valid_from"], r["valid_to"], r["n_events"]) for r in out] == [
+        ("A", 1, 3, 2),
+        ("B", 3, 5, 1),
+        ("A", 5, None, 1),
+    ]
+    assert [r["is_current"] for r in out] == [False, False, True]
+
+
+def test_scd2_same_timestamp_flip_is_deterministic(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import scd2_history
+
+    rows = [(2, "B", 1, 21), (2, "A", 1, 20)]
+    df = spark.createDataFrame(rows, "uid long, attr string, ts long, eid long")
+    out = sorted(
+        scd2_history(df, "uid", "attr", "ts", "eid").collect(),
+        key=lambda r: r["version"],
+    )
+    # event_id tiebreak: A (eid 20) first, then B; both valid_from=1
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in out] == [
+        ("A", 1, 1),
+        ("B", 1, None),
+    ]
