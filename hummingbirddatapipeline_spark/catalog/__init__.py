@@ -178,6 +178,8 @@ DRIVER_WINDOW: list[str] = [
     "curation_source_gate",
     "scd2_user_event_history",
     "dq_skew_report",
+    "text_repetition_battery",
+    "curation_quality_percentile",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",

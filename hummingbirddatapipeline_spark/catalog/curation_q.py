@@ -6,6 +6,7 @@ quality gate, exact fingerprint dedup, greedy near-dup drop).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
@@ -336,3 +337,46 @@ def curation_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs, min_mean_quality=0.87, max_near_dup_frac=0.80
     )
     return verdicts
+
+
+@query(
+    "curation_quality_percentile",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY} AS quality FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             ROUND(PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY quality, doc_id), 6) AS pct_rank
+      FROM scored
+    )
+    SELECT doc_id, source, quality, pct_rank, pct_rank >= 0.5 AS kept
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile gate — the FineWeb-style
+    calibration move: absolute quality thresholds misfire when sources
+    have different score distributions, so each doc is ranked WITHIN
+    its source (percent_rank over the source partition, doc_id
+    tiebreak for a total order) and the gate keeps each source's top
+    half. One shuffle on source; percent_rank is exact integer
+    arithmetic ((rank-1)/(n-1)) so both engines agree bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(quality_score(F.col("text")), 2).alias("quality"),
+        )
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("kept", F.col("pct_rank") >= 0.5)
+        .select("doc_id", "source", "quality", "pct_rank", "kept")
+    )

@@ -677,3 +677,72 @@ def text_substring_dup_stride1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac_s1"),
         )
     )
+
+
+def _battery_grams_cte(n: int) -> str:
+    return f"""
+      SELECT doc_id, chars, {n} AS n,
+             array_to_string(t[i + 1 : i + {n}], ' ') AS g
+      FROM (SELECT doc_id, chars, t,
+                   unnest(range(len(t) - {n} + 1)) AS i
+            FROM btoks WHERE len(t) >= {n})"""
+
+
+_BATTERY_NS = (2, 3, 4, 5, 6, 7, 8)
+_BATTERY_METRIC = {
+    n: (f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac")
+    for n in _BATTERY_NS
+}
+_BATTERY_PIVOT = ",\n           ".join(
+    f"COALESCE(MAX(CASE WHEN n = {n} THEN "
+    + ("topf" if n <= 4 else "dupf")
+    + f" END), 0.0) AS {_BATTERY_METRIC[n]}"
+    for n in _BATTERY_NS
+)
+
+
+@query(
+    "text_repetition_battery",
+    oracle=f"""
+    WITH btoks AS (
+      SELECT doc_id, length(text) AS chars, {_DUCK_TOKS_CASED} AS t
+      FROM documents
+    ),
+    grams AS ({" UNION ALL ".join(_battery_grams_cte(n) for n in _BATTERY_NS)}
+    ),
+    per_gram AS (
+      SELECT doc_id, chars, n, g, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, chars, n, g
+    ),
+    per_doc_n AS (
+      SELECT doc_id, n,
+             FLOOR(CAST(MAX(c * length(g)) AS DOUBLE)
+                   / NULLIF(CAST(MAX(chars) AS DOUBLE), 0.0)
+                   * 1000000 + 0.5) / 1000000 AS topf,
+             FLOOR(LEAST(1.0,
+                   CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                        AS DOUBLE)
+                   / NULLIF(CAST(MAX(chars) AS DOUBLE), 0.0))
+                   * 1000000 + 0.5) / 1000000 AS dupf
+      FROM per_gram GROUP BY doc_id, n
+    )
+    SELECT d.doc_id,
+           {_BATTERY_PIVOT}
+    FROM documents d LEFT JOIN per_doc_n p USING (doc_id)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition battery (Rae et al. 2021 §A1.1):
+    top-{2,3,4}-gram and duplicated-{5,6,7,8}-gram character fractions
+    per document, all seven gram sizes generated in ONE tagged explode
+    (one corpus scan, two shuffles — not seven pipelines). The dup
+    fractions use the standard occurrence-sum approximation of the
+    interval-union definition, capped at 1.0 and documented."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        repetition_battery,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_battery(docs, "text", "doc_id")

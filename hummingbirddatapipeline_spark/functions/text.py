@@ -303,3 +303,89 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 2):
             ).alias("repetitive"),
         )
     )
+
+
+def repetition_battery(df, text_col: str, id_col: str):
+    """The full Gopher repetition battery (Rae et al. 2021 §A1.1):
+    per-document char-coverage of repeated word n-grams across seven
+    gram sizes in ONE pass —
+
+      - top_{2,3,4}gram_char_frac: chars covered by the single most
+        char-covering n-gram (max over grams of count * len(gram),
+        over doc chars);
+      - dup_{5,6,7,8}gram_char_frac: chars covered by ALL duplicated
+        n-grams (sum over grams with count > 1 of count * len(gram),
+        over doc chars, capped at 1.0 — the standard occurrence-sum
+        approximation of Gopher's interval-union definition, which
+        over-counts overlapping repeats; documented, deterministic).
+
+    Scale shape: all seven gram sizes are generated inside one array
+    expression and exploded ONCE (tagged (n, gram) rows), then two
+    hash aggregates — (doc, n, gram) counts, then per-(doc, n) metrics
+    — and a final pivot-style aggregate to one row per doc. Seven
+    separate explode+agg pipelines would scan the corpus seven times;
+    this is one scan, two shuffles, regardless of how many gram sizes
+    ride along. Fractions FLOOR-quantized at 6dp (cross-engine rule).
+    """
+    ns = (2, 3, 4, 5, 6, 7, 8)
+    toks = ws_tokens(F.col(text_col))
+    count = F.size(toks)
+
+    def grams_for(n: int):
+        g = lambda i: F.struct(  # noqa: E731
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(toks, i + 1, n), " ").alias("g"),
+        )
+        return F.when(
+            count >= n, F.transform(F.sequence(F.lit(0), count - n), g)
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("p"),
+    ).select(id_col, "__chars", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    per_gram = exploded.groupBy(id_col, "__chars", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    cl = F.col("c") * F.length("g")
+    per_doc_n = per_gram.groupBy(id_col, "__chars", "n").agg(
+        F.max(cl).alias("__top"),
+        F.sum(F.when(F.col("c") > 1, cl).otherwise(0)).alias("__dup"),
+    ).select(
+        F.col(id_col),
+        "n",
+        q6(
+            F.col("__top").cast("double")
+            / F.nullif(F.col("__chars").cast("double"), F.lit(0.0))
+        ).alias("topf"),
+        q6(
+            F.least(
+                F.lit(1.0),
+                F.col("__dup").cast("double")
+                / F.nullif(F.col("__chars").cast("double"), F.lit(0.0)),
+            )
+        ).alias("dupf"),
+    )
+    metric = {n: (f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac") for n in ns}
+    agg_cols = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.col("topf") if n <= 4 else F.col("dupf"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(metric[n])
+        for n in ns
+    ]
+    return (
+        df.select(id_col)
+        .join(per_doc_n.groupBy(id_col).agg(*agg_cols), id_col, "left")
+        .select(
+            id_col,
+            *[F.coalesce(metric[n], F.lit(0.0)).alias(metric[n]) for n in ns],
+        )
+    )

@@ -47,3 +47,38 @@ def test_curation_repetition_gate(spark):
     assert "repetition_kept" in st
     assert 1 not in kept and 2 in kept
     assert st["repetition_kept"] < st["quality_kept"]
+
+
+def test_repetition_battery_hand_computed(spark):
+    from hummingbirddatapipeline_spark.functions.text import (
+        repetition_battery,
+    )
+
+    # "x x x y": chars=7; 2-grams: "x x" x2, "x y" x1 -> top=2*3=6,
+    # dup=6; 3-grams distinct -> top=5, dup=0; 4-gram covers the whole
+    # doc; no 5..8-grams
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_battery(docs, "text", "doc_id").collect()}
+    r = out[1]
+    assert r["top_2gram_char_frac"] == 0.857143  # 6/7 q6
+    assert r["dup_5gram_char_frac"] == 0.0
+    assert r["top_3gram_char_frac"] == 0.714286  # 5/7 q6
+    assert r["top_4gram_char_frac"] == 1.0
+    # single-token doc: no grams at any size -> all zeros
+    assert all(v == 0.0 for k, v in out[2].asDict().items() if k != "doc_id")
+
+
+def test_repetition_battery_dup_frac_caps_at_one(spark):
+    from hummingbirddatapipeline_spark.functions.text import (
+        repetition_battery,
+    )
+
+    # heavy overlap: occurrence-sum would exceed doc chars; cap at 1.0
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 40))], "doc_id long, text string"
+    )
+    r = repetition_battery(docs, "text", "doc_id").collect()[0]
+    assert r["dup_5gram_char_frac"] == 1.0
+    assert r["dup_8gram_char_frac"] == 1.0
