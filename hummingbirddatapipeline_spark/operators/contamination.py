@@ -28,18 +28,25 @@ from pyspark.sql import functions as F
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct space-joined word n-grams of a text column (native
-    expressions only)."""
+    expressions only).
+
+    The token array is BOUND once per row (single-element-array
+    transform) before the per-position lambda: higher-order functions
+    are interpreted, and inlining the tokenizer in the lambda body
+    re-splits the document at every gram position — an O(L^2) blowup.
+    """
     toks = F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
 
-    def gram(i: Column) -> Column:
-        return F.array_join(F.slice(toks, i + 1, n), " ")
+    def grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
+    return F.array_distinct(F.transform(F.array(toks), grams)[0])
 
 
 def ngram_contamination(
