@@ -191,10 +191,23 @@ def fuzzy_join_levenshtein(
 
 def _char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams of a (normalized) string, padded with
-    one leading/trailing space so short strings still produce grams."""
+    one leading/trailing space so short strings still produce grams.
+
+    The padded string is BOUND once per row (single-element-array
+    transform): HOF lambda bodies are interpreted per element, so an
+    inlined concat would re-build the string at every gram position
+    (the repo-wide binding rule; see PLANS.md)."""
     padded = F.concat(F.lit(" "), col, F.lit(" "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substr(padded, i, F.lit(n))))
+
+    def grams(p: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(p) - (n - 1), F.lit(1))
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substr(p, i, F.lit(n)))
+        )
+
+    return F.transform(F.array(padded), grams)[0]
 
 
 def fuzzy_join_lsh(
