@@ -398,7 +398,16 @@ def similarity_near_dup_clusters_banded(
         (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
         dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
     )
-    uni = emb.unionByName(twins)
+    # Materialize the twin fixture: the quantize/dequantize expression
+    # is a nest of bound-lambda transforms, and when projection
+    # collapse inlines it into the Arrow signature UDF's argument,
+    # Spark's PythonUDF extraction fails at the checkpoint boundary
+    # ([INTERNAL_ERROR] Cannot evaluate expression: PythonUDF inside an
+    # InterpretedUnsafeProjection). Checkpointing the (tiny, fixture-
+    # sized) union gives the UDF a plain column input — and is also
+    # what a real pipeline does: you materialize the corpus once, not
+    # re-derive twins inside every downstream operator.
+    uni = emb.unionByName(twins).localCheckpoint()
     pairs = embedding_near_dup_pairs(
         uni, threshold=0.9, expected_dup_sim=0.9999
     ).select("id_a", "id_b")
