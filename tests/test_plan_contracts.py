@@ -122,3 +122,18 @@ def test_bigram_logprob_single_bigram_explode(spark, sf_dir):
     # one unigram-occurrence explode + one bigram explode, nothing more
     assert plan.count("Generate explode") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_banded_clusters_query_builds_and_checkpoints(spark, sf_dir):
+    """Regression: the quantized-twin fixture feeds an Arrow signature
+    UDF; with projection collapse inlining the bound-lambda
+    quantize/dequantize expression into the UDF argument, Spark 4
+    fails PythonUDF extraction at the checkpoint boundary
+    ([INTERNAL_ERROR] Cannot evaluate expression: PythonUDF). The
+    catalog query materializes the fixture first; building the plan
+    (which eagerly runs the checkpoints) must not raise."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES, invalidate
+
+    invalidate(sf_dir)
+    df = QUERIES["similarity_near_dup_clusters_banded"](spark, sf_dir)
+    assert df.columns == ["node", "cluster_id", "cluster_size"]
