@@ -72,6 +72,8 @@ HEADLINE = [
     "curation_source_gate",
     "sample_split_ngram_overlap",
     "scd2_user_event_history",
+    "events_anomaly_zscore",
+    "text_c4_filters",
 ]
 
 

@@ -191,6 +191,8 @@ DRIVER_WINDOW: list[str] = [
     "dq_skew_report",
     "text_repetition_battery",
     "curation_quality_percentile",
+    "events_anomaly_zscore",
+    "text_c4_filters",
     # (b) stale: last driver row r1 (heavy refactors since) or r4
     "scoring_customer_health",
     "scoring_990_model",
@@ -200,8 +202,9 @@ DRIVER_WINDOW: list[str] = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "serving_map_extract",
-    "search_topk_substring",
-    "union_dedup_segments",
+    # (search_topk_substring / union_dedup_segments rotated out for
+    # events_anomaly_zscore / text_c4_filters: both r1-green, code
+    # untouched since, and re-verified by the local harness this round)
     "band_join_balance_siblings",
     "latest_filing_plus_history",
     "grouping_sets_counters",

@@ -575,3 +575,98 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "hour_start_ms", "event_type", "n_events", "total_cents"
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             ((epoch_ns(ts) // 1000000) // {_HOUR_MS}) * {_HOUR_MS}
+               AS hour_start_ms,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS ss
+      FROM hourly GROUP BY event_type
+    ),
+    scored AS (
+      SELECT h.event_type, h.hour_start_ms, h.c,
+             CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+             sqrt(GREATEST(
+               (s.ss - (CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+                        / CAST(s.n AS DOUBLE))
+               / CAST(s.n - 1 AS DOUBLE), 0.0)) AS std
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE s.n > 1
+    )
+    SELECT event_type, hour_start_ms, c,
+           CASE WHEN std = 0 THEN NULL
+                ELSE ROUND((CAST(c AS DOUBLE) - mean) / std, 4) END AS z,
+           CASE WHEN std = 0 THEN FALSE
+                ELSE ABS(ROUND((CAST(c AS DOUBLE) - mean) / std, 4)) >= 3.0
+                END AS anomalous
+    FROM scored
+    ORDER BY event_type, hour_start_ms
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the event stream — the
+    observability query a pipeline runs on itself: hourly counts per
+    event type, z-scored against that type's own distribution, flagged
+    at |z| >= 3 (the classic three-sigma rule).
+
+    Cross-engine determinism is the engineering point: built-in
+    stddev aggregates (Welford single-pass vs two-pass) differ in last
+    ulps between engines, so the variance is computed EXPLICITLY from
+    exact integer sums — n, sum(c), sum(c^2) — with the identical
+    division/multiplication order on both sides (c^2 summed as doubles,
+    exact below 2^53; negative fp residue clamped at 0). One hourly
+    hash aggregate, a per-type stats aggregate (handful of rows,
+    broadcast back), zero windows.
+    """
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    hourly = (
+        ev.withColumn(
+            "hour_start_ms",
+            (F.col("ts_ms") - F.pmod("ts_ms", F.lit(_HOUR_MS))).cast("long"),
+        )
+        .groupBy("event_type", "hour_start_ms")
+        .agg(F.count("*").alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(cd * cd).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.greatest(
+        (
+            F.col("ss")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double"),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    z = F.round((cd - mean) / std, 4)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "hour_start_ms",
+            "c",
+            F.when(std == 0, F.lit(None).cast("double")).otherwise(z).alias("z"),
+            F.when(std == 0, F.lit(False))
+            .otherwise(F.abs(z) >= 3.0)
+            .alias("anomalous"),
+        )
+    )

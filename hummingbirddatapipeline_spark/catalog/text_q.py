@@ -754,3 +754,48 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return repetition_battery(docs, "text", "doc_id")
+
+
+@query(
+    "text_c4_filters",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS_CASED}) AS BIGINT) AS n_words,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') OR contains(text, '}}') AS has_brace,
+           contains(lower(text), 'javascript') AS has_javascript,
+           regexp_matches(rtrim(text), '[.!?"]$') AS ends_terminal,
+           len({_DUCK_TOKS_CASED}) >= 5
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT (contains(text, '{{') OR contains(text, '}}'))
+             AND NOT contains(lower(text), 'javascript') AS c4_keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2, public
+    recipe) as one map-side projection: word-count floor, lorem-ipsum
+    and curly-brace (code) and 'javascript' markers, terminal-
+    punctuation check, and the composed keep verdict. Pure native
+    string/regex expressions — a zero-shuffle scan at any corpus size;
+    every signal and the verdict are hash-compared against DuckDB.
+    (C4 also drops non-terminal LINES inside docs; this corpus is
+    single-line, so the line rule reduces to the doc-level
+    ends_terminal flag reported here.)"""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    low = F.lower(t)
+    n_words = TX.ws_token_count(t).cast("long")
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = t.contains("{") | t.contains("}")
+    has_js = low.contains("javascript")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript"),
+        (F.rtrim(t).rlike(r'[.!?"]$')).alias("ends_terminal"),
+        ((n_words >= 5) & ~has_lorem & ~has_brace & ~has_js).alias("c4_keep"),
+    )

@@ -99,3 +99,41 @@ def test_skew_report_arithmetic(spark):
         assert r["suggested_salt"] >= 1
         assert abs(r["share"] - round(cnt[r["key"]] / 500, 6)) < 1e-12
     assert out[0]["skew_ratio"] == round(max(cnt.values()) / (500 / len(cnt)), 4)
+
+
+def test_anomaly_zscore_flags_injected_spike(spark):
+    """A type whose hourly counts are flat except one large spike must
+    flag exactly the spike; a perfectly flat type has std 0 and no
+    flags (NULL z)."""
+    import hummingbirddatapipeline_spark.catalog.events_q as events_q
+
+    rows = []
+    eid = 0
+    for h in range(20):
+        n = 100 if h != 7 else 400  # spike at hour 7
+        for _ in range(n):
+            rows.append((eid, h * 3_600_000 * 1_000_000, 1, "click"))
+            eid += 1
+    for h in range(10):  # flat type
+        for _ in range(50):
+            rows.append((eid, h * 3_600_000 * 1_000_000, 2, "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    orig_load = events_q.load
+    try:
+        events_q.load = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+        out = events_q.events_anomaly_zscore.__wrapped__(spark, "/tmp/unused")
+        got = {
+            (r["event_type"], r["hour_start_ms"] // 3_600_000): r
+            for r in out.collect()
+        }
+    finally:
+        events_q.load = orig_load
+    clicks = [r for (t, _), r in got.items() if t == "click"]
+    assert sum(1 for r in clicks if r["anomalous"]) == 1
+    spike = next(r for r in clicks if r["anomalous"])
+    assert spike["c"] == 400 and spike["z"] > 3
+    views = [r for (t, _), r in got.items() if t == "view"]
+    assert all(r["z"] is None and not r["anomalous"] for r in views)
