@@ -57,3 +57,34 @@ def test_source_gate_drops_near_dup_heavy_source(spark):
     assert v["dupfarm"]["near_dup_frac"] == 1.0 and not v["dupfarm"]["kept"]
     assert v["good"]["near_dup_frac"] == 0.0 and v["good"]["kept"]
     assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+
+
+def test_c4_filters_flags(spark):
+    from hummingbirddatapipeline_spark.catalog import text_q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Lorem ipsum dolor sit amet etc."),
+            (2, "function() { return 1; }"),
+            (3, "A JavaScript tutorial for the web browser today."),
+            (4, "too short"),
+            (5, "This is a clean prose sentence with many words."),
+            (6, "no terminal punctuation here at all words words"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = text_q.load
+    try:
+        text_q.load = lambda s, d, n: docs  # noqa: ARG005
+        out = {
+            r["doc_id"]: r
+            for r in text_q.text_c4_filters.__wrapped__(spark, "x").collect()
+        }
+    finally:
+        text_q.load = orig
+    assert out[1]["has_lorem"] and not out[1]["c4_keep"]
+    assert out[2]["has_brace"] and not out[2]["c4_keep"]
+    assert out[3]["has_javascript"] and not out[3]["c4_keep"]
+    assert out[4]["n_words"] == 2 and not out[4]["c4_keep"]
+    assert out[5]["c4_keep"] and out[5]["ends_terminal"]
+    assert out[6]["c4_keep"] and not out[6]["ends_terminal"]
