@@ -1,0 +1,72 @@
+"""Round-over-round bench diff: compare two BENCH_r{N}.json files and
+flag per-query regressions/improvements beyond a noise threshold.
+
+Usage:
+    python tools/bench_compare.py BENCH_r05.json BENCH_r06.json [ratio]
+
+Machine variance on this sandbox is real (~2x observed between rounds
+on byte-identical code — see VERDICT r3/r5), so the default flag ratio
+is 1.5x and the output labels movement, it doesn't adjudicate it:
+cross-round numbers are evidence, same-round A/B timings are proof.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    """Accepts either bench.py's raw one-line JSON ({"queries": ...})
+    or the driver's BENCH_r{N}.json wrapper, whose "tail" field embeds
+    a (possibly truncated) copy of that stdout — per-query pairs are
+    regex-scavenged from it in that case."""
+    import re
+
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict) and "queries" in doc:
+        return doc["queries"]
+    tail = doc.get("tail", text) if isinstance(doc, dict) else text
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+    out = {k: float(v) for k, v in pairs if k not in ("value", "sf", "n", "rc", "cpus")}
+    if not out:
+        raise SystemExit(f"no per-query timings found in {path}")
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    rows = []
+    for name in sorted(set(old) & set(new)):
+        a, b = old[name], new[name]
+        if a <= 0 or b <= 0:
+            continue
+        r = b / a
+        if r >= ratio or r <= 1 / ratio:
+            rows.append((r, name, a, b))
+    for r, name, a, b in sorted(rows, reverse=True):
+        tag = "REGRESSED" if r > 1 else "improved"
+        print(f"{tag:9s} {name:42s} {a:8.3f} -> {b:8.3f}  ({r:.2f}x)")
+    if added:
+        print("added:", ", ".join(added))
+    if removed:
+        print("removed:", ", ".join(removed))
+    tot_old = sum(old[n] for n in set(old) & set(new))
+    tot_new = sum(new[n] for n in set(old) & set(new))
+    print(f"shared-query total: {tot_old:.1f} -> {tot_new:.1f} s "
+          f"({tot_new / tot_old:.2f}x) over {len(set(old) & set(new))} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
