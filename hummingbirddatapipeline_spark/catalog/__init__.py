@@ -142,6 +142,15 @@ def _load_modules() -> None:
 # tests/test_catalog_smoke.test_driver_window_rotation_policy green
 # (it reads the CORRECTNESS_r*.json history and blocks rotating out
 # any row whose last sample wasn't green).
+#
+# Banked for r7 registration (operators implemented + unit-tested this
+# round; catalog entries deliberately NOT added because every new
+# query must fit the 50-slot window to get a driver row, and this
+# round's window is full): operators/temporal.lttb_downsample
+# (parallel LTTB time-series downsampling) and
+# operators/association.basket_cooccurrence (support/confidence/lift
+# over order lines). Both have exact-arithmetic outputs designed for
+# straightforward DuckDB oracles.
 # Rotation policy (round 6): pin to the front (a) every query that has
 # never had a driver row (stream_*, sampling family, redact /
 # contamination / leak-free split, similarity clusters + quantize,

@@ -212,3 +212,96 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__seg")
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    parallel variant — the standard visually-faithful reduction of a
+    huge time series to ``n_out`` points (dashboards over raw 100 TB
+    telemetry): the series is split into n_out equal-count buckets and
+    each bucket keeps the point forming the largest triangle with its
+    NEIGHBOR BUCKET CENTROIDS.
+
+    Faithful LTTB anchors the triangle on the previously SELECTED
+    point, a sequential dependency across buckets that cannot be
+    parallelized; this variant (the common distributed adaptation)
+    uses the previous bucket's centroid instead — deterministic,
+    embarrassingly parallel per key, and within a bucket-width of the
+    sequential result. First and last points are always kept, matching
+    the original algorithm.
+
+    Scale shape: one shuffle on ``key_col`` shared by the bucket-index
+    window, the centroid aggregate, and the per-bucket argmax (all
+    partition on the key); the argmax is ``max(struct(area, ts))`` —
+    no per-bucket sort. Triangle areas are plain double arithmetic on
+    (ts, value), engine-reproducible.
+    """
+    from pyspark.sql.window import Window
+
+    tiebreak = tiebreak_col or ts_col
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+    cnt_w = Window.partitionBy(key_col)
+    pts = (
+        df.select(key_col, ts_col, value_col, tiebreak)
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("__n", F.count("*").over(cnt_w))
+    )
+    # bucket 0 = first point, bucket n_out-1 = last point, interior
+    # points spread over buckets 1..n_out-2 by rank (equal-count)
+    interior = F.floor(
+        (F.col("__rn") - 1) * (n_out - 2) / (F.col("__n") - 2)
+    ) + 1
+    bucket = (
+        F.when(F.col("__rn") == 0, 0)
+        .when(F.col("__rn") == F.col("__n") - 1, n_out - 1)
+        .otherwise(F.least(interior, F.lit(n_out - 2)))
+    )
+    pts = pts.withColumn("__b", bucket.cast("long"))
+    cent = pts.groupBy(key_col, "__b").agg(
+        F.avg(F.col(ts_col).cast("double")).alias("__cx"),
+        F.avg(F.col(value_col).cast("double")).alias("__cy"),
+    )
+    wlag = Window.partitionBy(key_col).orderBy("__b")
+    cent = cent.select(
+        key_col,
+        "__b",
+        F.lag("__cx").over(wlag).alias("__px"),
+        F.lag("__cy").over(wlag).alias("__py"),
+        F.lead("__cx").over(wlag).alias("__nx"),
+        F.lead("__cy").over(wlag).alias("__ny"),
+    )
+    joined = pts.join(cent, [key_col, "__b"])
+    x = F.col(ts_col).cast("double")
+    y = F.col(value_col).cast("double")
+    area = F.abs(
+        (F.col("__px") - F.col("__nx")) * (y - F.col("__py"))
+        - (F.col("__px") - x) * (F.col("__ny") - F.col("__py"))
+    )
+    # endpoints (no both-side neighbors) keep themselves: area NULL ->
+    # coalesce to 0 keeps the single point in buckets of size 1, and
+    # buckets 0 / n_out-1 hold exactly the first/last point anyway
+    pick = joined.withColumn(
+        "__a", F.coalesce(area, F.lit(0.0))
+    ).groupBy(key_col, "__b")
+    best = pick.agg(
+        F.max(
+            F.struct(
+                F.col("__a").alias("a"),
+                F.col(ts_col).alias("t"),
+                F.col(value_col).alias("v"),
+            )
+        ).alias("__best")
+    )
+    return best.select(
+        key_col,
+        F.col("__b").alias("bucket"),
+        F.col("__best.t").alias(ts_col),
+        F.col("__best.v").alias(value_col),
+    )

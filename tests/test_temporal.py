@@ -140,3 +140,51 @@ def test_scd2_same_timestamp_flip_is_deterministic(spark):
         ("A", 1, 1),
         ("B", 1, None),
     ]
+
+
+def test_lttb_keeps_endpoints_and_spike(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    # flat series with one huge spike: the spike's bucket must keep it
+    rows = [(1, t, 100.0 if t != 47 else 5000.0) for t in range(100)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = sorted(
+        lttb_downsample(df, "k", "ts", "v", n_out=10).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(out) == 10
+    assert out[0]["ts"] == 0 and out[-1]["ts"] == 99  # endpoints kept
+    assert any(r["ts"] == 47 and r["v"] == 5000.0 for r in out)
+
+
+def test_lttb_small_groups_pass_through(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    rows = [(1, 0, 1.0), (1, 5, 2.0), (2, 3, 9.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = lttb_downsample(df, "k", "ts", "v", n_out=5).collect()
+    # groups smaller than n_out keep every point
+    assert sorted((r["k"], r["ts"]) for r in out) == [(1, 0), (1, 5), (2, 3)]
+
+
+def test_lttb_deterministic_across_repartition(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        lttb_downsample,
+    )
+    import random
+
+    rng = random.Random(5)
+    rows = [(1, t, rng.uniform(0, 100)) for t in range(200)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    a = sorted(map(tuple, lttb_downsample(df, "k", "ts", "v", 12).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lttb_downsample(df.repartition(7), "k", "ts", "v", 12).collect(),
+        )
+    )
+    assert a == b and len(a) == 12
