@@ -248,8 +248,9 @@ def lttb_downsample(
     tiebreak = tiebreak_col or ts_col
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
     cnt_w = Window.partitionBy(key_col)
+    cols = list(dict.fromkeys([key_col, ts_col, value_col, tiebreak]))
     pts = (
-        df.select(key_col, ts_col, value_col, tiebreak)
+        df.select(*cols)
         .withColumn("__rn", F.row_number().over(w) - 1)
         .withColumn("__n", F.count("*").over(cnt_w))
     )
@@ -286,9 +287,15 @@ def lttb_downsample(
     )
     # endpoints (no both-side neighbors) keep themselves: area NULL ->
     # coalesce to 0 keeps the single point in buckets of size 1, and
-    # buckets 0 / n_out-1 hold exactly the first/last point anyway
+    # buckets 0 / n_out-1 hold exactly the first/last point anyway.
+    # The area is FLOOR-quantized at 6dp BEFORE the argmax: centroid
+    # averages carry summation-order ulps between engines, and an
+    # unrounded argmax would let an ulp flip which point a bucket
+    # keeps; after quantization near-ties collapse to equal and the
+    # (ts, value) tiebreak decides identically everywhere.
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
     pick = joined.withColumn(
-        "__a", F.coalesce(area, F.lit(0.0))
+        "__a", F.coalesce(q6(area), F.lit(0.0))
     ).groupBy(key_col, "__b")
     best = pick.agg(
         F.max(

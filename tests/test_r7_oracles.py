@@ -1,0 +1,146 @@
+"""Differential (DuckDB) checks for the operators banked for round-7
+catalog registration — LTTB downsampling and basket co-occurrence —
+run on the real testdata exactly the way the catalog oracle gate
+would, so next round's registration is a window change, not new work.
+The DuckDB side is written in an independent formulation (self-join
+pair-gen, window-rank argmax) per the repo's differential-test rule."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+N_OUT = 12
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("events", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    return con
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                v.hex() if isinstance(v, float) and not math.isnan(v) else v
+                for v in r
+            )
+        )
+    return sorted(out, key=repr)
+
+
+def test_lttb_matches_duckdb_on_events(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        lttb_downsample,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, SF, "events").select(
+        "event_type",
+        F.expr("CAST(ts DIV 1000000 AS LONG)").alias("ts_ms"),
+        "value",
+        "event_id",
+    )
+    got = lttb_downsample(
+        ev, "event_type", "ts_ms", "value", N_OUT, tiebreak_col="event_id"
+    ).collect()
+    sql = f"""
+    WITH pts AS (
+      SELECT event_type AS k, (epoch_ns(ts) // 1000000) AS t, value AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY (epoch_ns(ts) // 1000000), event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bucketed AS (
+      SELECT *, CAST(CASE WHEN rn = 0 THEN 0
+                   WHEN rn = n - 1 THEN {N_OUT - 1}
+                   ELSE LEAST(FLOOR((rn - 1) * {N_OUT - 2} / (n - 2)) + 1,
+                              {N_OUT - 2}) END AS BIGINT) AS b
+      FROM pts
+    ),
+    cent AS (
+      SELECT k, b, AVG(CAST(t AS DOUBLE)) AS cx, AVG(CAST(v AS DOUBLE)) AS cy
+      FROM bucketed GROUP BY k, b
+    ),
+    nbr AS (
+      SELECT k, b,
+             LAG(cx) OVER w AS px, LAG(cy) OVER w AS py,
+             LEAD(cx) OVER w AS nx, LEAD(cy) OVER w AS ny
+      FROM cent WINDOW w AS (PARTITION BY k ORDER BY b)
+    ),
+    scored AS (
+      SELECT p.k, p.b, p.t, p.v,
+             COALESCE(FLOOR(ABS((n.px - n.nx) * (CAST(p.v AS DOUBLE) - n.py)
+                       - (n.px - CAST(p.t AS DOUBLE)) * (n.ny - n.py))
+                      * 1000000 + 0.5) / 1000000, 0.0) AS a
+      FROM bucketed p JOIN nbr n USING (k, b)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k, b
+                                   ORDER BY a DESC, t DESC, v DESC) AS rk
+      FROM scored
+    )
+    SELECT k AS event_type, b AS bucket, t AS ts_ms, v AS value
+    FROM ranked WHERE rk = 1
+    """
+    con = _duck(SF)
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_cooccurrence_matches_duckdb_on_lineitem(spark):
+    from hummingbirddatapipeline_spark.operators.association import (
+        basket_cooccurrence,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    li = load(spark, SF, "lineitem")
+    got = basket_cooccurrence(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, max_basket=10
+    ).collect()
+    sql = """
+    WITH baskets AS (
+      SELECT l_orderkey AS bk, list_sort(list_distinct(list(l_partkey)))
+               AS items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    kept AS (SELECT * FROM baskets WHERE len(items) <= 10),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM kept),
+    members AS (SELECT bk, unnest(items) AS item FROM kept),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM members GROUP BY item),
+    pc AS (
+      SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM members x JOIN members y ON x.bk = y.bk AND x.item < y.item
+      GROUP BY x.item, y.item
+      HAVING COUNT(*) >= 2
+    )
+    SELECT pc.a AS item_a, pc.b AS item_b, pc.n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           ROUND(CAST(pc.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6)
+             AS support,
+           ROUND(CAST(pc.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+             AS conf_a_to_b,
+           ROUND(CAST(pc.n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6)
+             AS conf_b_to_a,
+           ROUND(CAST(pc.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+             AS lift
+    FROM pc JOIN ic ia ON ia.item = pc.a JOIN ic ib ON ib.item = pc.b
+    CROSS JOIN nb
+    """
+    con = _duck(SF)
+    exp = con.sql(sql).fetchall()
+    assert len(got) > 0
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
