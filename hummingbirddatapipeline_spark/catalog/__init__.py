@@ -147,10 +147,13 @@ def _load_modules() -> None:
 # round; catalog entries deliberately NOT added because every new
 # query must fit the 50-slot window to get a driver row, and this
 # round's window is full): operators/temporal.lttb_downsample
-# (parallel LTTB time-series downsampling) and
+# (parallel LTTB time-series downsampling),
 # operators/association.basket_cooccurrence (support/confidence/lift
-# over order lines). Both have exact-arithmetic outputs designed for
-# straightforward DuckDB oracles.
+# over order lines), and operators/sampling.weighted_sample_topk
+# (Efraimidis-Spirakis A-ES weighted sampling without replacement).
+# All three already pass full DuckDB differential checks on real
+# testdata (tests/test_r7_oracles.py) — registration is a window
+# change plus moving those SQL strings into @query oracles.
 # Rotation policy (round 6): pin to the front (a) every query that has
 # never had a driver row (stream_*, sampling family, redact /
 # contamination / leak-free split, similarity clusters + quantize,

@@ -359,3 +359,51 @@ def split_ngram_overlap(
             ).alias("overlap_frac"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "w0",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES): each row draws a deterministic uniform u from its
+    content hash and ranks by ``-ln(u) / w`` ascending; the k smallest
+    ranks per stratum are an exact weighted-without-replacement sample
+    — the primitive behind quality-weighted corpus subsampling ("keep
+    50k docs, proportional to quality score").
+
+    Like the rest of this module the randomness is CONTENT-HASH
+    derived, never RNG: u is built from the first 13 hex digits (52
+    bits, exactly representable in a double) of md5(key:seed), so the
+    sample is rerun/repartition-stable, membership is recomputable
+    from the key alone, and the identical arithmetic runs in ANSI SQL
+    (CAST('0x' || hex AS BIGINT) — exactly oracle-checkable).
+
+    Rows with NULL or non-positive weight are excluded (A-ES is
+    defined for w > 0). Returns the input columns plus
+    ``sample_rank`` (1..k per stratum). One window shuffle on the
+    stratum key; with no ``strata_col`` the global top-k still uses
+    the rank window (single partition) — at cluster scale pass a
+    stratum or pre-aggregate, exactly as with any global top-k.
+    """
+    hex13 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))),
+        1,
+        13,
+    )
+    val = F.conv(hex13, 16, 10).cast("long").cast("double")
+    u = (val + F.lit(0.5)) / F.lit(float(1 << 52))
+    rank_key = -F.log(u) / F.col(weight_col).cast("double")
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(
+        rank_key.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -144,3 +144,36 @@ def test_cooccurrence_matches_duckdb_on_lineitem(spark):
     exp = con.sql(sql).fetchall()
     assert len(got) > 0
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_weighted_sample_matches_duckdb_on_documents(spark):
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("wgt")
+    )
+    got = weighted_sample_topk(
+        docs, "doc_id", "wgt", k=5, seed="r7", strata_col="lang"
+    ).select("doc_id", "lang", "sample_rank").collect()
+    sql = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS STRING) || ':r7'),
+                                      1, 13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0)
+             / CAST(n_chars AS DOUBLE) AS rk
+      FROM read_parquet('{sf}/documents.parquet')
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+                AS INT) AS sample_rank
+    FROM scored
+    QUALIFY sample_rank <= 5
+    """.format(sf=SF)
+    con = duckdb.connect()
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
