@@ -149,11 +149,15 @@ def _load_modules() -> None:
 # round's window is full): operators/temporal.lttb_downsample
 # (parallel LTTB time-series downsampling),
 # operators/association.basket_cooccurrence (support/confidence/lift
-# over order lines), and operators/sampling.weighted_sample_topk
-# (Efraimidis-Spirakis A-ES weighted sampling without replacement).
-# All three already pass full DuckDB differential checks on real
-# testdata (tests/test_r7_oracles.py) — registration is a window
-# change plus moving those SQL strings into @query oracles.
+# over order lines), operators/sampling.weighted_sample_topk
+# (Efraimidis-Spirakis A-ES weighted sampling without replacement),
+# operators/temporal.transition_counts (Markov event-transition
+# matrix with session-gap breaking), and
+# operators/graph.triangle_counts (ordered-wedge triangle counting
+# over the near-dup graph). All five already pass full DuckDB
+# differential checks on real testdata (tests/test_r7_oracles.py) —
+# registration is a window change plus moving those SQL strings into
+# @query oracles.
 # Rotation policy (round 6): pin to the front (a) every query that has
 # never had a driver row (stream_*, sampling family, redact /
 # contamination / leak-free split, similarity clusters + quantize,

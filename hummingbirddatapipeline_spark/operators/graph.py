@@ -135,3 +135,56 @@ def dedup_representatives(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    clustering-coefficient numerator, used to tell tight near-dup
+    cliques (template families) from loose chains in the dedup graph.
+
+    Returns (node, n_triangles) for every node on an edge; nodes in no
+    triangle report 0.
+
+    Scale shape: the classic ordered-wedge join — edges are canonical
+    (u < v), wedges (u < v < w) come from joining edges on the shared
+    low endpoint, and each wedge probes the edge list once. Every
+    triangle u < v < w is found exactly once as wedge (u, v) + (u, w)
+    closed by edge (v, w), then credited to all three nodes. Two
+    equi-joins on skinny id pairs — never an all-pairs product; at
+    scale the standard degree-ordering refinement bounds wedge fanout
+    by arboricity and slots into the same plan.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # wedges around the low endpoint: (u, v, w) with v < w
+    w1 = e.select(F.col("u"), F.col("v"))
+    w2 = e.select(F.col("u"), F.col("v").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = e.select(
+        F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("__hit")
+    )
+    tri = wedges.join(closing, ["v", "w"], "inner").select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+    )

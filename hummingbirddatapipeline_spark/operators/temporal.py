@@ -312,3 +312,58 @@ def lttb_downsample(
         F.col("__best.t").alias(ts_col),
         F.col("__best.v").alias(value_col),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    session_gap: int | None = None,
+) -> DataFrame:
+    """First-order (Markov) transition mining over an event stream:
+    count consecutive (from_state -> to_state) pairs per entity, the
+    feature behind next-event prediction, funnel diagnosis, and
+    session-path analysis.
+
+    With ``session_gap`` set, transitions never cross a gap larger
+    than it (the sessionization rule): the pair is dropped when
+    ``ts - prev_ts > session_gap``.
+
+    Returns (from_state, to_state, n_transitions, p_transition) where
+    p is the row-normalized probability P(to | from), rounded 6dp from
+    exact BIGINT counts (identical division on any engine).
+
+    Scale: one window shuffle on ``key_col`` (lag), one hash aggregate
+    on the (from, to) pair, and a from-state total computed as a
+    window sum over the (tiny) transition matrix itself — the event
+    stream shuffles once.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev_state = F.lag(F.col(state_col)).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    pairs = (
+        df.select(key_col, state_col, ts_col, tiebreak_col)
+        .withColumn("from_state", prev_state)
+        .withColumn("__gap", F.col(ts_col) - prev_ts)
+        .filter(F.col("from_state").isNotNull())
+    )
+    if session_gap is not None:
+        pairs = pairs.filter(F.col("__gap") <= session_gap)
+    counts = pairs.groupBy(
+        "from_state", F.col(state_col).alias("to_state")
+    ).agg(F.count("*").alias("n_transitions"))
+    wf = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wf).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )

@@ -152,3 +152,16 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_triangle_counts_hand_graph(spark):
+    from hummingbirddatapipeline_spark.operators.graph import triangle_counts
+
+    # triangle 1-2-3, pendant 3-4, disjoint edge 5-6, second triangle
+    # sharing edge 2-3: 2-3-7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (2, 7), (3, 7)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 0, 5: 0, 6: 0, 7: 1}

@@ -177,3 +177,90 @@ def test_weighted_sample_matches_duckdb_on_documents(spark):
     con = duckdb.connect()
     exp = con.sql(sql).fetchall()
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_transition_counts_matches_duckdb_on_events(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        transition_counts,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, SF, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000000 AS LONG)").alias("ts_ms"),
+        "event_id",
+    )
+    got = transition_counts(
+        ev, "user_id", "event_type", "ts_ms", "event_id",
+        session_gap=1_800_000,
+    ).collect()
+    sql = """
+    WITH e AS (
+      SELECT user_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms,
+             event_id
+      FROM events
+    ),
+    p AS (
+      SELECT LAG(event_type) OVER w AS from_state, event_type AS to_state,
+             ts_ms - LAG(ts_ms) OVER w AS gap
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    c AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE from_state IS NOT NULL AND gap <= 1800000
+      GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n AS n_transitions,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE), 6)
+             AS p_transition
+    FROM c
+    """
+    con = _duck(SF)
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_triangle_counts_matches_duckdb_on_neardup_graph(spark):
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        DUCK_JACCARD_CC_CTES,
+    )
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import triangle_counts
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    pairs = jaccard_pairs_prefix(
+        docs, "text", "doc_id", threshold=0.85, shingle_size=1
+    ).select("id_a", "id_b")
+    got = triangle_counts(pairs).collect()
+    sql = f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES},
+    tri AS (
+      SELECT e1.id_a AS u, e1.id_b AS v, e2.id_b AS w
+      FROM near e1
+      JOIN near e2 ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+      JOIN near e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest([u, v, w]) AS node FROM tri) GROUP BY node
+    ),
+    nodes AS (
+      SELECT DISTINCT x AS node FROM (
+        SELECT id_a AS x FROM near UNION ALL SELECT id_b FROM near)
+    )
+    SELECT node, COALESCE(pn.n, 0) AS n_triangles
+    FROM nodes LEFT JOIN pn USING (node)
+    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.sql(sql).fetchall()
+    assert len(got) > 0
+    assert _norm([tuple(r) for r in got]) == _norm(exp)

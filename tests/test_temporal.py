@@ -188,3 +188,25 @@ def test_lttb_deterministic_across_repartition(spark):
         )
     )
     assert a == b and len(a) == 12
+
+
+def test_transition_counts_hand_computed(spark):
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        transition_counts,
+    )
+
+    rows = [
+        (1, "a", 0, 0), (1, "b", 10, 1), (1, "a", 20, 2), (1, "b", 30, 3),
+        (2, "a", 0, 4), (2, "b", 5000, 5),  # gap-broken with gap=1000
+    ]
+    df = spark.createDataFrame(rows, "uid long, st string, ts long, eid long")
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in transition_counts(
+            df, "uid", "st", "ts", "eid", session_gap=1000
+        ).collect()
+    }
+    assert out[("a", "b")]["n_transitions"] == 2  # user2's crossing dropped
+    assert out[("b", "a")]["n_transitions"] == 1
+    assert out[("a", "b")]["p_transition"] == 1.0
+    assert out[("b", "a")]["p_transition"] == 1.0
