@@ -141,6 +141,7 @@ def triangle_counts(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the
     clustering-coefficient numerator, used to tell tight near-dup
@@ -157,6 +158,15 @@ def triangle_counts(
     equi-joins on skinny id pairs — never an all-pairs product; at
     scale the standard degree-ordering refinement bounds wedge fanout
     by arboricity and slots into the same plan.
+
+    ``max_degree`` is the mega-clique guard (same role as LSH's
+    ``max_bucket``): a d-clique holds d(d-1)(d-2)/6 triangles, so
+    enumeration over a boilerplate mega-cluster is quadratic fanout
+    for an answer that only says "this is a clique". Edges whose LOW
+    endpoint exceeds the cap are excluded from wedge generation
+    (triangles through such hubs are undercounted BY DESIGN — the hub
+    treatment at scale is the clique/cluster label, not triangle
+    enumeration; counts for the bounded remainder stay exact).
     """
     e = (
         pairs.select(
@@ -166,6 +176,17 @@ def triangle_counts(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+        )
+        hubs = deg.filter(F.col("__d") > max_degree).select(
+            F.col("node").alias("u")
+        )
+        e = e.join(hubs, "u", "left_anti")
     # wedges around the low endpoint: (u, v, w) with v < w
     w1 = e.select(F.col("u"), F.col("v"))
     w2 = e.select(F.col("u"), F.col("v").alias("w"))

@@ -165,3 +165,24 @@ def test_triangle_counts_hand_graph(spark):
     )
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
     assert out == {1: 1, 2: 2, 3: 2, 4: 0, 5: 0, 6: 0, 7: 1}
+
+
+def test_triangle_counts_max_degree_caps_hubs(spark):
+    from hummingbirddatapipeline_spark.operators.graph import triangle_counts
+
+    # node 1 is a hub of degree 5 in a clique with 2,3; capping at 3
+    # removes wedges anchored at 1 but keeps the 2-3-4 triangle intact
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (2, 3), (2, 4), (3, 4)],
+        "id_a long, id_b long",
+    )
+    full = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    # triangles: (1,2,3), (1,2,4), (1,3,4), (2,3,4)
+    assert full == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+    capped = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(pairs, max_degree=3).collect()
+    }
+    # the hub's edges leave wedge generation entirely; the bounded
+    # remainder (2-3-4) stays exact
+    assert capped == {2: 1, 3: 1, 4: 1}
