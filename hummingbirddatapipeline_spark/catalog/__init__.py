@@ -154,7 +154,9 @@ def _load_modules() -> None:
 # operators/temporal.transition_counts (Markov event-transition
 # matrix with session-gap breaking), and
 # operators/graph.triangle_counts (ordered-wedge triangle counting
-# over the near-dup graph). All five already pass full DuckDB
+# over the near-dup graph), and operators/incremental.decayed_activity
+# (exponential recency-weighted engagement scores anchored on a
+# data-derived reference time). All six already pass full DuckDB
 # differential checks on real testdata (tests/test_r7_oracles.py) —
 # registration is a window change plus moving those SQL strings into
 # @query oracles.

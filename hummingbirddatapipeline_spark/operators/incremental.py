@@ -48,3 +48,46 @@ def merge_rollups(
         )
     )
     return merged
+
+
+def decayed_activity(
+    df,
+    key_col: str,
+    ts_col: str,
+    half_life: float,
+    ref_ts: int | None = None,
+    value_col: str | None = None,
+):
+    """Exponentially time-decayed activity score per entity — the
+    recency-weighted engagement feature (each event contributes
+    ``0.5 ** ((ref_ts - ts) / half_life)``, optionally scaled by
+    ``value_col``), plus event count and last-seen timestamp.
+
+    ``ref_ts`` anchors the decay; pass it explicitly for reproducible
+    pipelines. When omitted it derives from the DATA (global max ts
+    via a scalar aggregate broadcast back) — never wall clock, so the
+    same input always produces the same scores on any engine.
+
+    Scale: one scalar aggregate (single-row crossJoin combine) and one
+    hash aggregate on the entity key, map-side combined. The score is
+    rounded 6dp against cross-engine summation-order drift; counts and
+    timestamps stay exact.
+    """
+    from pyspark.sql import functions as F
+
+    if ref_ts is not None:
+        ref = F.lit(float(ref_ts))
+        base = df
+    else:
+        mx = df.agg(F.max(ts_col).alias("__ref"))
+        base = df.crossJoin(F.broadcast(mx))
+        ref = F.col("__ref").cast("double")
+    age = ref - F.col(ts_col).cast("double")
+    w = F.pow(F.lit(0.5), age / F.lit(float(half_life)))
+    if value_col is not None:
+        w = w * F.col(value_col).cast("double")
+    return base.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(ts_col).alias("last_ts"),
+        F.round(F.sum(w), 6).alias("decayed_score"),
+    )

@@ -264,3 +264,31 @@ def test_triangle_counts_matches_duckdb_on_neardup_graph(spark):
     exp = con.sql(sql).fetchall()
     assert len(got) > 0
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_decayed_activity_matches_duckdb_on_events(spark):
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        decayed_activity,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, SF, "events").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS LONG)").alias("ts_ms")
+    )
+    got = decayed_activity(
+        ev, "user_id", "ts_ms", half_life=86_400_000.0
+    ).collect()
+    sql = """
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms FROM events
+    ),
+    r AS (SELECT CAST(MAX(ts_ms) AS DOUBLE) AS ref FROM e)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts_ms) AS last_ts,
+           ROUND(SUM(POWER(0.5, (r.ref - CAST(ts_ms AS DOUBLE))
+                                 / 86400000.0)), 6) AS decayed_score
+    FROM e CROSS JOIN r GROUP BY user_id
+    """
+    con = _duck(SF)
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)

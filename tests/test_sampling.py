@@ -277,3 +277,31 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     out = weighted_sample_topk(df, "doc_id", "wgt", k=10).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_decayed_activity_hand_computed(spark):
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        decayed_activity,
+    )
+
+    # half_life 10: event at ref contributes 1.0, 10 ago 0.5, 20 ago 0.25
+    rows = [(1, 100), (1, 90), (1, 80), (2, 100)]
+    df = spark.createDataFrame(rows, "uid long, ts long")
+    out = {r["uid"]: r for r in decayed_activity(df, "uid", "ts", 10.0).collect()}
+    assert out[1]["decayed_score"] == 1.75 and out[1]["n_events"] == 3
+    assert out[1]["last_ts"] == 100
+    assert out[2]["decayed_score"] == 1.0
+
+
+def test_decayed_activity_explicit_ref_and_values(spark):
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        decayed_activity,
+    )
+
+    rows = [(1, 90, 4.0), (1, 100, 2.0)]
+    df = spark.createDataFrame(rows, "uid long, ts long, v double")
+    r = decayed_activity(
+        df, "uid", "ts", 10.0, ref_ts=110, value_col="v"
+    ).collect()[0]
+    # 4.0 * 0.5^2 + 2.0 * 0.5^1 = 1.0 + 1.0
+    assert r["decayed_score"] == 2.0
