@@ -156,7 +156,10 @@ def _load_modules() -> None:
 # operators/graph.triangle_counts (ordered-wedge triangle counting
 # over the near-dup graph), and operators/incremental.decayed_activity
 # (exponential recency-weighted engagement scores anchored on a
-# data-derived reference time). All six already pass full DuckDB
+# data-derived reference time), and operators/scale.winsorize
+# (per-group percentile clipping; Spark `percentile` verified
+# bit-identical to DuckDB `quantile_cont`). All seven already pass
+# full DuckDB
 # differential checks on real testdata (tests/test_r7_oracles.py) —
 # registration is a window change plus moving those SQL strings into
 # @query oracles.

@@ -192,3 +192,44 @@ def key_skew_report(
             F.col("n_keys"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Winsorize (clip) a numeric feature at exact per-group
+    percentiles — the robust-scaling prep step that stops a handful of
+    outliers from dominating normalization or training loss.
+
+    Returns the input plus ``p_lo``, ``p_hi``, and
+    ``{value_col}_winsorized`` = value clipped into [p_lo, p_hi];
+    NULL values stay NULL. With no ``group_col`` the bounds are
+    global.
+
+    Scale: one hash aggregate computes the exact interpolated
+    percentiles per group (Spark's ``percentile``, the same
+    ``(n-1)*p`` linear-interpolation definition as DuckDB's
+    ``quantile_cont`` — verified bit-identical), and the tiny bounds
+    table broadcasts back onto the scan. Exact percentiles sort within
+    the aggregation buffer; for pathological single-group cardinality
+    at 100 TB swap in approx_percentile with a documented tolerance —
+    the operator contract (clip at [p_lo, p_hi]) is unchanged.
+    """
+    keys = [group_col] if group_col else []
+    bounds = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lower!r})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {upper!r})").alias("p_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")
+    )
+    return joined.withColumn(f"{value_col}_winsorized", clipped)

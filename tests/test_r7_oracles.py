@@ -292,3 +292,35 @@ def test_decayed_activity_matches_duckdb_on_events(spark):
     con = _duck(SF)
     exp = con.sql(sql).fetchall()
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_winsorize_matches_duckdb_on_orders(spark):
+    from hummingbirddatapipeline_spark.operators.scale import winsorize
+    from hummingbirddatapipeline_spark.tables import load
+
+    ord_ = load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    got = (
+        winsorize(ord_, "o_totalprice", "o_orderpriority", 0.05, 0.95)
+        .select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            "p_lo", "p_hi", "o_totalprice_winsorized",
+        )
+        .collect()
+    )
+    sql = """
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p_lo,
+             quantile_cont(o_totalprice, 0.95) AS p_hi
+      FROM read_parquet('{sf}/orders.parquet') GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, b.p_lo, b.p_hi,
+           LEAST(GREATEST(o.o_totalprice, b.p_lo), b.p_hi)
+             AS o_totalprice_winsorized
+    FROM read_parquet('{sf}/orders.parquet') o JOIN b USING (o_orderpriority)
+    """.format(sf=SF)
+    con = duckdb.connect()
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)

@@ -176,3 +176,16 @@ def test_key_skew_report_tie_breaks_by_key(spark):
     df = spark.createDataFrame([("z",), ("y",), ("x",)], "k string")
     out = key_skew_report(df, "k", top_k=3).collect()
     assert [r["key"] for r in out] == ["x", "y", "z"]
+
+
+def test_winsorize_clips_outliers(spark):
+    from hummingbirddatapipeline_spark.operators.scale import winsorize
+
+    rows = [(1, float(v)) for v in range(1, 100)] + [(1, 10_000.0)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    out = winsorize(df, "v", "g", lower=0.0, upper=0.95).collect()
+    top = max(r["v_winsorized"] for r in out)
+    # p95 over 100 points interpolates at rank 94.05 -> 95.05
+    assert top == 95.05
+    assert all(r["v_winsorized"] <= r["p_hi"] for r in out)
+    assert min(r["v_winsorized"] for r in out) == 1.0
