@@ -158,8 +158,10 @@ def _load_modules() -> None:
 # (exponential recency-weighted engagement scores anchored on a
 # data-derived reference time), and operators/scale.winsorize
 # (per-group percentile clipping; Spark `percentile` verified
-# bit-identical to DuckDB `quantile_cont`). All seven already pass
-# full DuckDB
+# bit-identical to DuckDB `quantile_cont`), and
+# operators/dedup.tfidf_cosine_pairs (IDF-weighted near-dup pairs
+# with a posting-list df cap — catches length-skewed dups Jaccard
+# dilutes). All eight already pass full DuckDB
 # differential checks on real testdata (tests/test_r7_oracles.py) —
 # registration is a window change plus moving those SQL strings into
 # @query oracles.

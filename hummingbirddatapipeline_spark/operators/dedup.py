@@ -460,3 +460,85 @@ def boilerplate_clusters(
         id_col, "cluster_id", F.lit(1.0).alias("jaccard")
     )
     return verified.unionByName(reps)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by TF-IDF-weighted cosine over the token
+    inverted index — the weighted complement to set-based Jaccard:
+    rare shared terms count for more, so length-skewed duplicates
+    (a doc embedded in a longer one) that dilute Jaccard still score
+    high. The classic sparse-vector formulation (Salton; Bayardo
+    WWW'07 §2 uses exactly this weighting for all-pairs similarity).
+
+    Returns (id_a, id_b, cosine) for pairs with cosine >= threshold,
+    id_a < id_b, cosine rounded 6dp BEFORE the threshold compare (the
+    repo's cross-engine float rule).
+
+    Scale shape: one explode, a (doc, term) tf aggregate, a term df
+    aggregate, and ONE posting-list self-join on the term — candidate
+    volume is sum over terms of df^2, so ``max_doc_freq`` caps
+    ultra-common terms (the posting-list guard, same role as LSH's
+    ``max_bucket``: a stopword's postings pair every doc with every
+    doc and say nothing; IDF already weights them near zero, the cap
+    keeps them out of the join entirely). Weights and norms are plain
+    doubles; the dot product is a hash aggregate over shared terms.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    occ = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t")
+    )
+    tf = occ.groupBy(id_col, "t").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df_t") <= max_doc_freq)
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    weighted = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "t",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df_t").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = weighted.select(
+        F.col(id_col).alias("id_a"), F.col("t"), F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col(id_col).alias("id_b"), F.col("t"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -216,3 +216,52 @@ def test_tune_banding_dup_regime_is_more_selective():
     for t in (0.1, 0.35, 0.5, 0.8, 0.9, 0.95, 0.99, 0.9999):
         r, b = _tune_banding(t)
         assert 1 <= r and 1 <= b and r * b <= 63
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare alpha beta gamma"),
+            (2, "rare alpha beta gamma"),
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert out == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_catches_length_skewed_dup(spark):
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    # doc 2 embeds doc 1 plus boilerplate that most other docs also
+    # carry: Jaccard dilutes to 0.25, but the boilerplate's idf
+    # (ln(8/7) ~ 0.13) is tiny next to the rare shared terms'
+    # (ln(8/2) ~ 1.39), so the weighted cosine still reads near-dup
+    shared = "zephyr quixotic brouhaha ephemeral"
+    filler = " ".join(f"common{i}" for i in range(12))
+    rows = [(1, shared), (2, shared + " " + filler)]
+    rows += [(i, filler) for i in range(3, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cos = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(
+            docs, "text", "doc_id", threshold=0.0, shingle_size=1
+        ).collect()
+    }
+    assert cos[(1, 2)] > 0.98  # weighted view: near-exact duplicate
+    assert jac[(1, 2)] == 0.25  # set view: heavily diluted

@@ -324,3 +324,54 @@ def test_winsorize_matches_duckdb_on_orders(spark):
     con = duckdb.connect()
     exp = con.sql(sql).fetchall()
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_tfidf_cosine_pairs_matches_duckdb_on_documents(spark):
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    got = tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    sql = """
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM occ GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY t),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    weighted AS (
+      SELECT tf.doc_id, tf.t,
+             tf.tf * ln(nd.n_docs / CAST(d.df_t AS DOUBLE)) AS w
+      FROM tf JOIN dfreq d USING (t) CROSS JOIN nd
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM weighted GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM weighted a JOIN weighted b
+        ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.9
+    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.sql(sql).fetchall()
+    assert len(exp) > 0
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
