@@ -375,3 +375,70 @@ def test_tfidf_cosine_pairs_matches_duckdb_on_documents(spark):
     exp = con.sql(sql).fetchall()
     assert len(exp) > 0
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_radius_join_matches_duckdb_on_synthetic_coords(spark):
+    """Coordinates derive deterministically from customer/supplier keys
+    (md5 52-bit uniforms, the sampling-family idiom), so both engines
+    build identical geometry; the DuckDB side is a plain distance
+    cross-filter — an independent formulation of the same join."""
+    from hummingbirddatapipeline_spark.operators.geo import radius_join
+    from hummingbirddatapipeline_spark.tables import load
+
+    def coord(key, seed, lo, hi):
+        h = F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + seed))),
+            1, 13,
+        )
+        u = (F.conv(h, 16, 10).cast("long").cast("double") + 0.5) / float(
+            1 << 52
+        )
+        return lo + u * (hi - lo)
+
+    cust = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        coord("c_custkey", "lat", 0.0, 0.5).alias("lat"),
+        coord("c_custkey", "lon", 0.0, 0.5).alias("lon"),
+    )
+    supp = load(spark, SF, "supplier").select(
+        F.col("s_suppkey").alias("qid"),
+        coord("s_suppkey", "lat", 0.0, 0.5).alias("q_lat"),
+        coord("s_suppkey", "lon", 0.0, 0.5).alias("q_lon"),
+    )
+    got = radius_join(cust, supp, 5000.0).select(
+        "qid", "pid", "distance_m"
+    ).collect()
+    duck_coord = (
+        "({lo} + ((CAST('0x' || substr(md5(CAST({k} AS STRING) || ':{s}'),"
+        " 1, 13) AS BIGINT) + 0.5) / 4503599627370496.0) * ({hi} - {lo}))"
+    )
+    sql = f"""
+    WITH c AS (
+      SELECT c_custkey AS pid,
+             {duck_coord.format(k='c_custkey', s='lat', lo=0.0, hi=0.5)} AS lat,
+             {duck_coord.format(k='c_custkey', s='lon', lo=0.0, hi=0.5)} AS lon
+      FROM read_parquet('{SF}/customer.parquet')
+    ),
+    s AS (
+      SELECT s_suppkey AS qid,
+             {duck_coord.format(k='s_suppkey', s='lat', lo=0.0, hi=0.5)} AS q_lat,
+             {duck_coord.format(k='s_suppkey', s='lon', lo=0.0, hi=0.5)} AS q_lon
+      FROM read_parquet('{SF}/supplier.parquet')
+    ),
+    d AS (
+      SELECT s.qid, c.pid,
+             ROUND(2.0 * 6371000.0 * asin(sqrt(
+               sin((c.lat - s.q_lat) * pi() / 180.0 / 2)
+                 * sin((c.lat - s.q_lat) * pi() / 180.0 / 2)
+               + cos(s.q_lat * pi() / 180.0) * cos(c.lat * pi() / 180.0)
+                 * sin((c.lon - s.q_lon) * pi() / 180.0 / 2)
+                 * sin((c.lon - s.q_lon) * pi() / 180.0 / 2))), 0)
+               AS distance_m
+      FROM s CROSS JOIN c
+    )
+    SELECT qid, pid, distance_m FROM d WHERE distance_m <= 5000.0
+    """
+    con = duckdb.connect()
+    exp = con.sql(sql).fetchall()
+    assert len(exp) > 0
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
