@@ -161,10 +161,12 @@ def _load_modules() -> None:
 # bit-identical to DuckDB `quantile_cont`), and
 # operators/dedup.tfidf_cosine_pairs (IDF-weighted near-dup pairs
 # with a posting-list df cap — catches length-skewed dups Jaccard
-# dilutes), and operators/geo.radius_join (grid-bucketed haversine
+# dilutes), operators/geo.radius_join (grid-bucketed haversine
 # radius join — 3x3 cell equi-join + exact verify, matching DuckDB's
-# brute cross-filter on hash-derived coordinates). All nine already
-# pass full DuckDB
+# brute cross-filter on hash-derived coordinates), and
+# operators/scale.psi_drift (Population Stability Index between a
+# reference and current sample — the ML drift monitor, bucketed by
+# exact reference deciles). All ten already pass full DuckDB
 # differential checks on real testdata (tests/test_r7_oracles.py) —
 # registration is a window change plus moving those SQL strings into
 # @query oracles.

@@ -233,3 +233,77 @@ def winsorize(
         F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")
     )
     return joined.withColumn(f"{value_col}_winsorized", clipped)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index — the standard drift monitor between
+    a reference sample (training window) and a current sample (serving
+    window): bucket the value by the REFERENCE deciles, compare the
+    two distributions, PSI = sum over buckets of
+    (cur_frac - ref_frac) * ln(cur_frac / ref_frac). Rule-of-thumb
+    thresholds: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    Returns one row per bucket (bucket, ref_frac, cur_frac, psi_term)
+    plus the repeated ``psi_total``; fractions clamp at 1e-6 before
+    the log (the standard zero-bucket guard) and round 6dp from exact
+    BIGINT counts, so both engines agree bit-for-bit.
+
+    Scale: bucket edges are ONE exact-percentile aggregate on the
+    reference (a single broadcast row carrying an array); each side
+    then buckets map-side via a 9-element array filter (bound column,
+    O(n_buckets) per row) and one hash aggregate — no sort of either
+    sample, no join between them beyond the bucket-level outer join of
+    two n_buckets-row frames.
+    """
+    from pyspark.sql.window import Window
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = ref.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(repr(q) for q in qs)}))"
+        ).alias("__edges")
+    )
+
+    def frac(df: DataFrame, name: str) -> DataFrame:
+        bucket = F.size(
+            F.filter("__edges", lambda e: F.col(value_col) > e)
+        )
+        counts = (
+            df.crossJoin(F.broadcast(edges))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("__c"))
+        )
+        total = counts.agg(F.sum("__c").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bucket",
+            (F.col("__c").cast("double") / F.col("__t").cast("double")).alias(
+                name
+            ),
+        )
+    all_buckets = ref.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    clamp = lambda c: F.greatest(F.coalesce(c, F.lit(0.0)), F.lit(1e-6))  # noqa: E731
+    joined = (
+        all_buckets.join(frac(ref, "__rf"), "bucket", "left")
+        .join(frac(cur, "__cf"), "bucket", "left")
+        .select(
+            "bucket",
+            F.round(clamp(F.col("__rf")), 6).alias("ref_frac"),
+            F.round(clamp(F.col("__cf")), 6).alias("cur_frac"),
+        )
+    )
+    term = (F.col("cur_frac") - F.col("ref_frac")) * F.log(
+        F.col("cur_frac") / F.col("ref_frac")
+    )
+    w = Window.partitionBy()
+    return (
+        joined.withColumn("psi_term", F.round(term, 6))
+        .withColumn("psi_total", F.round(F.sum(term).over(w), 6))
+    )

@@ -442,3 +442,66 @@ def test_radius_join_matches_duckdb_on_synthetic_coords(spark):
     exp = con.sql(sql).fetchall()
     assert len(exp) > 0
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_psi_drift_matches_duckdb_on_lineitem(spark):
+    from hummingbirddatapipeline_spark.operators.scale import psi_drift
+    from hummingbirddatapipeline_spark.tables import load
+
+    li = load(spark, SF, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < F.lit("1995-01-01")).select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    cur = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01")).select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    got = psi_drift(ref, cur, "v").collect()
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    sql = f"""
+    WITH r AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v
+      FROM read_parquet('{SF}/lineitem.parquet')
+      WHERE l_shipdate < DATE '1995-01-01'
+    ),
+    c AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v
+      FROM read_parquet('{SF}/lineitem.parquet')
+      WHERE l_shipdate >= DATE '1995-01-01'
+    ),
+    e AS (SELECT quantile_cont(v, [{qs}]) AS edges FROM r),
+    rb AS (
+      SELECT len(list_filter(e.edges, x -> v > x)) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r CROSS JOIN e GROUP BY 1
+    ),
+    cb AS (
+      SELECT len(list_filter(e.edges, x -> v > x)) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c CROSS JOIN e GROUP BY 1
+    ),
+    rt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM rb),
+    ct AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cb),
+    buckets AS (SELECT unnest(range(10)) AS bucket),
+    fr AS (
+      SELECT b.bucket,
+             ROUND(GREATEST(COALESCE(CAST(rb.n AS DOUBLE)
+                                     / CAST(rt.t AS DOUBLE), 0.0),
+                            0.000001), 6) AS ref_frac,
+             ROUND(GREATEST(COALESCE(CAST(cb.n AS DOUBLE)
+                                     / CAST(ct.t AS DOUBLE), 0.0),
+                            0.000001), 6) AS cur_frac
+      FROM buckets b
+      LEFT JOIN rb ON rb.bucket = b.bucket
+      LEFT JOIN cb ON cb.bucket = b.bucket
+      CROSS JOIN rt CROSS JOIN ct
+    )
+    SELECT CAST(bucket AS INT) AS bucket, ref_frac, cur_frac,
+           ROUND((cur_frac - ref_frac) * ln(cur_frac / ref_frac), 6)
+             AS psi_term,
+           ROUND(SUM((cur_frac - ref_frac) * ln(cur_frac / ref_frac))
+                 OVER (), 6) AS psi_total
+    FROM fr
+    """
+    con = duckdb.connect()
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)

@@ -189,3 +189,28 @@ def test_winsorize_clips_outliers(spark):
     assert top == 95.05
     assert all(r["v_winsorized"] <= r["p_hi"] for r in out)
     assert min(r["v_winsorized"] for r in out) == 1.0
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from hummingbirddatapipeline_spark.operators.scale import psi_drift
+
+    df = spark.range(1000).selectExpr("CAST(id % 97 AS DOUBLE) AS v")
+    out = psi_drift(df, df, "v").collect()
+    assert len(out) == 10
+    assert all(r["psi_total"] == out[0]["psi_total"] for r in out)
+    assert abs(out[0]["psi_total"]) < 1e-9  # same sample -> zero drift
+
+
+def test_psi_shifted_distribution_flags_drift(spark):
+    from hummingbirddatapipeline_spark.operators.scale import psi_drift
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    cur = spark.range(1000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) + 60.0 AS v"
+    )
+    out = psi_drift(ref, cur, "v").collect()
+    assert out[0]["psi_total"] > 0.25  # rule-of-thumb "shifted"
+    # top bucket gained mass, bottom buckets lost it
+    by_b = {r["bucket"]: r for r in out}
+    assert by_b[9]["cur_frac"] > by_b[9]["ref_frac"]
+    assert by_b[0]["cur_frac"] < by_b[0]["ref_frac"]
