@@ -166,7 +166,8 @@ def _load_modules() -> None:
 # brute cross-filter on hash-derived coordinates), and
 # operators/scale.psi_drift (Population Stability Index between a
 # reference and current sample — the ML drift monitor, bucketed by
-# exact reference deciles). All ten already pass full DuckDB
+# exact reference deciles), and operators/scale.impute_median
+# (group-wise robust NULL-fill). All eleven already pass full DuckDB
 # differential checks on real testdata (tests/test_r7_oracles.py) —
 # registration is a window change plus moving those SQL strings into
 # @query oracles.

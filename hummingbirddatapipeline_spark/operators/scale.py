@@ -307,3 +307,42 @@ def psi_drift(
         joined.withColumn("psi_term", F.round(term, 6))
         .withColumn("psi_total", F.round(F.sum(term).over(w), 6))
     )
+
+
+def impute_median(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Median imputation per group — the robust NULL-fill for numeric
+    features before training (median, not mean: one outlier moves the
+    mean arbitrarily; reference parity: the pipelines' completeness
+    gates drop rows instead, which wastes partially-observed entities
+    at corpus scale).
+
+    Returns the input plus ``{value_col}_imputed`` (original where
+    present, the group's exact median of NON-NULL values where NULL)
+    and ``{value_col}_was_null``. Groups that are entirely NULL stay
+    NULL (flagged, not fabricated). With no ``group_col`` the median
+    is global.
+
+    Scale: one exact-percentile aggregate per group (same
+    bit-identical ``percentile`` / ``quantile_cont`` parity as
+    :func:`winsorize`) broadcast back onto the scan.
+    """
+    keys = [group_col] if group_col else []
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    joined = (
+        df.join(F.broadcast(med), keys)
+        if keys
+        else df.crossJoin(F.broadcast(med))
+    )
+    return joined.select(
+        *df.columns,
+        F.coalesce(F.col(value_col), F.col("__med")).alias(
+            f"{value_col}_imputed"
+        ),
+        F.col(value_col).isNull().alias(f"{value_col}_was_null"),
+    )

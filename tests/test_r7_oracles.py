@@ -505,3 +505,42 @@ def test_psi_drift_matches_duckdb_on_lineitem(spark):
     con = duckdb.connect()
     exp = con.sql(sql).fetchall()
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_impute_median_matches_duckdb_on_customer(spark):
+    from hummingbirddatapipeline_spark.operators.scale import impute_median
+    from hummingbirddatapipeline_spark.tables import load
+
+    # inject deterministic NULLs (every 7th customer) then impute per
+    # market segment
+    cust = load(spark, SF, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("bal"),
+    )
+    got = impute_median(cust, "bal", "c_mktsegment").collect()
+    sql = f"""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+      FROM read_parquet('{SF}/customer.parquet')
+    ),
+    m AS (
+      SELECT c_mktsegment, quantile_cont(bal, 0.5) AS med
+      FROM c GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.bal,
+           COALESCE(c.bal, m.med) AS bal_imputed,
+           c.bal IS NULL AS bal_was_null
+    FROM c JOIN m USING (c_mktsegment)
+    """
+    con = duckdb.connect()
+    exp = con.sql(sql).fetchall()
+    got_rows = [
+        (r["c_custkey"], r["c_mktsegment"], r["bal"], r["bal_imputed"], r["bal_was_null"])
+        for r in got
+    ]
+    assert _norm(got_rows) == _norm(exp)

@@ -214,3 +214,26 @@ def test_psi_shifted_distribution_flags_drift(spark):
     by_b = {r["bucket"]: r for r in out}
     assert by_b[9]["cur_frac"] > by_b[9]["ref_frac"]
     assert by_b[0]["cur_frac"] < by_b[0]["ref_frac"]
+
+
+def test_impute_median_fills_nulls_per_group(spark):
+    from hummingbirddatapipeline_spark.operators.scale import impute_median
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", None),
+        ("b", 10.0), ("b", None),
+        ("c", None),  # all-NULL group stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = impute_median(df, "v", "g").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], []).append(r)
+    a_filled = [r for r in by["a"] if r["v_was_null"]]
+    assert a_filled[0]["v_imputed"] == 2.0  # median of 1, 3
+    b_filled = [r for r in by["b"] if r["v_was_null"]]
+    assert b_filled[0]["v_imputed"] == 10.0
+    c = by["c"][0]
+    assert c["v_imputed"] is None and c["v_was_null"]
+    # non-null rows unchanged
+    assert all(r["v_imputed"] == r["v"] for r in out if not r["v_was_null"])
