@@ -25,6 +25,28 @@ from pyspark.sql.window import Window
 from hummingbirddatapipeline_spark.functions.text import fingerprint, word_shingles
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """Banding precondition shared by the LSH pair and cluster paths.
+
+    bands > num_hashes would index past the signature array at runtime
+    (Spark 4 ANSI INVALID_ARRAY_INDEX); a non-divisible split would
+    silently drop the trailing num_hashes % bands hash values from
+    every band key, weakening recall with no signal. Fail loudly at
+    plan time instead.
+    """
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"minhash banding: need 1 <= bands <= num_hashes, got "
+            f"bands={bands}, num_hashes={num_hashes}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash banding: num_hashes={num_hashes} is not divisible "
+            f"by bands={bands}; the trailing {num_hashes % bands} hashes "
+            "would be silently ignored — pick bands dividing num_hashes"
+        )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -108,6 +130,7 @@ def minhash_lsh_candidates(
     no executor materializes an unbounded group. Candidates are
     distinct pairs.
     """
+    _check_banding(num_hashes, bands)
     rows_per_band = max(1, num_hashes // bands)
     banded = signatures.select(
         F.col(id_col),
@@ -414,6 +437,7 @@ def boilerplate_clusters(
     buckets -> exact pair graph; boilerplate floods -> cluster
     assignment. Both are one-shuffle banding plans.
     """
+    _check_banding(num_hashes, bands)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).filter(
         F.col("n_shingles") > 0
     )

@@ -54,20 +54,56 @@ def radius_join(
 
     Grid cells are ``radius_m`` tall; the longitude width is scaled by
     cos(60 deg) so cells stay >= radius wide up to |lat| <= 60 (beyond
-    that, widen the cap or use a polar-aware scheme — documented
-    limit, checked nowhere because the synthetic fixtures stay in
-    range). Each point lands in ONE cell; each query probes its 3x3
-    neighborhood via a 9-element explode — constant fanout on the
-    (usually smaller) query side, single equi-join on the cell key.
+    that, widen the cap or use a polar-aware scheme). The validity
+    limits are ENFORCED, not just documented: a row with |lat| > 60,
+    or a longitude within one cell width of the +-180 antimeridian
+    (where the grid does not wrap), raises at execution time via an
+    inline guard on the cell expression — out-of-contract inputs fail
+    loudly instead of silently losing matches. Each point lands in ONE
+    cell; each query probes its 3x3 neighborhood via a 9-element
+    explode — constant fanout on the (usually smaller) query side,
+    single equi-join on the cell key.
     """
+    if radius_m <= 0:
+        raise ValueError(f"radius_join: radius_m must be > 0, got {radius_m}")
     plat, plon = point_cols
     qlat, qlon = query_cols
     lat_step = radius_m / 111_320.0  # meters per degree latitude
     lon_step = lat_step / 0.5  # cos(60 deg) safety floor
+    if lon_step > 90.0:
+        raise ValueError(
+            f"radius_join: radius_m={radius_m} implies {lon_step:.1f}-degree "
+            "grid cells — too coarse for a non-wrapping equirectangular "
+            "grid; use a smaller radius or a polar/wrap-aware scheme"
+        )
+
+    def _checked(col: Column, lat: Column, lon: Column) -> Column:
+        # inline contract guard: rides the cell expression (never
+        # pruned, evaluated map-side with zero extra passes); raises
+        # on the first out-of-contract row instead of under-returning
+        ok = (F.abs(lat) <= 60.0) & (F.abs(lon) <= 180.0 - 2 * lon_step)
+        return F.when(ok, col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "radius_join contract violation: need |lat| <= 60 "
+                        f"and |lon| <= {180.0 - 2 * lon_step:.4f} (no "
+                        "antimeridian wrap); got (lat, lon) = ("
+                    ),
+                    lat.cast("string"),
+                    F.lit(", "),
+                    lon.cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("double")
+        )
+
     p = points.withColumn(
         "__cell",
         F.struct(
-            F.floor(F.col(plat) / lat_step).alias("r"),
+            F.floor(
+                _checked(F.col(plat), F.col(plat), F.col(plon)) / lat_step
+            ).alias("r"),
             F.floor(F.col(plon) / lon_step).alias("c"),
         ),
     )
@@ -77,7 +113,13 @@ def radius_join(
             F.array(
                 *[
                     F.struct(
-                        (F.floor(F.col(qlat) / lat_step) + dr).alias("r"),
+                        (
+                            F.floor(
+                                _checked(F.col(qlat), F.col(qlat), F.col(qlon))
+                                / lat_step
+                            )
+                            + dr
+                        ).alias("r"),
                         (F.floor(F.col(qlon) / lon_step) + dc).alias("c"),
                     )
                     for dr in (-1, 0, 1)

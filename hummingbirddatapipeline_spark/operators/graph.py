@@ -68,10 +68,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Seed labels from the RAW endpoint set (before the self-edge
+    # filter): a node appearing only in self edges still owes a
+    # (node, node) assignment — seeding from the filtered edge list
+    # silently dropped it, and downstream cluster joins then treated
+    # it as absent rather than a singleton.
     labels = (
-        edges.select("u")
+        base.select(F.col("u").alias("node"))
+        .union(base.select(F.col("v").alias("node")))
         .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
 

@@ -22,11 +22,27 @@ def salted_join(
     the join key becomes (key, salt) — a hot key's rows spread over
     ``n_salts`` tasks instead of one straggler.
 
-    Semantics are identical to ``skewed.join(small, key, how)``; use
-    when one side has hot keys and the other is small enough to
-    replicate ``n_salts``x (else AQE skew-join splitting is the
-    zero-copy alternative — enabled in session.py).
+    Semantics are identical to ``skewed.join(small, key, how)`` for
+    the skewed-side-preserving joins; use when one side has hot keys
+    and the other is small enough to replicate ``n_salts``x (else AQE
+    skew-join splitting is the zero-copy alternative — enabled in
+    session.py).
+
+    ``how`` is restricted to {'inner', 'left', 'left_semi',
+    'left_anti'}: for right/full (small-side-preserving) joins the
+    ``n_salts``-way replication of the small side would emit each
+    unmatched small row ``n_salts`` times and each matched small key
+    up to ``n_salts - 1`` spurious null-padded rows — salting the
+    OTHER side is the correct construction there, so this one refuses
+    rather than silently over-returning.
     """
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not skewed-side-preserving; "
+            "supported: inner, left, left_semi, left_anti (salt the "
+            "other input for right/full joins)"
+        )
     salted = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     )

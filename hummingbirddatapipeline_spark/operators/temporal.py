@@ -245,6 +245,12 @@ def lttb_downsample(
     """
     from pyspark.sql.window import Window
 
+    # LTTB is only defined for >= 3 output points (first + last +
+    # interior buckets); below that the interior bucket arithmetic
+    # degenerates (n_out=2 floods bucket 0, n_out=1 yields bucket -1)
+    # and would silently break the keep-first/keep-last invariant.
+    if n_out < 3:
+        raise ValueError(f"lttb_downsample: n_out must be >= 3, got {n_out}")
     tiebreak = tiebreak_col or ts_col
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
     cnt_w = Window.partitionBy(key_col)
