@@ -74,6 +74,18 @@ HEADLINE = [
     "scd2_user_event_history",
     "events_anomaly_zscore",
     "text_c4_filters",
+    # round-7 operators
+    "events_lttb_downsample",
+    "events_markov_transitions",
+    "sample_weighted_aes",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_triangle_counts",
+    "events_decayed_activity",
+    "feature_winsorize_prices",
+    "feature_psi_price_drift",
+    "feature_impute_median_balance",
+    "geo_radius_join_suppliers",
+    "assoc_basket_cooccurrence",
 ]
 
 
@@ -100,6 +112,22 @@ def main() -> None:
 
     # Warm the JVM/IO once (not counted): tiny action on the largest table.
     runnable[names[0]](spark, sf_dir).limit(1).collect()
+
+    # Shared one-time setup, measured as its OWN row: the exact-Jaccard
+    # near-dup pair set is checkpointed once per (session, sf_dir) and
+    # reused by six catalog queries (CC clusters, representatives,
+    # leak-free split, ngram-overlap audit, gated funnel, triangles).
+    # Without this, its ~25-30 s build lands on whichever consumer runs
+    # first and that query's number reads 5-10x its marginal cost.
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+
+    t0 = time.perf_counter()
+    shared_jaccard_pairs(spark, sf_dir).count()
+    shared_setup = {
+        "shared_jaccard_pairs": round(time.perf_counter() - t0, 3)
+    }
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -133,6 +161,9 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(names),  # suite widened r2: 24 -> 35
                 "value_cold": total_cold,
+                # one-time materializations shared across queries; per-
+                # query numbers below are MARGINAL costs on top of these
+                "shared_setup": shared_setup,
                 "queries": warm,
                 "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -111,11 +111,14 @@ def _load_modules() -> None:
     # Import for registration side effects. Keep alphabetical-ish; each
     # module covers one SURVEY.md §2 operator family.
     from hummingbirddatapipeline_spark.catalog import (  # noqa: F401
+        association_q,
         curation_q,
         dedup_q,
         entity_q,
         events_q,
         extraction_q,
+        feature_q,
+        geo_q,
         multimodal_q,
         relational,
         sampling_q,
@@ -129,118 +132,80 @@ def _load_modules() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 registered
-# queries per round (dict insertion order). With 100+ catalog entries,
+# queries per round (dict insertion order). With 110+ catalog entries,
 # which rows get hard driver signal is a choice — so make it explicit.
 #
-# Round-7 rotation plan (write it while the reasoning is fresh): once
-# CORRECTNESS_r06.json lands green, group (a) below (never-sampled
-# before r6) and the 14 new round-6 queries will all carry a fresh
-# driver row and can rotate out; the next window should then (1) keep
-# anything that came back red, (2) re-sample the rows whose last green
-# is r1 and that did NOT fit this round (none currently — the (b)
-# group fit), and (3) rotate in whatever r7 adds, keeping
-# tests/test_catalog_smoke.test_driver_window_rotation_policy green
-# (it reads the CORRECTNESS_r*.json history and blocks rotating out
-# any row whose last sample wasn't green).
-#
-# Banked for r7 registration (operators implemented + unit-tested this
-# round; catalog entries deliberately NOT added because every new
-# query must fit the 50-slot window to get a driver row, and this
-# round's window is full): operators/temporal.lttb_downsample
-# (parallel LTTB time-series downsampling),
-# operators/association.basket_cooccurrence (support/confidence/lift
-# over order lines), operators/sampling.weighted_sample_topk
-# (Efraimidis-Spirakis A-ES weighted sampling without replacement),
-# operators/temporal.transition_counts (Markov event-transition
-# matrix with session-gap breaking), and
-# operators/graph.triangle_counts (ordered-wedge triangle counting
-# over the near-dup graph), and operators/incremental.decayed_activity
-# (exponential recency-weighted engagement scores anchored on a
-# data-derived reference time), and operators/scale.winsorize
-# (per-group percentile clipping; Spark `percentile` verified
-# bit-identical to DuckDB `quantile_cont`), and
-# operators/dedup.tfidf_cosine_pairs (IDF-weighted near-dup pairs
-# with a posting-list df cap — catches length-skewed dups Jaccard
-# dilutes), operators/geo.radius_join (grid-bucketed haversine
-# radius join — 3x3 cell equi-join + exact verify, matching DuckDB's
-# brute cross-filter on hash-derived coordinates), and
-# operators/scale.psi_drift (Population Stability Index between a
-# reference and current sample — the ML drift monitor, bucketed by
-# exact reference deciles), and operators/scale.impute_median
-# (group-wise robust NULL-fill). All eleven already pass full DuckDB
-# differential checks on real testdata (tests/test_r7_oracles.py) —
-# registration is a window change plus moving those SQL strings into
-# @query oracles.
-# Rotation policy (round 6): pin to the front (a) every query that has
-# never had a driver row (stream_*, sampling family, redact /
-# contamination / leak-free split, similarity clusters + quantize,
-# temporal joins, zorder, DQ), then (b) every query whose last driver
-# row predates heavy refactors (r1-era scoring/similarity/serving/
-# search/union/band/latest rows; r4-era scalar rows). Long-stable rows
-# (green 4-5 consecutive rounds) rotate out past slot 50; nothing
-# rotated out was red when last sampled. tests/test_catalog_smoke.py
-# enforces the policy shape.
+# Round-7 window: every r6-sampled row came back green
+# (CORRECTNESS_r06.json, 50/50), so the whole r6 window is eligible to
+# rotate out. This round pins (a) the 11 newly registered operators
+# (the r6 "banked" set — LTTB, Markov transitions, A-ES sampling,
+# TF-IDF cosine pairs, triangle counts, decayed activity, winsorize,
+# PSI drift, median impute, radius join, basket co-occurrence), then
+# (b) the standard staleness back-fill: the 2 rows whose last driver
+# sample is r1, the 3 whose last is r4, and 34 of the 48 r5 rows —
+# prioritizing those whose shared helpers were refactored in r6
+# (text_substring_dup post-xxhash64 swap, text_repetition_stats,
+# dedup_minhash_near_dups, curation_funnel, the events window family,
+# _DUCK_TOKS consumers). The 14 r5 rows left outside (plain relational
+# / merge / classify rows whose code paths were untouched in r6) plus
+# the 50 r6-green rows remain last-sample-green, which
+# tests/test_catalog_smoke.test_driver_window_rotation_policy
+# enforces against the CORRECTNESS_r*.json history.
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-sampled before round 6
-    "stream_hourly_tumbling",
-    "stream_sessionization",
-    "stream_dedup_union",
-    "stream_interval_join_pairs",
-    "stream_enrich_nation_counts",
-    "sample_hash_fraction",
-    "sample_stratified_by_lang",
-    "sample_per_source_cap",
-    "sample_train_holdout_counts",
-    "sample_token_budget_mix",
-    "sample_split_leakfree",
-    "text_redact_pii",
-    "text_contamination_check",
-    "similarity_near_dup_clusters",
-    "similarity_near_dup_clusters_banded",
-    "embedding_quantize_roundtrip",
-    "asof_join_purchase_click",
-    "range_join_clicks_before_purchase",
-    "range_join_pairs",
-    "events_hypertable_rollup",
-    "layout_zorder_codes",
-    "dq_orders_expectations",
-    # new in round 6
-    "text_bm25_topk",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_substring_dup_stride1",
-    "search_hybrid_rrf",
-    "sample_temperature_mix",
-    "sample_split_ngram_overlap",
-    "text_dedup_representatives",
-    "curation_funnel_gated",
-    "corpus_stats_report",
-    "curation_source_gate",
-    "scd2_user_event_history",
-    "dq_skew_report",
-    "text_repetition_battery",
-    "curation_quality_percentile",
-    "events_anomaly_zscore",
-    "text_c4_filters",
-    # (b) stale: last driver row r1 (heavy refactors since) or r4
-    "scoring_customer_health",
-    "scoring_990_model",
-    "scoring_ipeds_model",
-    "similarity_cosine_topk",
-    "similarity_near_dup_embeddings",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "serving_map_extract",
-    # (search_topk_substring / union_dedup_segments rotated out for
-    # events_anomaly_zscore / text_c4_filters: both r1-green, code
-    # untouched since, and re-verified by the local harness this round)
-    "band_join_balance_siblings",
-    "latest_filing_plus_history",
-    "grouping_sets_counters",
-    # (hhi_supplier_concentration / safe_divide_discount_rate /
-    # topk_orders_by_price rotated out in favor of the six new round-6
-    # queries: all three were driver-green in r4 and re-verified by the
-    # local differential harness this round)
+    # (a) newly registered round-7 operators — first driver rows
+    "events_lttb_downsample",
+    "events_markov_transitions",
+    "sample_weighted_aes",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_triangle_counts",
+    "events_decayed_activity",
+    "feature_winsorize_prices",
+    "feature_psi_price_drift",
+    "feature_impute_median_balance",
+    "geo_radius_join_suppliers",
+    "assoc_basket_cooccurrence",
+    # (b) staleness back-fill: last driver sample r1
+    "search_topk_substring",
+    "union_dedup_segments",
+    # last driver sample r4
+    "hhi_supplier_concentration",
+    "safe_divide_discount_rate",
+    "topk_orders_by_price",
+    # last driver sample r5, r6-refactor-adjacent first
+    "text_substring_dup",
+    "text_repetition_stats",
+    "dedup_minhash_near_dups",
+    "dedup_connected_components",
+    "dedup_simhash_consistency",
+    "curation_funnel",
+    "text_jaccard_near_dups",
+    "text_exact_dedup",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "text_chunk_documents",
+    "text_pack_chunks",
+    "events_hourly_tumbling",
+    "events_sessionization",
+    "events_sliding_3h1h",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_incremental_rollup",
+    "events_first_per_user_type",
+    "events_json_props",
+    "sketch_approx_distinct_users",
+    "sketch_value_quantiles",
+    "sketch_topk_heavy_hitters",
+    "er_multipass_name_match",
+    "er_fuzzy_join_levenshtein",
+    "er_fuzzy_join_lsh",
+    "multimodal_byte_features",
+    "multimodal_frame_plan",
+    "window_yoy_nation_revenue_growth",
+    "extract_multi_pattern",
+    "extract_context_window",
+    "extract_best_candidate",
 ]
 
 

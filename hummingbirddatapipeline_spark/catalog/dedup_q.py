@@ -294,3 +294,139 @@ def text_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.filter(
         F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id"))
     ).select("doc_id", F.coalesce("n", F.lit(1)).alias("cluster_size"))
+
+
+@query(
+    "dedup_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM occ GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY t),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    weighted AS (
+      SELECT tf.doc_id, tf.t,
+             tf.tf * ln(nd.n_docs / CAST(d.df_t AS DOUBLE)) AS w
+      FROM tf JOIN dfreq d USING (t) CROSS JOIN nd
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM weighted GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM weighted a JOIN weighted b
+        ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF-weighted cosine over the token
+    inverted index (Salton weighting; the Bayardo WWW'07 all-pairs
+    form) — the weighted complement to set Jaccard: rare shared terms
+    dominate, so length-skewed duplicates Jaccard dilutes still score
+    high. Full oracle: DuckDB rebuilds tf, df, weights, norms, and the
+    posting-list dot products independently and must emit the same
+    rounded cosines. Scale path: the ``max_doc_freq`` posting-list cap
+    (operators/dedup.tfidf_cosine_pairs) bounds candidate volume like
+    LSH's max_bucket; uncapped here so the oracle covers the exact
+    semantics end-to-end."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.9)
+
+
+# Mega-clique guard for triangle enumeration: a d-clique holds
+# d(d-1)(d-2)/6 triangles, and the sf0.1 synthetic corpus contains a
+# ~2,700-doc mutual-near-dup cluster — uncapped wedge generation there
+# is ~10^10 rows for an answer that only says "this is a clique". The
+# cap is part of the oracled CONTRACT: DuckDB recomputes the degree
+# filter too, so the differential gates the capped semantics exactly
+# (it binds mildly even at sf0.01 — 311 vs 335 uncapped nodes); hubs
+# get the cluster-label treatment instead
+# (operators/graph.triangle_counts docstring).
+_TRI_MAX_DEGREE = 64
+
+
+@query(
+    "dedup_triangle_counts",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT id_a AS node FROM near UNION ALL SELECT id_b FROM near
+      ) GROUP BY node
+    ),
+    e AS (
+      SELECT n.id_a, n.id_b FROM near n
+      JOIN deg du ON du.node = n.id_a
+      WHERE du.d <= {_TRI_MAX_DEGREE}
+    ),
+    tri AS (
+      SELECT e1.id_a AS u, e1.id_b AS v, e2.id_b AS w
+      FROM e e1
+      JOIN e e2 ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+      JOIN e e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest([u, v, w]) AS node FROM tri) GROUP BY node
+    ),
+    nodes AS (
+      SELECT DISTINCT x AS node FROM (
+        SELECT id_a AS x FROM e UNION ALL SELECT id_b FROM e)
+    )
+    SELECT node, COALESCE(pn.n, 0) AS n_triangles
+    FROM nodes LEFT JOIN pn USING (node)
+    ORDER BY node
+    """,
+)
+def dedup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the shared exact-Jaccard near-dup
+    graph — the clustering-coefficient numerator separating tight
+    template cliques from loose near-dup chains. Spark enumerates
+    ordered wedges (two equi-joins on the canonical u<v edge list,
+    operators/graph.triangle_counts) under the degree cap; DuckDB
+    recomputes the degree filter and closes wedges with its own
+    three-way self-join. Rides the checkpointed shared pair set, so
+    its marginal cost is the wedge joins only."""
+    from hummingbirddatapipeline_spark.operators.graph import triangle_counts
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    return triangle_counts(pairs, max_degree=_TRI_MAX_DEGREE)
+
+
+@bench_query("bench_dedup_cc_minhash")
+def bench_dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the 100 TB dedup-clustering composition — MinHash-LSH
+    candidate pairs (banded, bucket-capped) fed straight into
+    pointer-jumping connected components. The ORACLED CC query closes
+    the exact-Jaccard graph because DuckDB must recompute the pair set
+    independently; production never runs that quadratic pair-gen — it
+    runs THIS: approximate pair generation + closure. This entry exists
+    so BENCH_r{N}.json tracks the number that matters at scale.
+    Correctness of each half is separately driver-gated
+    (dedup_minhash_near_dups recall contract; dedup_connected_components
+    exact closure)."""
+    docs = load(spark, sf_dir, "documents")
+    cand = near_dup_pairs_minhash(
+        docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8,
+        shingle_size=1,
+    ).select("id_a", "id_b")
+    cc = connected_components(cand)
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )

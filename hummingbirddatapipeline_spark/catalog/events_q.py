@@ -670,3 +670,34 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("anomalous"),
         )
     )
+
+
+@query(
+    "events_decayed_activity",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms FROM events
+    ),
+    r AS (SELECT CAST(MAX(ts_ms) AS DOUBLE) AS ref FROM e)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts_ms) AS last_ts,
+           ROUND(SUM(POWER(0.5, (r.ref - CAST(ts_ms AS DOUBLE))
+                                 / 86400000.0)), 6) AS decayed_score
+    FROM e CROSS JOIN r GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user activity (1-day half-life,
+    anchored on the corpus max timestamp so the score is data-derived
+    and rerun-stable, never wall-clock) — the recency-weighted
+    engagement feature feeding ranking and churn models. One scalar
+    broadcast (the reference time) + one hash aggregate; the decay
+    weight is plain double POW both engines evaluate identically,
+    rounded 6dp before hashing."""
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        decayed_activity,
+    )
+
+    ev = _with_ts_ms(load(spark, sf_dir, "events")).select("user_id", "ts_ms")
+    return decayed_activity(ev, "user_id", "ts_ms", half_life=86_400_000.0)

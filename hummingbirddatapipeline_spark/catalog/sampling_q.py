@@ -480,3 +480,43 @@ def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("naive_doc_hash").alias("split_method"), "*"
     )
     return r_lf.unionByName(r_nv)
+
+
+@query(
+    "sample_weighted_aes",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS STRING) || ':r7'),
+                                      1, 13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0)
+             / CAST(n_chars AS DOUBLE) AS rk
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+                AS INT) AS sample_rank
+    FROM scored
+    QUALIFY sample_rank <= 5
+    ORDER BY lang, sample_rank
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006
+    A-ES): top-5 docs per language, probability proportional to
+    n_chars — the quality/length-weighted corpus subsampling
+    primitive. Randomness is content-hash derived (md5 52-bit
+    uniforms), so the draw is rerun-stable and BOTH engines recompute
+    the identical exponential rank -ln(u)/w; the oracle re-runs the
+    whole draw in SQL. One window shuffle on the stratum key."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("wgt")
+    )
+    return weighted_sample_topk(
+        docs, "doc_id", "wgt", k=5, seed="r7", strata_col="lang"
+    ).select("doc_id", "lang", "sample_rank")

@@ -71,12 +71,22 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import warnings
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
     # testdata embeddings are near-orthogonal random vectors (max cosine
     # ~0.51), so the demo threshold is 0.35; real corpora use ~0.95.
-    return embedding_near_dup_pairs(emb, threshold=0.35)
+    # At 0.35 the selectivity cutoff INTENTIONALLY falls back to exact
+    # all-pairs (banding would out-cost brute force) — that behavior is
+    # pinned by tests, so the advisory UserWarning is suppressed here
+    # to keep catalog/test output clean.
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=".*banding would out-cost brute force.*"
+        )
+        return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 @query(

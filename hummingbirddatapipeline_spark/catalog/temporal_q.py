@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.catalog import query
-from hummingbirddatapipeline_spark.operators.temporal import asof_join, range_join
+from hummingbirddatapipeline_spark.operators.temporal import (
+    asof_join,
+    lttb_downsample,
+    range_join,
+    transition_counts,
+)
 from hummingbirddatapipeline_spark.tables import load
 
 _HOUR_MS = 3_600_000
@@ -369,4 +374,118 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "version",
         "is_current",
+    )
+
+
+# --------------------------------------------------------------------------
+# LTTB downsampling: visually-faithful reduction of per-type series
+# --------------------------------------------------------------------------
+_LTTB_N_OUT = 12
+
+
+@query(
+    "events_lttb_downsample",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type AS k, (epoch_ns(ts) // 1000000) AS t, value AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY (epoch_ns(ts) // 1000000), event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bucketed AS (
+      SELECT *, CAST(CASE WHEN rn = 0 THEN 0
+                   WHEN rn = n - 1 THEN {_LTTB_N_OUT - 1}
+                   ELSE LEAST(FLOOR((rn - 1) * {_LTTB_N_OUT - 2} / (n - 2)) + 1,
+                              {_LTTB_N_OUT - 2}) END AS BIGINT) AS b
+      FROM pts
+    ),
+    cent AS (
+      SELECT k, b, AVG(CAST(t AS DOUBLE)) AS cx, AVG(CAST(v AS DOUBLE)) AS cy
+      FROM bucketed GROUP BY k, b
+    ),
+    nbr AS (
+      SELECT k, b,
+             LAG(cx) OVER w AS px, LAG(cy) OVER w AS py,
+             LEAD(cx) OVER w AS nx, LEAD(cy) OVER w AS ny
+      FROM cent WINDOW w AS (PARTITION BY k ORDER BY b)
+    ),
+    scored AS (
+      SELECT p.k, p.b, p.t, p.v,
+             COALESCE(FLOOR(ABS((n.px - n.nx) * (CAST(p.v AS DOUBLE) - n.py)
+                       - (n.px - CAST(p.t AS DOUBLE)) * (n.ny - n.py))
+                      * 1000000 + 0.5) / 1000000, 0.0) AS a
+      FROM bucketed p JOIN nbr n USING (k, b)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k, b
+                                   ORDER BY a DESC, t DESC, v DESC) AS rk
+      FROM scored
+    )
+    SELECT k AS event_type, b AS bucket, t AS ts_ms, v AS value
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type, bucket
+    """,
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    parallel centroid-anchored variant) of each event type's value
+    series to 12 visually-faithful points — the dashboard reduction of
+    raw 100 TB telemetry. Spark runs the one-shuffle windowed
+    implementation (operators/temporal.lttb_downsample: bucket-index
+    window + centroid aggregate + quantized-area argmax, all on one
+    key exchange); DuckDB recomputes it as an independent
+    window-rank-argmax formulation, so the differential proves bucket
+    assignment, neighbor-centroid geometry, and tie-breaking agree."""
+    ev = _ts_ms(load(spark, sf_dir, "events")).select(
+        "event_type", "ts_ms", "value", "event_id"
+    )
+    return lttb_downsample(
+        ev, "event_type", "ts_ms", "value", _LTTB_N_OUT,
+        tiebreak_col="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition mining over the event stream
+# --------------------------------------------------------------------------
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms,
+             event_id
+      FROM events
+    ),
+    p AS (
+      SELECT LAG(event_type) OVER w AS from_state, event_type AS to_state,
+             ts_ms - LAG(ts_ms) OVER w AS gap
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    c AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE from_state IS NOT NULL AND gap <= 1800000
+      GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n AS n_transitions,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE), 6)
+             AS p_transition
+    FROM c
+    ORDER BY from_state, to_state
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences with a 30-minute session gap (transitions never cross a
+    gap) — next-event prediction / funnel-diagnosis features. One
+    shuffle on user_id feeds the lag window; the (from, to) count
+    matrix is a tiny second aggregate. The oracle recomputes with
+    DuckDB's own LAG windows."""
+    ev = _ts_ms(load(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts_ms", "event_id"
+    )
+    return transition_counts(
+        ev, "user_id", "event_type", "ts_ms", "event_id",
+        session_gap=1_800_000,
     )

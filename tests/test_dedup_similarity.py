@@ -265,3 +265,57 @@ def test_tfidf_cosine_catches_length_skewed_dup(spark):
     }
     assert cos[(1, 2)] > 0.98  # weighted view: near-exact duplicate
     assert jac[(1, 2)] == 0.25  # set view: heavily diluted
+
+
+def test_tfidf_dense_and_sparse_regimes_agree(spark, sf_dir):
+    """The vocab-size regime switch must be invisible in results: the
+    posting-list (sparse) and tiled-GEMM (dense) paths emit identical
+    rounded cosines on the same corpus."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(120)
+    dense = tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.9)
+    sparse = tfidf_cosine_pairs(
+        docs, "text", "doc_id", threshold=0.9, dense_vocab_limit=0
+    )
+    d = {(r["id_a"], r["id_b"]): r["cosine"] for r in dense.collect()}
+    s = {(r["id_a"], r["id_b"]): r["cosine"] for r in sparse.collect()}
+    assert len(d) > 0
+    assert d == s
+
+
+def test_cosine_pairs_blocked_matches_brute(spark):
+    """Tiled-GEMM all-pairs equals the native brute path, including
+    the id_a < id_b canonicalization across block boundaries and the
+    zero-vector guard."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    # near-dup twins + one zero vector
+    rows += [(100 + i, [x * 1.001 for x in base[i]]) for i in range(5)]
+    rows += [(999, [0.0] * 8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_pairs_blocked(df, 0.99, n_blocks=7).collect()
+    }
+    exp = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_dup_pairs(df, 0.99, brute=True).collect()
+    }
+    assert len(exp) >= 5
+    assert got == exp
