@@ -86,6 +86,8 @@ HEADLINE = [
     "feature_impute_median_balance",
     "geo_radius_join_suppliers",
     "assoc_basket_cooccurrence",
+    "dedup_incremental_batch",
+    "multimodal_phash_groups",
 ]
 
 

@@ -137,16 +137,18 @@ def _load_modules() -> None:
 #
 # Round-7 window: every r6-sampled row came back green
 # (CORRECTNESS_r06.json, 50/50), so the whole r6 window is eligible to
-# rotate out. This round pins (a) the 11 newly registered operators
+# rotate out. This round pins (a) the 13 newly registered operators
 # (the r6 "banked" set — LTTB, Markov transitions, A-ES sampling,
 # TF-IDF cosine pairs, triangle counts, decayed activity, winsorize,
-# PSI drift, median impute, radius join, basket co-occurrence), then
+# PSI drift, median impute, radius join, basket co-occurrence —
+# plus round 7's incremental batch-vs-index dedup and multimodal
+# phash clusters), then
 # (b) the standard staleness back-fill: the 2 rows whose last driver
-# sample is r1, the 3 whose last is r4, and 34 of the 48 r5 rows —
+# sample is r1, the 3 whose last is r4, and 32 of the 48 r5 rows —
 # prioritizing those whose shared helpers were refactored in r6
 # (text_substring_dup post-xxhash64 swap, text_repetition_stats,
 # dedup_minhash_near_dups, curation_funnel, the events window family,
-# _DUCK_TOKS consumers). The 14 r5 rows left outside (plain relational
+# _DUCK_TOKS consumers). The 16 r5 rows left outside (plain relational
 # / merge / classify rows whose code paths were untouched in r6) plus
 # the 50 r6-green rows remain last-sample-green, which
 # tests/test_catalog_smoke.test_driver_window_rotation_policy
@@ -164,6 +166,8 @@ DRIVER_WINDOW: list[str] = [
     "feature_impute_median_balance",
     "geo_radius_join_suppliers",
     "assoc_basket_cooccurrence",
+    "dedup_incremental_batch",
+    "multimodal_phash_groups",
     # (b) staleness back-fill: last driver sample r1
     "search_topk_substring",
     "union_dedup_segments",
@@ -203,9 +207,11 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_byte_features",
     "multimodal_frame_plan",
     "window_yoy_nation_revenue_growth",
-    "extract_multi_pattern",
-    "extract_context_window",
     "extract_best_candidate",
+    # (extract_multi_pattern / extract_context_window yield their
+    # slots to the two new round-7 operators above: both r5-green,
+    # extraction helpers untouched since, extract_best_candidate
+    # still covers the family this round)
 ]
 
 

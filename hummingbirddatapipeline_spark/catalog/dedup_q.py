@@ -430,3 +430,98 @@ def bench_dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT b.doc_id AS doc_id, s.doc_id AS store_id, COUNT(*) AS inter
+      FROM tok b JOIN tok s ON b.w = s.w
+      WHERE b.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT p.doc_id, p.store_id,
+             ROUND(inter / (sb.n + ss.n - inter), 6) AS j
+      FROM pairs p
+      JOIN sizes sb ON sb.doc_id = p.doc_id
+      JOIN sizes ss ON ss.doc_id = p.store_id
+      WHERE inter / (sb.n + ss.n - inter) >= 0.85
+    ),
+    best AS (
+      SELECT doc_id, MIN(store_id) AS match_store_id FROM hits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           b.match_store_id IS NULL AS accepted,
+           b.match_store_id,
+           h.j AS match_jaccard
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+                    AND h.store_id = b.match_store_id
+    WHERE d.doc_id % 2 = 1
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape at 100 TB:
+    "dedup today's batch against the existing corpus INDEX without
+    rescanning the corpus". Even doc_ids play the accepted corpus
+    (persisted shingle store, operators/dedup.build_jaccard_store);
+    odd doc_ids are the arriving batch; each batch doc probes the
+    store's posting lists with only its PREFIX tokens under the
+    store's rarest-first token order (asymmetric AllPairs filter —
+    exact, not approximate) and is annotated accepted / matched
+    (min-id store match + its exact Jaccard). DuckDB recomputes every
+    batch-vs-store decision from the raw union, so the driver hashes
+    the full accept/reject roster. Replay idempotence (re-running a
+    committed batch accepts nothing) is pinned in
+    tests/test_dedup_similarity.py."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_jaccard_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store = build_jaccard_store(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        shingle_size=1,
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_jaccard_dedup(
+        batch, store, "text", "doc_id", threshold=0.85, shingle_size=1
+    )
+
+
+@bench_query("bench_dedup_incremental_minhash")
+def bench_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of incremental dedup: the batch probes the persisted
+    MinHash band index (equi-join on (band, bucket)) instead of
+    posting lists — the cheaper approximate-candidate path whose
+    accept/reject decisions still verify by exact Jaccard. Measured so
+    BENCH_r{N}.json tracks the probe cost production would pay;
+    correctness of the decision roster is gated by the exact
+    dedup_incremental_batch above (same output shape, LSH recall
+    contract applies)."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    store = build_jaccard_store(store_docs, "text", "doc_id", shingle_size=1)
+    index = minhash_band_index(
+        store_docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=1
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_minhash_dedup(
+        batch, index, store, "text", "doc_id", threshold=0.85,
+        num_hashes=32, bands=8, shingle_size=1,
+    )

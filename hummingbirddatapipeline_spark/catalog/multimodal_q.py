@@ -67,3 +67,75 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = synth_media_from_documents(docs)
     return sample_frames(media, every_ms=1000)
+
+
+# Twin offset for the phash contract fixture; far above any doc_id
+_PHASH_TWIN_OFFSET = 10_000_000
+
+
+@query(
+    "multimodal_phash_groups",
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS twin_same_cluster
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup for the multimodal layer — dHash over
+    blob bytes, banded-Hamming candidate join over DISTINCT hash
+    values, connected-components clusters
+    (multimodal/core.phash_groups) — under a PROVABLE twin contract
+    (the quantize-twin idiom from similarity_near_dup_clusters_banded):
+
+    every doc gets a deterministic twin whose byte changes are
+    confined to ONE of the 72 thumbnail cells (case-flip of exactly
+    that cell's character span; non-ASCII or empty spans pass through
+    unchanged). One perturbed cell moves at most the 2 adjacent
+    gradient bits, 2 < 8 bands, so by pigeonhole the banded join MUST
+    surface the (original, twin) candidate, the Hamming verify (<= 6)
+    must keep it, and CC must put both in one cluster — recall here is
+    a theorem of the implementation, not a probability, which is what
+    makes an every-round driver contract sound. Output: one row per
+    original with twin_same_cluster, which DuckDB asserts is uniformly
+    TRUE over the exact doc roster. Perceptual behavior on free-form
+    perturbations (and non-collapse of unrelated blobs) is pinned in
+    tests/test_multimodal.py."""
+    from hummingbirddatapipeline_spark.multimodal.core import phash_groups
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synth_media_from_documents(docs).select("media_id", "content")
+
+    n = F.octet_length("text")
+    ascii_safe = n == F.length("text")  # byte offset == char offset
+    start = F.floor(n * 40 / 72).cast("int")
+    width = (F.floor(n * 41 / 72) - F.floor(n * 40 / 72)).cast("int")
+    cell_flip = F.concat(
+        F.expr("substring(text, 1, __start)"),
+        F.upper(F.expr("substring(text, __start + 1, __width)")),
+        F.expr("substring(text, __start + 1 + __width, octet_length(text))"),
+    )
+    twins = (
+        docs.withColumn("__start", start)
+        .withColumn("__width", width)
+        .select(
+            (F.col("doc_id") + _PHASH_TWIN_OFFSET).alias("media_id"),
+            F.encode(
+                F.when(ascii_safe & (F.col("__width") > 0), cell_flip)
+                .otherwise(F.col("text")),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    pg = phash_groups(media.unionByName(twins), max_distance=6, bands=8)
+    orig = pg.filter(F.col("media_id") < _PHASH_TWIN_OFFSET).select(
+        "media_id", F.col("phash_cluster").alias("__c_orig")
+    )
+    twin = pg.filter(F.col("media_id") >= _PHASH_TWIN_OFFSET).select(
+        (F.col("media_id") - _PHASH_TWIN_OFFSET).alias("media_id"),
+        F.col("phash_cluster").alias("__c_twin"),
+    )
+    return orig.join(twin, "media_id").select(
+        "media_id",
+        (F.col("__c_orig") == F.col("__c_twin")).alias("twin_same_cluster"),
+    )

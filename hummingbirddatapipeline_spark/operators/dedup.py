@@ -634,3 +634,365 @@ def _tfidf_pairs_dense(
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("sim").alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup: new-batch-vs-index (never rescan the corpus)
+# ---------------------------------------------------------------------------
+def build_jaccard_store(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """The persisted exact-dedup index over the ACCEPTED corpus: one
+    row per doc — (id, shingle set, set size). Production writes this
+    once as parquet (postings exploded from it should be bucketed by
+    token so incremental probes co-locate) and appends each batch's
+    survivors via :func:`incremental_jaccard_dedup`'s output — the
+    100 TB corpus is never rescanned, only its index grown.
+
+    Mirrors the reference's append+resume contract
+    (chat_acreage_bot.py:793-801 — process only what the persisted
+    state hasn't seen) at corpus scale.
+    """
+    return docs.select(
+        F.col(id_col).alias("store_id"),
+        word_shingles(F.col(text_col), shingle_size).alias("store_sh"),
+    ).withColumn("store_n", F.size("store_sh"))
+
+
+def incremental_jaccard_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """Dedup today's batch against the existing corpus index WITHOUT
+    rescanning the corpus: every batch doc is annotated ``accepted``
+    (no near-dup in the store), plus its minimum-id store match and
+    that match's exact Jaccard when rejected.
+
+    EXACT, not approximate — the symmetric AllPairs prefix filter
+    (Bayardo WWW'07), in its bipartite form: under ANY global token
+    order, the EARLIEST shared token of two sets with ``J >= t`` sits
+    within the first ``n - floor(t*n) + 1`` tokens of BOTH (the other
+    ``|A∩B| - 1`` shared tokens all rank after it), so batch PREFIX
+    tokens join store PREFIX postings — never full posting lists on
+    either side. The order is ascending STORE document frequency
+    (new tokens = df 0, rarest; the order is the store's FROZEN
+    ranking, versioned with the index, so prefixes stay mutually
+    consistent as the store grows — interleaved new tokens cannot
+    break the position bound, which only counts shared tokens).
+    Candidates verify on full shingle sets with the same integer
+    arithmetic as ``jaccard_pairs_prefix`` — identical decisions to a
+    from-scratch exact join, at probe cost proportional to the
+    batch's true neighborhood. (Production persists the store's
+    prefix postings and df stats alongside the shingle rows, bucketed
+    by token; here they derive from the store frame.)
+
+    Replay-idempotent by construction: append the survivors to the
+    store and re-run the same batch — every doc now matches itself
+    (J = 1.0) and ``accepted`` is uniformly false, the anti-join
+    resume contract (S7) at corpus scale.
+
+    Within-batch duplicates are out of scope by design: run the batch
+    through the batch-level pipeline (exact/MinHash pair-gen ->
+    connected components -> representatives) before or after; this
+    operator answers only "is it already in the corpus".
+    """
+    bsh = batch.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+
+    store_df = (
+        store.select(F.explode("store_sh").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("df_w"))
+    )
+
+    # Dense-bitmask regime (same measured switch as tfidf_cosine_pairs):
+    # a store vocabulary of <= 64 tokens means prefix filtering CANNOT
+    # prune (every posting list is ~corpus-length, candidates are
+    # provably ~all pairs), but every token set fits ONE int64 bitmask
+    # and exact Jaccard collapses to two native bit_counts per pair —
+    # cheap enough that the unavoidable all-pairs probe runs at codegen
+    # speed (measured 63 s -> ~4 s at sf0.1 on the 31-term corpus).
+    if store_df.select("w").limit(65).count() <= 64:
+        verified = _incremental_dense_mask(
+            bsh, store, store_df, id_col, threshold
+        )
+        return _attach_best_match(batch, verified, id_col, threshold)
+
+    btok = bsh.filter(F.col("__n") > 0).select(
+        F.col(id_col), F.explode("__sh").alias("w"), "__n"
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("df_w", "w")
+    probe = (
+        btok.join(store_df, "w", "left")
+        .withColumn("df_w", F.coalesce("df_w", F.lit(0)))
+        .withColumn("__pos", F.row_number().over(wdoc))
+        .filter(
+            F.col("__pos")
+            <= F.col("__n")
+            - F.floor(F.lit(float(threshold)) * F.col("__n"))
+            + 1
+        )
+        .select(F.col(id_col), "w")
+    )
+    stok = store.select(
+        "store_id", F.explode("store_sh").alias("w"), "store_n"
+    )
+    wstore = Window.partitionBy("store_id").orderBy("df_w", "w")
+    store_pref = (
+        stok.join(store_df, "w")
+        .withColumn("__pos", F.row_number().over(wstore))
+        .filter(
+            F.col("__pos")
+            <= F.col("store_n")
+            - F.floor(F.lit(float(threshold)) * F.col("store_n"))
+            + 1
+        )
+        .select("store_id", "w")
+    )
+    cands = (
+        probe.join(store_pref, "w")
+        .select(F.col(id_col), "store_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(bsh.select(id_col, "__sh"), id_col)
+        .join(store.select("store_id", "store_sh", "store_n"), "store_id")
+        .withColumn("inter", F.size(F.array_intersect("__sh", "store_sh")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("__sh") + F.col("store_n") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return _attach_best_match(batch, verified, id_col, threshold)
+
+
+def _incremental_dense_mask(
+    bsh: DataFrame,
+    store: DataFrame,
+    store_df: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Dense regime of :func:`incremental_jaccard_dedup`: token sets as
+    int64 bitmasks over the (<= 64-term) store vocabulary; batch-only
+    tokens ride an ``extra`` count so |A∪B| stays exact. Returns the
+    verified (id, store_id, jaccard) frame. The probe is a broadcast
+    nested-loop over two skinny (id, mask) frames — at a truly huge
+    batch/store even this regime would tile like cosine_pairs_blocked,
+    but a 64-token vocabulary with billions of docs is all-pairs work
+    no algorithm can prune, only reorganize."""
+    spark = bsh.sparkSession
+    terms = sorted(r["w"] for r in store_df.select("w").collect())
+    idx_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], schema="w string, __idx int"
+        )
+    )
+    btok = bsh.filter(F.col("__n") > 0).select(
+        F.col(id_col), F.explode("__sh").alias("w"), "__n"
+    )
+    bmask = (
+        btok.join(idx_df, "w", "left")
+        .groupBy(id_col, "__n")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__idx").isNotNull(),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), __idx)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__mask")
+        )
+    )
+    smask = (
+        store.select("store_id", F.explode("store_sh").alias("w"), "store_n")
+        .join(idx_df, "w")
+        .groupBy("store_id", "store_n")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), __idx)"))
+            .cast("long")
+            .alias("__smask")
+        )
+    )
+    inter = F.bit_count(
+        F.col("__mask").bitwiseAND(F.col("__smask"))
+    )
+    return (
+        bmask.crossJoin(F.broadcast(smask))
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("__n") + F.col("store_n") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "store_id", "jaccard")
+    )
+
+
+def _attach_best_match(
+    batch: DataFrame, verified: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared tail of the incremental dedup paths: min-id store match
+    + its rounded Jaccard, left-joined back onto the full batch roster
+    so unmatched (accepted) docs keep NULL match columns."""
+    best = verified.groupBy(id_col).agg(
+        F.min("store_id").alias("match_store_id")
+    )
+    best_j = best.join(
+        verified.select(
+            id_col,
+            F.col("store_id").alias("match_store_id"),
+            F.round("jaccard", 6).alias("match_jaccard"),
+        ),
+        [id_col, "match_store_id"],
+    )
+    return (
+        batch.select(id_col)
+        .join(best_j, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("match_store_id").isNull().alias("accepted"),
+            "match_store_id",
+            "match_jaccard",
+        )
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """The persistable MinHash-LSH index of the accepted corpus:
+    (store_id, band, bucket) — what production keeps at rest (bucketed
+    by (band, bucket)) so incremental probes are pure equi-joins
+    against it. The approximate sibling of :func:`build_jaccard_store`
+    for the recall-contract regime."""
+    _check_banding(num_hashes, bands)
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_size
+    ).filter(F.col("n_shingles") > 0)
+    rows_per_band = max(1, num_hashes // bands)
+    return sigs.select(
+        F.col(id_col).alias("store_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    "signature", b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("store_id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    band_index: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Approximate-candidate incremental dedup: the batch's band
+    buckets probe the persisted ``band_index`` (equi-join on
+    (band, bucket) — sub-linear in store size when the index is
+    bucketed at rest), candidates verify by exact Jaccard against the
+    store's shingle rows, and the output matches
+    :func:`incremental_jaccard_dedup`'s shape. Same recall contract as
+    the batch MinHash pipeline (banding tuned for the threshold;
+    borderline pairs can be missed — the exact operator is the
+    oracle-grade form, this is the cheaper probe at 100 TB).
+
+    ``max_bucket`` is the standard boilerplate guard on the PROBE
+    join: a mega-cluster's bucket appears on both sides, so its probe
+    product is |batch∩cluster| x |store∩cluster| rows that all say
+    "same boilerplate family" (measured 44 s at sf0.1 uncapped, where
+    one cluster spans 53% of docs). Oversize index buckets are
+    dropped from candidate generation — at scale such batches route
+    to the cluster-label treatment (``boilerplate_clusters``), not
+    per-doc store matching."""
+    probe = minhash_band_index(
+        batch, text_col, id_col, num_hashes, bands, shingle_size
+    ).withColumnRenamed("store_id", "__batch_id")
+    bucket_sz = band_index.groupBy("band", "bucket").agg(
+        F.count("*").alias("__sz")
+    )
+    bounded = band_index.join(
+        bucket_sz.filter(F.col("__sz") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    cands = (
+        probe.join(bounded, ["band", "bucket"])
+        .select(F.col("__batch_id").alias(id_col), "store_id")
+        .distinct()
+    )
+    bsh = batch.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+    )
+    verified = (
+        cands.join(bsh, id_col)
+        .join(store.select("store_id", "store_sh", "store_n"), "store_id")
+        .withColumn("inter", F.size(F.array_intersect("__sh", "store_sh")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("__sh") + F.col("store_n") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy(id_col).agg(
+        F.min("store_id").alias("match_store_id")
+    )
+    best_j = best.join(
+        verified.select(
+            id_col,
+            F.col("store_id").alias("match_store_id"),
+            F.round("jaccard", 6).alias("match_jaccard"),
+        ),
+        [id_col, "match_store_id"],
+    )
+    return (
+        batch.select(id_col)
+        .join(best_j, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("match_store_id").isNull().alias("accepted"),
+            "match_store_id",
+            "match_jaccard",
+        )
+    )

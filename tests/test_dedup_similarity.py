@@ -319,3 +319,90 @@ def test_cosine_pairs_blocked_matches_brute(spark):
     }
     assert len(exp) >= 5
     assert got == exp
+
+
+def test_incremental_dedup_replay_idempotent(spark, sf_dir):
+    """The S7 append+resume contract at corpus scale: commit a batch's
+    survivors into the store, replay the same batch — everything now
+    matches itself (J=1.0) and nothing is accepted twice."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_jaccard_dedup,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = build_jaccard_store(store_docs, "text", "doc_id", shingle_size=1)
+    r1 = incremental_jaccard_dedup(
+        batch, store, "text", "doc_id", threshold=0.85, shingle_size=1
+    )
+    accepted_ids = [r["doc_id"] for r in r1.filter("accepted").collect()]
+    assert 0 < len(accepted_ids) < batch.count()
+
+    # commit survivors, replay the identical batch
+    survivors = batch.filter(F.col("doc_id").isin(accepted_ids))
+    store2 = store.unionByName(
+        build_jaccard_store(survivors, "text", "doc_id", shingle_size=1)
+    )
+    r2 = incremental_jaccard_dedup(
+        batch, store2, "text", "doc_id", threshold=0.85, shingle_size=1
+    )
+    replay = r2.collect()
+    assert all(not r["accepted"] for r in replay)
+    # each previously-accepted doc now matches itself exactly
+    self_matched = {
+        r["doc_id"]: (r["match_store_id"], r["match_jaccard"])
+        for r in replay
+        if r["doc_id"] in set(accepted_ids)
+    }
+    for doc_id, (mid, j) in self_matched.items():
+        assert mid <= doc_id and j is not None
+        if mid == doc_id:
+            assert j == 1.0
+
+
+def test_incremental_minhash_agrees_with_exact_on_clear_dups(spark, sf_dir):
+    """The approximate probe path must agree with the exact operator
+    on this corpus (dup pairs sit far above threshold, so LSH recall
+    is effectively 1 here)."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_jaccard_dedup,
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = build_jaccard_store(store_docs, "text", "doc_id", shingle_size=1)
+    index = minhash_band_index(
+        store_docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=1
+    )
+    exact = {
+        r["doc_id"]: r["accepted"]
+        for r in incremental_jaccard_dedup(
+            batch, store, "text", "doc_id", threshold=0.85, shingle_size=1
+        ).collect()
+    }
+    approx = {
+        r["doc_id"]: r["accepted"]
+        for r in incremental_minhash_dedup(
+            batch, index, store, "text", "doc_id", threshold=0.85,
+            num_hashes=32, bands=8, shingle_size=1,
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    # approx may only ACCEPT extra docs (missed candidates), never
+    # reject docs the exact path accepts
+    false_rejects = [d for d in exact if exact[d] and not approx[d]]
+    assert not false_rejects
+    agree = sum(1 for d in exact if exact[d] == approx[d])
+    assert agree / len(exact) >= 0.99

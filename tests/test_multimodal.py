@@ -87,3 +87,76 @@ def test_resize_passthrough_without_codec(media):
         assert (r["width"], r["height"]) == (32, 32)
         # codec-free environment: bytes pass through unchanged
         assert bytes(r["content"]) == originals[r["media_id"]]
+
+
+def test_dhash_deterministic_and_exact_dup_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.multimodal.core import (
+        dhash64,
+        synth_media_from_documents,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    base = synth_media_from_documents(load(spark, sf_dir, "documents"))
+    # inject exact-byte duplicates (the raw corpus has none at small
+    # SFs): every doc's content repeated under a shifted id
+    dup = base.select(
+        (F.col("media_id") + 50_000).alias("media_id"), "content"
+    )
+    media = base.select("media_id", "content").unionByName(dup)
+    h1 = {r["media_id"]: r["phash"] for r in dhash64(media).collect()}
+    h2 = {
+        r["media_id"]: r["phash"]
+        for r in dhash64(media.repartition(7)).collect()
+    }
+    assert h1 == h2
+    # identical bytes -> identical phash, for every injected pair
+    for r in base.select("media_id").collect():
+        mid = r["media_id"]
+        assert h1[mid] == h1[mid + 50_000]
+
+
+def test_phash_finds_perturbed_twins_not_random_pairs(spark):
+    """The perceptual property: a few flipped bytes stay within the
+    Hamming budget and land in the twin's cluster; unrelated blobs do
+    not collapse together."""
+    import random
+
+    from hummingbirddatapipeline_spark.multimodal.core import phash_groups
+
+    rng = random.Random(11)
+    blobs = [
+        bytes(rng.randrange(256) for _ in range(800)) for _ in range(20)
+    ]
+    rows = [(i, blobs[i]) for i in range(20)]
+    # twins: flip 3 bytes of the first five blobs
+    for i in range(5):
+        b = bytearray(blobs[i])
+        for k in (11, 402, 760):
+            b[k] ^= 0xFF
+        rows.append((100 + i, bytes(b)))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    clusters = {
+        r["media_id"]: r["phash_cluster"]
+        for r in phash_groups(media, max_distance=6).collect()
+    }
+    paired = sum(1 for i in range(5) if clusters[i] == clusters[100 + i])
+    assert paired >= 4  # >= 80% twin recall at 3 flipped bytes
+    # unrelated originals stay apart
+    base_clusters = [clusters[i] for i in range(20)]
+    assert len(set(base_clusters)) >= 18
+
+
+def test_phash_banding_guards(spark):
+    import pytest
+
+    from hummingbirddatapipeline_spark.multimodal.core import (
+        phash_near_dup_pairs,
+    )
+
+    hashes = spark.createDataFrame([(1, 5), (2, 7)], ["media_id", "phash"])
+    with pytest.raises(ValueError, match="bands must be"):
+        phash_near_dup_pairs(hashes, bands=0)
+    with pytest.warns(UserWarning, match="no longer guarantees recall"):
+        phash_near_dup_pairs(hashes, max_distance=8, bands=4)
