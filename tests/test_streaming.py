@@ -401,3 +401,79 @@ def test_stream_schema_probe_handles_all_ts_encodings(spark, tmp_path):
 
     for path in (ntz, instant, nanos):
         assert stream_ts(path) == expect, path
+
+
+def test_multi_batch_replay_matches_single_batch(spark, tmp_path):
+    """Watermark/state correctness under REAL micro-batching: the same
+    events processed as four time-ordered files with
+    maxFilesPerTrigger=1 (so watermark advances and state finalizes
+    across batch boundaries) must emit exactly what one
+    single-batch availableNow run emits. Files are time-range
+    partitioned with ascending mtimes, so the source's mod-time order
+    matches event time and no in-order row can be dropped."""
+    import time as _time
+
+    import uuid as _uuid
+
+    from hummingbirddatapipeline_spark.tables import load
+
+    src = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bounds = src.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) + 1
+    rows = src.withColumn(
+        "ts",
+        F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").cast(
+            "timestamp_ntz"
+        ),
+    )
+
+    split_dir = tmp_path / "split"
+    split_dir.mkdir()
+    n_files = 4
+    for k in range(n_files):
+        part = rows.filter(
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000 >= lo + span * k // n_files)
+            & (F.unix_micros(F.col("ts").cast("timestamp")) * 1000 < lo + span * (k + 1) // n_files)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{k}")
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        src_file = _glob.glob(str(tmp_path / f"stage{k}" / "part-*.parquet"))[0]
+        dst = split_dir / f"{k:02d}.parquet"
+        _shutil.copy(src_file, dst)
+        os.utime(dst, (1_700_000_000 + k * 10, 1_700_000_000 + k * 10))
+
+    def run(max_files):
+        stream = read_events_stream(
+            spark, str(split_dir), max_files_per_trigger=max_files
+        )
+        name = f"mb_{_uuid.uuid4().hex[:8]}"
+        q = (
+            hourly_tumbling(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck_{name}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        _time.sleep(0.2)
+        return sorted(map(tuple, spark.table(name).collect())), n_batches
+
+    multi, multi_batches = run(1)
+    single, single_batches = run(None)
+    assert multi_batches >= n_files  # maxFilesPerTrigger=1 really batched
+    assert single_batches <= 2
+    assert len(single) > 0
+    assert multi == single
