@@ -153,6 +153,25 @@ def _load_modules() -> None:
 # the 50 r6-green rows remain last-sample-green, which
 # tests/test_catalog_smoke.test_driver_window_rotation_policy
 # enforces against the CORRECTNESS_r*.json history.
+#
+# Banked for r8 registration (operators implemented + DuckDB-
+# differential-tested this round in tests/test_r8_oracles.py;
+# catalog entries deliberately NOT added because the r7 window is
+# full): operators/windows.rolling_window_stats (per-event trailing
+# RANGE-frame features — "events in the last hour as of each event"),
+# operators/graph.dedup_representatives_by_score (quality-aware
+# cluster representatives — keep the best-scoring copy, not min-id),
+# operators/merge.apply_cdc (CDC changelog apply with delete
+# tombstones — per-key argmax, the batch MERGE INTO), operators/
+# sampling.contrastive_negatives (deterministic hash-derived negative
+# sampling for contrastive training — skip-self rank draw, no cross
+# join), operators/expectations.profile_compare (column-profile drift
+# report — one aggregate pass per side, unpivoted), and operators/
+# temporal.touch_attribution (first/last-touch conversion attribution
+# over the bucketized range join). Registration recipe: move the test
+# SQL into @query oracles (table names already match the driver
+# views), pin the six to the front of DRIVER_WINDOW, rotate out six
+# freshly-r7-green rows.
 DRIVER_WINDOW: list[str] = [
     # (a) newly registered round-7 operators — first driver rows
     "events_lttb_downsample",

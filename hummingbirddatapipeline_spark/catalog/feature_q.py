@@ -66,11 +66,11 @@ def feature_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH r AS (
       SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
-      WHERE l_shipdate < DATE '1995-01-01'
+      WHERE l_shipdate < DATE '1998-01-01'
     ),
     c AS (
       SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
-      WHERE l_shipdate >= DATE '1995-01-01'
+      WHERE l_shipdate >= DATE '1998-01-01'
     ),
     e AS (SELECT quantile_cont(v, [{", ".join(str(i / 10) for i in range(1, 10))}]) AS edges FROM r),
     rb AS (
@@ -110,16 +110,17 @@ def feature_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def feature_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of l_extendedprice between the
-    pre-1995 (reference/training) and post-1995 (current/serving)
-    shipment windows — the standard ML drift monitor, bucketed by the
+    pre-1998 (reference/training) and post-1998 (current/serving)
+    shipment windows (the corpus midpoint — both sides are populated
+    at every SF; an empty reference now raises by operator contract) — the standard ML drift monitor, bucketed by the
     REFERENCE deciles. Edges are one broadcast array; each side
     buckets map-side via a 9-element bound-array filter — no sort, no
     cross-sample join beyond two 10-row frames."""
     li = load(spark, sf_dir, "lineitem")
-    ref = li.filter(F.col("l_shipdate") < F.lit("1995-01-01")).select(
+    ref = li.filter(F.col("l_shipdate") < F.lit("1998-01-01")).select(
         F.col("l_extendedprice").cast("double").alias("v")
     )
-    cur = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01")).select(
+    cur = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01")).select(
         F.col("l_extendedprice").cast("double").alias("v")
     )
     return psi_drift(ref, cur, "v")

@@ -63,3 +63,84 @@ def check_foreign_key(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def profile_compare(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: list[str],
+) -> DataFrame:
+    """Column-profile drift report between two snapshots of the same
+    table (training window vs serving window, yesterday vs today):
+    one row per profiled column with null rate, distinct count, min,
+    max, and 6dp mean for BOTH sides plus the deltas — the schema- and
+    distribution-drift monitor that runs before PSI digs into a single
+    column.
+
+    One aggregate pass PER SIDE computes every column's stats
+    simultaneously (count/min/max/sum map-side combined;
+    count_distinct exact — swap in approx_count_distinct at extreme
+    cardinalities, the report contract is unchanged), then the two
+    single-row frames unpivot to one row per column and join — no
+    per-column jobs, no shuffle of either table beyond the aggregates.
+    Stats are exact integers or 6dp-rounded doubles, so the report is
+    reproducible in ANSI SQL.
+    """
+    from pyspark.sql import functions as F
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        for c in numeric_cols:
+            aggs += [
+                F.count("*").alias(f"{c}__n"),
+                F.count(c).alias(f"{c}__nn"),
+                F.count_distinct(c).alias(f"{c}__nd"),
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+                F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            ]
+        one = df.agg(*aggs)
+        per_col = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    # empty side -> NULL rate, not ANSI divide-by-zero
+                    F.when(
+                        F.col(f"{c}__n") > 0,
+                        F.round(
+                            (F.col(f"{c}__n") - F.col(f"{c}__nn"))
+                            / F.col(f"{c}__n"),
+                            6,
+                        ),
+                    ).alias(f"{tag}_null_rate"),
+                    F.col(f"{c}__nd").alias(f"{tag}_n_distinct"),
+                    F.col(f"{c}__min").alias(f"{tag}_min"),
+                    F.col(f"{c}__max").alias(f"{tag}_max"),
+                    F.col(f"{c}__mean").alias(f"{tag}_mean"),
+                )
+                for c in numeric_cols
+            ]
+        )
+        return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+    r = side(ref, "ref")
+    c = side(cur, "cur")
+    return r.join(c, "column_name").select(
+        "column_name",
+        "ref_null_rate",
+        "cur_null_rate",
+        F.round(F.col("cur_null_rate") - F.col("ref_null_rate"), 6).alias(
+            "null_rate_delta"
+        ),
+        "ref_n_distinct",
+        "cur_n_distinct",
+        "ref_min",
+        "cur_min",
+        "ref_max",
+        "cur_max",
+        "ref_mean",
+        "cur_mean",
+        F.round(F.col("cur_mean") - F.col("ref_mean"), 6).alias(
+            "mean_delta"
+        ),
+    )

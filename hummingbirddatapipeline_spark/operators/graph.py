@@ -215,3 +215,39 @@ def triangle_counts(
         "node",
         F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
     )
+
+
+def dedup_representatives_by_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup representatives: each near-dup cluster keeps
+    its HIGHEST-``score_col`` member (ties -> lowest id) instead of the
+    lowest id — the curation policy that keeps the best-quality copy
+    of every duplicated document (min-id keep throws away quality
+    signal; FineWeb-style pipelines keep by quality).
+
+    Singletons pass through. Same plan shape as
+    :func:`dedup_representatives`: the (cached) CC assignment, one
+    per-cluster argmax (``max(struct(score, -id))`` — no sort), and an
+    anti-join-shaped keep filter. Deterministic and SQL-reproducible
+    as long as ``score_col`` is exact (integers or already-rounded).
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    scored = cc.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("__s").alias("s"), (-F.col("node")).alias("neg_id"))).alias("__b")
+    ).select(
+        "cluster_id", (-F.col("__b.neg_id")).alias("__keep")
+    )
+    losers = scored.join(best, "cluster_id").filter(
+        F.col("node") != F.col("__keep")
+    ).select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

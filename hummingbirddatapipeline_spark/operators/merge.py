@@ -124,3 +124,51 @@ def dedup_append(
     cond = [new[k].eqNullSafe(existing[k]) for k in key_cols]
     fresh = new.join(existing.select(*key_cols), cond, "left_anti")
     return existing.unionByName(fresh, allowMissingColumns=True)
+
+
+def apply_cdc(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    tiebreak_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog (upserts + delete tombstones) to produce
+    the current snapshot: for each key, the LATEST change by
+    (``ts_col``, ``tiebreak_col``) wins; if that change is a delete,
+    the key vanishes. The batch replacement for Delta ``MERGE INTO``
+    over a Debezium-shaped feed — composes with the repo's
+    write-and-swap sink exactly like ``upsert_changelog``.
+
+    One shuffle on the key serves the per-key argmax
+    (``max(struct(ts, tiebreak, *row))`` — no per-key sort, map-side
+    combined); the tombstone filter is a projection on the winner.
+    Deterministic for any changelog where (key, ts, tiebreak) is
+    unique — enforce upstream or pass a unique tiebreak.
+    """
+    from pyspark.sql import functions as F
+
+    payload = [
+        c for c in changes.columns
+        if c not in {*key_cols, ts_col, op_col, tiebreak_col}
+    ]
+    winner = changes.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("__ts"),
+                F.col(tiebreak_col).alias("__tb"),
+                F.col(op_col).alias("__op"),
+                *[F.col(c).alias(c) for c in payload],
+            )
+        ).alias("__w")
+    )
+    return (
+        winner.filter(F.col("__w.__op") != delete_op)
+        .select(
+            *key_cols,
+            F.col("__w.__ts").alias(ts_col),
+            F.col("__w.__tb").alias(tiebreak_col),
+            *[F.col(f"__w.{c}").alias(c) for c in payload],
+        )
+    )

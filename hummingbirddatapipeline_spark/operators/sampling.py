@@ -407,3 +407,72 @@ def weighted_sample_topk(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def contrastive_negatives(
+    items: DataFrame,
+    id_col: str,
+    k: int,
+    seed: str = "neg0",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    item draws ``k`` pseudo-random OTHER items as negatives —
+    (id, neg_rank 1..k, neg_id) — with the draw derived from content
+    hashes, never an RNG, so the pairing is rerun/repartition-stable
+    and exactly reproducible in ANSI SQL.
+
+    Construction: items are ranked 1..n by id (one window pass); draw
+    j for item x is ``1 + md5_52bit(x:j:seed) mod (n-1)`` over the
+    OTHER ranks (values >= own rank shift up by one — the classic
+    skip-self trick, uniform over the n-1 others), then an equi-join
+    on rank resolves the id. Two narrow shuffles (rank window + rank
+    join) and a k-element explode — no cross join; at 100 TB both
+    sides are skinny (id, rank) frames. The global row_number is the
+    one single-reducer step — at billions of items replace it with a
+    precomputed dense-id mapping (zipWithIndex-style two-phase rank)
+    and the rest of the plan is unchanged; the ranking is
+    per-retraining-set work, not per-query. Draws for one item are
+    independent; duplicates among an item's k negatives are possible
+    (sampling WITH replacement across draws) and expected at
+    k << n — the standard contrastive regime.
+    """
+    n_items = items.select(id_col).count()
+    if n_items < 2:
+        raise ValueError("contrastive_negatives needs >= 2 items")
+    w = Window.orderBy(id_col)
+    ranked = items.select(id_col).withColumn(
+        "__rank", F.row_number().over(w).cast("long")
+    )
+    draws = ranked.select(
+        id_col,
+        "__rank",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, k + 1)])
+        ).alias("neg_rank"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                    F.lit(":" + seed),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    raw = (h % F.lit(n_items - 1)) + 1  # 1..n-1
+    target = F.when(raw >= F.col("__rank"), raw + 1).otherwise(raw)
+    drawn = draws.withColumn("__neg_rank_idx", target)
+    lookup = ranked.select(
+        F.col("__rank").alias("__neg_rank_idx"),
+        F.col(id_col).alias("neg_id"),
+    )
+    return drawn.join(lookup, "__neg_rank_idx").select(
+        id_col, "neg_rank", "neg_id"
+    )

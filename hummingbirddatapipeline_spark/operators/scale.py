@@ -283,6 +283,20 @@ def psi_drift(
         F.expr(
             f"percentile({value_col}, array({', '.join(repr(q) for q in qs)}))"
         ).alias("__edges")
+    ).select(
+        # an empty/all-NULL reference has no deciles — fail loudly at
+        # the one-row edge evaluation instead of emitting a clamped
+        # 1e-6-everywhere "drift" report that LOOKS plausible
+        F.when(F.col("__edges").isNotNull(), F.col("__edges"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "psi_drift: reference sample is empty (or all-NULL) "
+                    "— PSI is undefined without reference deciles"
+                )
+            ).cast("array<double>")
+        )
+        .alias("__edges")
     )
 
     def frac(df: DataFrame, name: str) -> DataFrame:

@@ -373,3 +373,76 @@ def transition_counts(
             6,
         ).alias("p_transition"),
     )
+
+
+def touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    on: str,
+    conv_ts: str,
+    touch_ts: str,
+    touch_id: str,
+    lookback_ms: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """First/last-touch attribution: each conversion is credited to the
+    FIRST and LAST touch event inside its trailing lookback window
+    ``(conv_ts - lookback_ms, conv_ts]`` — the marketing/funnel
+    primitive behind "which click earned this purchase", with the
+    50/50 first-last split when ``value_col`` is given.
+
+    ``conversions`` must carry a unique ``conv_id`` column (the
+    grouping key, so same-timestamp conversions never collapse).
+
+    Plan: the bounded :func:`range_join` bucketization (right side
+    exploded into its two covering buckets, hash equi-join on
+    (entity, bucket), exact bound re-checked) feeds ONE per-conversion
+    argmin/argmax (``min/max(struct(ts, touch_id))`` — no sort);
+    conversions with no touch in the window survive with NULL touches
+    via the left join back onto the conversion roster. Never an
+    inequality join, so Catalyst plans hash joins at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = range_join(
+        conversions,
+        touches,
+        on=on,
+        left_ts=conv_ts,
+        right_ts=touch_ts,
+        lower=-(lookback_ms - 1),
+        upper=0,
+    )
+    first = F.min(
+        F.struct(F.col(touch_ts).alias("ts"), F.col(touch_id).alias("id"))
+    )
+    last = F.max(
+        F.struct(F.col(touch_ts).alias("ts"), F.col(touch_id).alias("id"))
+    )
+    agg = pairs.groupBy("conv_id").agg(
+        first.alias("__f"),
+        last.alias("__l"),
+        F.count("*").cast("long").alias("n_touches"),
+    )
+    conv_cols = [on, conv_ts] + ([value_col] if value_col else [])
+    out = conversions.select("conv_id", *conv_cols).join(
+        agg, "conv_id", "left"
+    ).select(
+        "conv_id",
+        *conv_cols,
+        F.coalesce("n_touches", F.lit(0).cast("long")).alias("n_touches"),
+        F.col("__f.id").alias("first_touch_id"),
+        F.col("__f.ts").alias("first_touch_ts"),
+        F.col("__l.id").alias("last_touch_id"),
+        F.col("__l.ts").alias("last_touch_ts"),
+    )
+    if value_col is not None:
+        half = F.round(F.col(value_col) / 2.0, 6)
+        out = out.withColumn(
+            "first_touch_credit",
+            F.when(F.col("first_touch_id").isNotNull(), half),
+        ).withColumn(
+            "last_touch_credit",
+            F.when(F.col("last_touch_id").isNotNull(), half),
+        )
+    return out

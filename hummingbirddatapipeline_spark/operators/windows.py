@@ -124,3 +124,38 @@ def latest_per_entity(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def rolling_window_stats(
+    df,
+    key_col: str,
+    ts_col: str,
+    window_ms: int,
+    value_col: str | None = None,
+):
+    """Per-event trailing-window features: for every row, the count
+    (and, with ``value_col``, the 6dp-rounded sum) of the entity's
+    events in ``(ts - window_ms, ts]`` — the classic feature-store
+    shape ("events in the last 7 days as of each event").
+
+    One shuffle on ``key_col`` serves a native RANGE-frame window over
+    the integer timestamp — no self-join, no explode; state per
+    partition is the frame buffer. Ties at the same timestamp are all
+    inside each other's frame (RANGE semantics), which both engines
+    define identically, so the output is exactly reproducible in ANSI
+    SQL (DuckDB ``RANGE BETWEEN n PRECEDING AND CURRENT ROW``).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-(window_ms - 1), 0)
+    )
+    out = df.withColumn("n_in_window", F.count("*").over(w).cast("long"))
+    if value_col is not None:
+        out = out.withColumn(
+            "sum_in_window", F.round(F.sum(value_col).over(w), 6)
+        )
+    return out

@@ -237,3 +237,24 @@ def test_impute_median_fills_nulls_per_group(spark):
     assert c["v_imputed"] is None and c["v_was_null"]
     # non-null rows unchanged
     assert all(r["v_imputed"] == r["v"] for r in out if not r["v_was_null"])
+
+
+def test_psi_empty_reference_raises(spark):
+    """An empty (or all-NULL) reference has no deciles; PSI must fail
+    loudly instead of emitting the clamped 1e-6-everywhere report that
+    looks like a valid drift score (found via the r7 profile work: the
+    original catalog split date left the reference empty at every SF
+    and the degenerate output still oracle-matched)."""
+    import pytest
+
+    from hummingbirddatapipeline_spark.operators.scale import psi_drift
+
+    cur = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v")
+    empty = cur.filter("v < 0")
+    # the raise may surface as SparkRuntimeException or a Py4J wrapper
+    # depending on which thread (broadcast exchange) evaluates it
+    with pytest.raises(Exception, match="reference sample is empty"):
+        psi_drift(empty, cur, "v").collect()
+    all_null = cur.selectExpr("CAST(NULL AS DOUBLE) AS v")
+    with pytest.raises(Exception, match="reference sample is empty"):
+        psi_drift(all_null, cur, "v").collect()
