@@ -237,11 +237,13 @@ def lttb_downsample(
     sequential result. First and last points are always kept, matching
     the original algorithm.
 
-    Scale shape: one shuffle on ``key_col`` shared by the bucket-index
-    window, the centroid aggregate, and the per-bucket argmax (all
-    partition on the key); the argmax is ``max(struct(area, ts))`` —
-    no per-bucket sort. Triangle areas are plain double arithmetic on
-    (ts, value), engine-reproducible.
+    Scale shape: two keyed shuffles — one on ``key_col`` for the
+    bucket-index window, one on (key, bucket) for the centroid
+    aggregate (the measured plan; the tiny centroid frame then
+    broadcasts back onto the points). The per-bucket argmax is
+    ``max(struct(area, ts))`` — no per-bucket sort anywhere. Triangle
+    areas are plain double arithmetic on (ts, value),
+    engine-reproducible.
     """
     from pyspark.sql.window import Window
 

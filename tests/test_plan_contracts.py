@@ -137,3 +137,77 @@ def test_banded_clusters_query_builds_and_checkpoints(spark, sf_dir):
     invalidate(sf_dir)
     df = QUERIES["similarity_near_dup_clusters_banded"](spark, sf_dir)
     assert df.columns == ["node", "cluster_id", "cluster_size"]
+
+
+def test_percentile_features_broadcast_not_shuffle_fact(spark, sf_dir):
+    """winsorize / impute_median: ONE exchange (the group percentile
+    aggregate) and the tiny bounds/median frame broadcast back onto
+    the fact scan — never a sort-merge join shuffling the fact side."""
+    import re
+
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    for name in ("feature_winsorize_prices", "feature_impute_median_balance"):
+        plan = _physical(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        assert n_ex <= 1, (name, n_ex)
+
+
+def test_incremental_dense_regime_broadcasts_store(spark, sf_dir):
+    """The tiny-vocab bitmask regime: the store-mask side must ride a
+    broadcast (skinny (id, mask) frames), and the probe must never be
+    a CartesianProduct (BroadcastNestedLoopJoin over two bounded mask
+    frames is the declared shape)."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["dedup_incremental_batch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_rolling_window_single_exchange(spark, sf_dir):
+    """rolling_window_stats: one hash exchange on the entity key; the
+    RANGE frame must not introduce a join or a second shuffle."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.windows import (
+        rolling_window_stats,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts DIV 1000000 AS LONG)").alias("ts_ms"),
+        "value",
+    )
+    plan = _physical(rolling_window_stats(ev, "user_id", "ts_ms", 3_600_000, "value"))
+    n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_ex == 1, n_ex
+    assert "Join" not in plan
+
+
+def test_apply_cdc_single_exchange_no_sort(spark, sf_dir):
+    """apply_cdc: one key exchange for the per-key argmax; no global
+    sort, no window (max(struct) carries the winner)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.merge import apply_cdc
+    from hummingbirddatapipeline_spark.tables import load
+
+    ch = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("string").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").cast("double").alias("amount"),
+    )
+    plan = _physical(apply_cdc(ch, ["k"], "ts", "op", "tb"))
+    n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_ex == 1, n_ex
+    assert "Window" not in plan
