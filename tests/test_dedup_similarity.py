@@ -406,3 +406,58 @@ def test_incremental_minhash_agrees_with_exact_on_clear_dups(spark, sf_dir):
     assert not false_rejects
     agree = sum(1 for d in exact if exact[d] == approx[d])
     assert agree / len(exact) >= 0.99
+
+
+def test_incremental_store_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    """The store IS a persisted artifact: build -> write parquet ->
+    read back -> probe must make decisions identical to probing the
+    in-session frame (schema, shingle arrays, and the frozen df order
+    all survive the round trip). Same for the MinHash band index."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_jaccard_dedup,
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    store = build_jaccard_store(store_docs, "text", "doc_id", shingle_size=1)
+    store.write.mode("overwrite").parquet(str(tmp_path / "store"))
+    store2 = spark.read.parquet(str(tmp_path / "store"))
+
+    def decisions(s):
+        return {
+            r["doc_id"]: (r["accepted"], r["match_store_id"], r["match_jaccard"])
+            for r in incremental_jaccard_dedup(
+                batch, s, "text", "doc_id", threshold=0.85, shingle_size=1
+            ).collect()
+        }
+
+    assert decisions(store) == decisions(store2)
+
+    index = minhash_band_index(
+        store_docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=1
+    )
+    index.write.mode("overwrite").parquet(str(tmp_path / "index"))
+    index2 = spark.read.parquet(str(tmp_path / "index"))
+    a = {
+        r["doc_id"]: r["accepted"]
+        for r in incremental_minhash_dedup(
+            batch, index, store2, "text", "doc_id", threshold=0.85,
+            num_hashes=32, bands=8, shingle_size=1,
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["accepted"]
+        for r in incremental_minhash_dedup(
+            batch, index2, store2, "text", "doc_id", threshold=0.85,
+            num_hashes=32, bands=8, shingle_size=1,
+        ).collect()
+    }
+    assert a == b
