@@ -168,10 +168,17 @@ def _load_modules() -> None:
 # join), operators/expectations.profile_compare (column-profile drift
 # report — one aggregate pass per side, unpivoted), and operators/
 # temporal.touch_attribution (first/last-touch conversion attribution
-# over the bucketized range join). Registration recipe: move the test
-# SQL into @query oracles (table names already match the driver
-# views), pin the six to the front of DRIVER_WINDOW, rotate out six
-# freshly-r7-green rows.
+# over the bucketized range join), operators/scale.quantile_transform
+# (exact percent-rank feature scaling per group, NULLs excluded from
+# ranking), operators/scale.target_encode (smoothed mean encoding —
+# the persisted-encoder-table artifact shape), and operators/
+# similarity.ivf_incremental_add (assign new vectors to the FROZEN
+# IVF quantizer — ANN index maintenance without retraining, map-side
+# centroid literals; DuckDB recomputes every argmax cosine from the
+# same constants). Registration recipe: move the test SQL into @query
+# oracles (table names already match the driver views), pin the nine
+# to the front of DRIVER_WINDOW, rotate out nine freshly-r7-green
+# rows.
 DRIVER_WINDOW: list[str] = [
     # (a) newly registered round-7 operators — first driver rows
     "events_lttb_downsample",

@@ -376,3 +376,80 @@ def impute_median(
         ),
         F.col(value_col).isNull().alias(f"{value_col}_was_null"),
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Quantile (percent-rank) feature scaling: each value maps to its
+    exact empirical CDF position in [0, 1] within its group — the
+    rank-based normalization that is immune to outliers and
+    distribution shape (sklearn's QuantileTransformer, exact form).
+
+    Adds ``{value_col}_qt`` = percent_rank (ties share a rank; NULLs
+    stay NULL and are excluded from ranking), rounded 6dp from exact
+    rank integers so both engines agree bit-for-bit.
+
+    One shuffle on the group key for the rank window. A global (no
+    ``group_col``) transform is a single-partition sort at this
+    operator's level — at 100 TB compute it per natural shard or swap
+    in approx-percentile inverse lookup; per-group is the common
+    feature-prep shape and parallelizes on the key.
+    """
+    from pyspark.sql.window import Window
+
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(value_col)
+    ranked = df.filter(F.col(value_col).isNotNull()).withColumn(
+        f"{value_col}_qt", F.round(F.percent_rank().over(w), 6)
+    )
+    nulls = df.filter(F.col(value_col).isNull()).withColumn(
+        f"{value_col}_qt", F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    alpha: float = 20.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical feature:
+    enc(c) = (sum_label(c) + alpha * prior) / (n(c) + alpha), with
+    prior = the global label mean — the standard high-cardinality
+    categorical encoder; ``alpha`` pulls rare categories toward the
+    prior instead of memorizing noise.
+
+    Returns one row per category: (category, n, sum_label, prior,
+    encoding). The caller broadcast-joins it back onto the feature
+    frame (kept separate so the tiny encoder table is the persisted
+    training artifact — at serving time the join is against the FROZEN
+    encoder, exactly like the dedup store).
+
+    Cross-engine exactness: label sums stay exact when the label is
+    integral (0/1 indicators, integer cents); prior and encoding are
+    single double divisions of exact sums, rounded 6dp.
+    """
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(label_col).alias("n"),
+        F.sum(label_col).cast("double").alias("sum_label"),
+    )
+    glob = df.agg(
+        (F.sum(label_col).cast("double") / F.count(label_col)).alias(
+            "__prior"
+        )
+    )
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        F.col(cat_col).alias("category"),
+        "n",
+        "sum_label",
+        F.round(F.col("__prior"), 6).alias("prior"),
+        F.round(
+            (F.col("sum_label") + alpha * F.col("__prior"))
+            / (F.col("n") + alpha),
+            6,
+        ).alias("encoding"),
+    )

