@@ -944,7 +944,14 @@ def incremental_minhash_dedup(
     one cluster spans 53% of docs). Oversize index buckets are
     dropped from candidate generation — at scale such batches route
     to the cluster-label treatment (``boilerplate_clusters``), not
-    per-doc store matching."""
+    per-doc store matching.
+
+    The candidate verify hashes shingles to xxhash64 longs first —
+    the same trade ``near_dup_pairs_minhash`` makes (set semantics up
+    to negligible 64-bit collisions; 8-byte intersects instead of
+    string compares — measured 6.9 s -> warm cost halved at sf0.1).
+    The exact sibling keeps string shingles for oracle-grade parity.
+    """
     probe = minhash_band_index(
         batch, text_col, id_col, num_hashes, bands, shingle_size
     ).withColumnRenamed("store_id", "__batch_id")
@@ -960,18 +967,25 @@ def incremental_minhash_dedup(
         .select(F.col("__batch_id").alias(id_col), "store_id")
         .distinct()
     )
+
+    def _hashed(col):
+        return F.array_distinct(F.transform(col, lambda s: F.xxhash64(s)))
+
     bsh = batch.select(
         F.col(id_col),
-        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+        _hashed(word_shingles(F.col(text_col), shingle_size)).alias("__sh"),
+    )
+    store_hashed = store.select(
+        "store_id", _hashed(F.col("store_sh")).alias("store_hsh")
     )
     verified = (
         cands.join(bsh, id_col)
-        .join(store.select("store_id", "store_sh", "store_n"), "store_id")
-        .withColumn("inter", F.size(F.array_intersect("__sh", "store_sh")))
+        .join(store_hashed, "store_id")
+        .withColumn("inter", F.size(F.array_intersect("__sh", "store_hsh")))
         .withColumn(
             "jaccard",
             F.col("inter")
-            / (F.size("__sh") + F.col("store_n") - F.col("inter")),
+            / (F.size("__sh") + F.size("store_hsh") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
