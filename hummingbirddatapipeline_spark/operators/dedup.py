@@ -669,6 +669,7 @@ def incremental_jaccard_dedup(
     id_col: str,
     threshold: float = 0.8,
     shingle_size: int = 1,
+    dense_vocab_limit: int = 64,
 ) -> DataFrame:
     """Dedup today's batch against the existing corpus index WITHOUT
     rescanning the corpus: every batch doc is annotated ``accepted``
@@ -721,7 +722,12 @@ def incremental_jaccard_dedup(
     # and exact Jaccard collapses to two native bit_counts per pair —
     # cheap enough that the unavoidable all-pairs probe runs at codegen
     # speed (measured 63 s -> ~4 s at sf0.1 on the 31-term corpus).
-    if store_df.select("w").limit(65).count() <= 64:
+    if (
+        dense_vocab_limit > 0
+        and dense_vocab_limit <= 64
+        and store_df.select("w").limit(dense_vocab_limit + 1).count()
+        <= dense_vocab_limit
+    ):
         verified = _incremental_dense_mask(
             bsh, store, store_df, id_col, threshold
         )
