@@ -152,13 +152,23 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Twin offset for the simhash contract fixture; far above any doc_id
+_SIMHASH_TWIN_OFFSET = 20_000_000
+
+
 @query(
     "dedup_simhash_consistency",
-    oracle=r"""
-    WITH fp AS (
+    oracle=rf"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SIMHASH_TWIN_OFFSET}, replace(text, ' ', '  ')
+      FROM documents
+    ),
+    fp AS (
       SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-      FROM documents
+      FROM all_docs
     )
     SELECT MIN(doc_id) AS rep_doc_id,
            COUNT(*) AS n_members,
@@ -170,15 +180,26 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash CONSISTENCY CONTRACT: every exact-duplicate group (by
     the normalized fingerprint both engines compute independently) must
-    collapse to a single simhash value. Hashes the group roster (rep
-    id, size — real cross-engine data) plus the consistency flag, so a
-    regression in shingling or the bit-vote accumulator goes
-    driver-red. The raw per-doc simhash stays rows-only above (the
-    64-bit vote hash itself is engine-specific)."""
+    collapse to a single simhash value. The raw corpus has NO exact
+    duplicates below sf0.1, which made the original form a 0-row
+    (vacuously green) driver row — so every doc now gets a
+    deterministic whitespace twin (spaces doubled: same token
+    sequence, hence provably the same simhash, and the same normalized
+    fingerprint) and the contract hashes a full one-group-per-document
+    roster at every SF; organic exact-dup groups merge in on top.
+    Hashes the group roster (rep id, size — real cross-engine data)
+    plus the consistency flag, so a regression in shingling or the
+    bit-vote accumulator goes driver-red. The raw per-doc simhash
+    stays rows-only above (the 64-bit vote hash itself is
+    engine-specific)."""
     from hummingbirddatapipeline_spark.functions.text import fingerprint
 
-    docs = load(spark, sf_dir, "documents")
-    h = docs.select(
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + _SIMHASH_TWIN_OFFSET).alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
+    )
+    h = docs.unionByName(twins).select(
         "doc_id",
         fingerprint(F.col("text")).alias("f"),
         simhash64(F.col("text"), shingle_size=1).alias("sh"),
