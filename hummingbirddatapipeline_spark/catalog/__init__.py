@@ -175,10 +175,13 @@ def _load_modules() -> None:
 # similarity.ivf_incremental_add (assign new vectors to the FROZEN
 # IVF quantizer — ANN index maintenance without retraining, map-side
 # centroid literals; DuckDB recomputes every argmax cosine from the
-# same constants). Registration recipe: move the test SQL into @query
-# oracles (table names already match the driver views), pin the nine
-# to the front of DRIVER_WINDOW, rotate out nine freshly-r7-green
-# rows.
+# same constants), and operators/graph.pagerank (fixed-iteration
+# power iteration over the symmetrized near-dup graph, per-iteration
+# rounding makes the float trajectory engine-identical; the oracle
+# unrolls the same 10 iterations as chained CTEs). Registration
+# recipe: move the test SQL into @query oracles (table names already
+# match the driver views), pin the ten to the front of DRIVER_WINDOW,
+# rotate out ten freshly-r7-green rows.
 DRIVER_WINDOW: list[str] = [
     # (a) newly registered round-7 operators — first driver rows
     "events_lttb_downsample",

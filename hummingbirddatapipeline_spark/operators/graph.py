@@ -251,3 +251,89 @@ def dedup_representatives_by_score(
         F.col("node") != F.col("__keep")
     ).select(F.col("node").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_dp: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list (edges
+    symmetrized, so every node has out-degree >= 1 and the dangling-
+    mass term vanishes) — the centrality signal that separates hub
+    documents inside a near-dup neighborhood from peripheral ones, and
+    the repo's reference iterative-propagation shape alongside
+    connected components.
+
+    Exactly ``n_iter`` synchronous power iterations (no convergence
+    check — fixed work, deterministic output), each score ROUNDED to
+    ``round_dp`` decimals before the next step: per-node contributions
+    are summed by a hash aggregate whose float order differs between
+    engines and across runs, and without the per-iteration quantize
+    those ulps would compound through the recurrence — with it, the
+    whole trajectory is bit-reproducible in ANSI SQL (the oracle
+    unrolls the same iterations as chained CTEs).
+
+    Scale shape: per iteration ONE edge-join shuffle + one hash
+    aggregate over skinny (node, score) state, lineage cut with
+    localCheckpoint — the same pattern as ``connected_components``;
+    total cost is n_iter bounded rounds regardless of graph diameter.
+
+    Returns (node, pagerank). Scores sum to ~1 (quantization dust
+    aside); isolated self-loop-only nodes keep the uniform baseline.
+    """
+    base = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
+    edges = (
+        base.union(base.select(F.col("v"), F.col("u")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        base.select(F.col("u").alias("node"))
+        .union(base.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("u").agg(F.count("*").alias("__d"))
+    # self-loop-only nodes have no symmetrized edges: out-degree 0 on
+    # a graph where they also receive nothing — they hold the uniform
+    # teleport score and emit nothing, handled by the left join below.
+    # F.round (HALF_UP), not Python round (HALF_EVEN): the oracle's
+    # SQL ROUND must produce the identical starting vector
+    scores = nodes.select(
+        "node", F.round(F.lit(1.0 / n), round_dp).alias("score")
+    ).localCheckpoint()
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(deg, "u")
+            .join(
+                scores.select(F.col("node").alias("u"), "score"), "u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("score") / F.col("__d"), round_dp + 3)
+                ).alias("__in")
+            )
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0)),
+                    round_dp,
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return scores.select("node", F.col("score").alias("pagerank"))

@@ -186,3 +186,22 @@ def test_triangle_counts_max_degree_caps_hubs(spark):
     # the hub's edges leave wedge generation entirely; the bounded
     # remainder (2-3-4) stays exact
     assert capped == {2: 1, 3: 1, 4: 1}
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    from hummingbirddatapipeline_spark.operators.graph import pagerank
+
+    # star: 0 connected to 1..6, plus an isolated pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(10, 11)], ["id_a", "id_b"]
+    )
+    scores = {r["node"]: r["pagerank"] for r in pagerank(pairs).collect()}
+    assert set(scores) == {0, 1, 2, 3, 4, 5, 6, 10, 11}
+    center = scores[0]
+    assert all(center > scores[i] for i in range(1, 7))
+    # leaves are symmetric -> identical scores
+    assert len({scores[i] for i in range(1, 7)}) == 1
+    # the isolated pair's nodes mirror each other
+    assert scores[10] == scores[11]
+    # mass conserved (no dangling nodes on the symmetrized graph)
+    assert abs(sum(scores.values()) - 1.0) < 1e-9

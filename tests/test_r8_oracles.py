@@ -463,3 +463,64 @@ def _duck2():
         f"read_parquet('{os.path.join(SF, 'embeddings.parquet')}')"
     )
     return con
+
+
+def _pagerank_unrolled_sql(cc_ctes: str, n_iter: int, dp: int) -> str:
+    """Chained-CTE unroll of the fixed-iteration PageRank recurrence
+    (standard SQL forbids aggregation in a recursive term, so the
+    oracle unrolls): same symmetrized edges, same per-term and
+    per-iteration rounding as the Spark operator."""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+    pr{k} AS (
+      SELECT n.node,
+             ROUND((1.0 - 0.85) / nn.c
+                   + 0.85 * COALESCE(s.inc, 0.0), {dp}) AS score
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.v AS node, SUM(ROUND(p.score / d.d, {dp + 3})) AS inc
+        FROM pr{k - 1} p
+        JOIN edges2 e ON e.u = p.node
+        JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+      ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH RECURSIVE {cc_ctes},
+    edges2 AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    nodes AS (
+      SELECT DISTINCT x AS node FROM (
+        SELECT id_a AS x FROM near UNION ALL SELECT id_b FROM near)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges2 GROUP BY u),
+    pr0 AS (
+      SELECT node, ROUND(1.0 / nn.c, {dp}) AS score
+      FROM nodes CROSS JOIN nn
+    ),{",".join(steps)}
+    SELECT node, score AS pagerank FROM pr{n_iter}
+    """
+
+
+def test_pagerank_matches_duckdb_unrolled(spark):
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        DUCK_JACCARD_CC_CTES,
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import pagerank
+
+    pairs = shared_jaccard_pairs(spark, SF)
+    got = pagerank(pairs, n_iter=10).collect()
+    sql = _pagerank_unrolled_sql(DUCK_JACCARD_CC_CTES, 10, 12)
+    con = _duck()
+    exp = con.sql(sql).fetchall()
+    assert len(exp) > 0
+    # scores form a distribution over edge-connected nodes
+    total = sum(r["pagerank"] for r in got)
+    n_isolated = len([r for r in got if r["pagerank"] is None])
+    assert n_isolated == 0
+    assert 0.5 < total <= 1.000001
+    assert _norm([tuple(r) for r in got]) == _norm(exp)
