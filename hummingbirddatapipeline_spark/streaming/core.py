@@ -351,3 +351,72 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
     broadcast table.
     """
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def dedup_stream_against_store(
+    doc_stream: DataFrame,
+    band_index: DataFrame,
+    store: DataFrame,
+    target_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 1,
+    checkpoint: str | None = None,
+):
+    """Streaming incremental dedup: each micro-batch of arriving
+    documents is probed against the STATIC corpus MinHash band index
+    and only the accepted (not-already-in-corpus) rows append to
+    ``target_dir`` — continuous-ingestion dedup, the Structured
+    Streaming form of ``incremental_minhash_dedup``.
+
+    Architecture: the probe pipeline ends in a per-document aggregate
+    followed by a join back onto the batch roster — a shape Structured
+    Streaming cannot express as one continuous query (no join after a
+    streaming aggregation) — so the BATCH operator runs inside
+    ``foreachBatch``, exactly the composition the repo's upsert sink
+    uses (``foreach_batch_latest_upsert``): each micro-batch is a
+    bounded frame, the operator's plan is batch-legal, the band-index
+    probe is the same equi-join, and the checkpoint gives S7
+    exactly-once-per-file semantics. The static index re-reads per
+    batch, so swapping a grown index under the job is a metadata
+    change, not a restart.
+
+    Returns the started StreamingQuery (availableNow trigger); await
+    it and read ``target_dir`` for the accepted docs.
+    """
+    import tempfile as _tf
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    checkpoint = checkpoint or _tf.mkdtemp(prefix="sg_dedup_ckpt_")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        decisions = incremental_minhash_dedup(
+            batch,
+            band_index,
+            store,
+            text_col,
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_size=shingle_size,
+        )
+        accepted = batch.join(
+            decisions.filter("accepted").select(id_col), id_col, "left_semi"
+        )
+        accepted.write.mode("append").parquet(target_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -477,3 +477,82 @@ def test_multi_batch_replay_matches_single_batch(spark, tmp_path):
     assert single_batches <= 2
     assert len(single) > 0
     assert multi == single
+
+
+def test_stream_dedup_against_store_matches_batch(spark, tmp_path):
+    """Continuous-ingestion dedup: streaming odd docs (two files, one
+    per micro-batch) against the even-doc store index must accept
+    exactly the docs the batch operator accepts, and a checkpointed
+    replay must append nothing (S7)."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from hummingbirddatapipeline_spark.streaming.core import (
+        dedup_stream_against_store,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = build_jaccard_store(store_docs, "text", "doc_id", shingle_size=1)
+    index = minhash_band_index(
+        store_docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=1
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for k, part in enumerate(
+        (batch.filter("doc_id % 4 = 1"), batch.filter("doc_id % 4 = 3"))
+    ):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{k}")
+        )
+        import glob
+        import shutil
+
+        f = glob.glob(str(tmp_path / f"stage{k}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"{k:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    target = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ck")
+    q = dedup_stream_against_store(
+        stream, index, store, target, threshold=0.85, checkpoint=ckpt
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    exp = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, index, store, "text", "doc_id", threshold=0.85,
+            num_hashes=32, bands=8, shingle_size=1,
+        )
+        .filter("accepted")
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # checkpointed replay: no new files -> nothing appended
+    n_before = spark.read.parquet(target).count()
+    q2 = dedup_stream_against_store(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        index,
+        store,
+        target,
+        threshold=0.85,
+        checkpoint=ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(target).count() == n_before
