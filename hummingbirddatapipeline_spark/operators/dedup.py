@@ -558,6 +558,12 @@ def tfidf_cosine_pairs(
 
     n_terms = dfreq.select("t").limit(dense_vocab_limit + 1).count()
     if n_terms <= dense_vocab_limit:
+        # materialize the (doc, term, weight) frame once — the dense
+        # branch otherwise re-runs the tokenize+tf scan for the term
+        # dictionary collect AND the vector assembly (three corpus
+        # scans total, measured ~12 s -> ~7 s cold at sf0.1); at
+        # n_docs x |V| <= 4096 rows per doc the checkpoint is tiny
+        weighted = weighted.localCheckpoint()
         return _tfidf_pairs_dense(weighted, id_col, threshold, n_terms)
 
     norms = weighted.groupBy(id_col).agg(
