@@ -182,6 +182,16 @@ def _load_modules() -> None:
 # recipe: move the test SQL into @query oracles (table names already
 # match the driver views), pin the ten to the front of DRIVER_WINDOW,
 # rotate out ten freshly-r7-green rows.
+#
+# Also implemented + verified this round, outside the oracle registry
+# by design: operators/tokenization (distributed BPE merge training
+# over the word-frequency dictionary + merge-replay segmentation —
+# verified by merge-list equality against a pure-Python reference of
+# the published Sennrich algorithm, the independent-implementation
+# differential used where SQL can't express the iterative greedy
+# loop) and streaming/core.dedup_stream_against_store (continuous-
+# ingestion dedup via foreachBatch over the incremental probe;
+# batch-equality + replay-idempotence test-pinned).
 DRIVER_WINDOW: list[str] = [
     # (a) newly registered round-7 operators — first driver rows
     "events_lttb_downsample",
