@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import bench_query, query
 from hummingbirddatapipeline_spark.functions import text as TX
 from hummingbirddatapipeline_spark.operators.dedup import exact_dedup, jaccard_pairs_prefix
 from hummingbirddatapipeline_spark.tables import load
@@ -798,4 +798,26 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_js.alias("has_javascript"),
         (F.rtrim(t).rlike(r'[.!?"]$')).alias("ends_terminal"),
         ((n_words >= 5) & ~has_lorem & ~has_brace & ~has_js).alias("c4_keep"),
+    )
+
+
+@bench_query("bench_bpe_train_segment")
+def bench_bpe_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: tokenizer-vocabulary induction end to end — one
+    corpus word-count aggregate, 12 BPE merge rounds on the dictionary
+    frame, then the learned merges replayed over every document as a
+    map-only segmentation chain (per-doc BPE token counts). The merge
+    list is data-derived through an iterative driver loop, so there is
+    no SQL oracle; correctness is the reference-implementation
+    differential in tests/test_tokenization.py."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        bpe_segment,
+        bpe_train,
+        word_freq_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(word_freq_table(docs, "text"), n_merges=12)
+    return bpe_segment(docs.select("doc_id", "text"), "text", merges).select(
+        "doc_id", "n_bpe_tokens"
     )
