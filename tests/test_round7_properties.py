@@ -120,3 +120,30 @@ def test_contrastive_negatives_deterministic_and_in_range(spark):
         map(tuple, contrastive_negatives(ids, "doc_id", 3, "s2").collect())
     )
     assert a != c
+
+
+def test_jaccard_pairs_dense_mask_equals_prefix_path(spark, sf_dir):
+    """The all-pairs exact-Jaccard regime switch must be invisible in
+    results: bitmask and prefix-filter paths emit identical pairs and
+    rounded jaccards on the real corpus (the pair set every dedup
+    cluster query closes over)."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    dense = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(
+            docs, "text", "doc_id", 0.85, 1
+        ).collect()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(
+            docs, "text", "doc_id", 0.85, 1, dense_vocab_limit=0
+        ).collect()
+    }
+    assert len(dense) > 0
+    assert dense == sparse
