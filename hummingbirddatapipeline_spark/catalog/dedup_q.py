@@ -30,10 +30,12 @@ from hummingbirddatapipeline_spark.catalog.text_q import _DUCK_TOKS
 
 
 # The exact-Jaccard near-dup pair set (>= 0.85, unigram shingles) is
-# the shared input of three catalog queries (CC clusters, leak-free
-# split) and costs ~30 s cold at sf0.1 — compute it once per
-# (session, sf_dir) and hand out the checkpointed result. Cleared by
-# catalog.invalidate() like the plan cache.
+# the shared input of six catalog queries (CC clusters,
+# representatives, leak-free split, ngram-overlap audit, gated
+# funnel, triangles) — compute it once per (session, sf_dir) and hand
+# out the checkpointed result (~6.5 s cold at sf0.1 since the bitmask
+# regime landed; was ~30 s). Cleared by catalog.invalidate() like the
+# plan cache.
 _JACCARD_PAIR_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
