@@ -232,20 +232,27 @@ def dedup_representatives_by_score(
     signal; FineWeb-style pipelines keep by quality).
 
     Singletons pass through. Same plan shape as
-    :func:`dedup_representatives`: the (cached) CC assignment, one
-    per-cluster argmax (``max(struct(score, -id))`` — no sort), and an
+    :func:`dedup_representatives`: the (cached) CC assignment, two
+    per-cluster hash aggregates (max score, then min id among the
+    max-scored — works for ANY orderable id type, string doc ids
+    included, unlike a ``-id`` struct-negation trick), and an
     anti-join-shaped keep filter. Deterministic and SQL-reproducible
     as long as ``score_col`` is exact (integers or already-rounded).
+    Clustered members whose score is NULL lose to any non-NULL score;
+    a cluster whose members are ALL NULL-scored is kept intact (no
+    keeper can be chosen, so nothing is dropped).
     """
     cc = connected_components(pairs, id_a, id_b)
     scored = cc.join(
         docs.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
         "node",
     )
-    best = scored.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col("__s").alias("s"), (-F.col("node")).alias("neg_id"))).alias("__b")
-    ).select(
-        "cluster_id", (-F.col("__b.neg_id")).alias("__keep")
+    max_s = scored.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
+    best = (
+        scored.join(max_s, "cluster_id")
+        .filter(F.col("__s").eqNullSafe(F.col("__smax")) & F.col("__s").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.min("node").alias("__keep"))
     )
     losers = scored.join(best, "cluster_id").filter(
         F.col("node") != F.col("__keep")
@@ -262,11 +269,11 @@ def pagerank(
     round_dp: int = 12,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list (edges
-    symmetrized, so every node has out-degree >= 1 and the dangling-
-    mass term vanishes) — the centrality signal that separates hub
-    documents inside a near-dup neighborhood from peripheral ones, and
-    the repo's reference iterative-propagation shape alongside
-    connected components.
+    symmetrized, so every node on a real edge has out-degree >= 1) —
+    the centrality signal that separates hub documents inside a
+    near-dup neighborhood from peripheral ones, and the repo's
+    reference iterative-propagation shape alongside connected
+    components.
 
     Exactly ``n_iter`` synchronous power iterations (no convergence
     check — fixed work, deterministic output), each score ROUNDED to
@@ -282,8 +289,14 @@ def pagerank(
     localCheckpoint — the same pattern as ``connected_components``;
     total cost is n_iter bounded rounds regardless of graph diameter.
 
-    Returns (node, pagerank). Scores sum to ~1 (quantization dust
-    aside); isolated self-loop-only nodes keep the uniform baseline.
+    Returns (node, pagerank). Nodes appearing ONLY in self edges are
+    dangling after symmetrization (out-degree 0, in-degree 0): they
+    settle at the bare teleport score (1-d)/n from iteration 1 on, and
+    the mass they never redistribute LEAKS — with such nodes present
+    the total score sums to < 1 (by roughly d * n_dangling/n), the
+    standard dangling-mass behavior when no redistribution term is
+    applied. On a graph with no self-loop-only nodes, scores sum to ~1
+    (quantization dust aside).
     """
     base = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")

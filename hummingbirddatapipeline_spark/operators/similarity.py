@@ -396,7 +396,15 @@ def cosine_pairs_blocked(
                 nb = np.linalg.norm(B, axis=1)
                 na[na == 0.0] = np.inf  # zero vectors match nothing
                 nb[nb == 0.0] = np.inf
-                sims = np.round((A / na[:, None]) @ (B / nb[:, None]).T, 6)
+                raw = (A / na[:, None]) @ (B / nb[:, None]).T
+                # round half AWAY from zero (not np.round's HALF_EVEN)
+                # to match F.round/SQL ROUND — the repo's cross-engine
+                # float rule, so a cosine landing exactly on a 5e-7 tie
+                # can't flip threshold inclusion between the dense and
+                # sparse regimes
+                sims = np.copysign(
+                    np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw
+                )
                 ii, jj = np.nonzero(sims >= thr)
                 ia, ib, s = ids_a[ii], ids_b[jj], sims[ii, jj]
                 # canonical id_a < id_b; same-block tiles would emit

@@ -378,11 +378,18 @@ def dedup_stream_against_store(
     streaming aggregation) — so the BATCH operator runs inside
     ``foreachBatch``, exactly the composition the repo's upsert sink
     uses (``foreach_batch_latest_upsert``): each micro-batch is a
-    bounded frame, the operator's plan is batch-legal, the band-index
-    probe is the same equi-join, and the checkpoint gives S7
-    exactly-once-per-file semantics. The static index re-reads per
-    batch, so swapping a grown index under the job is a metadata
+    bounded frame, the operator's plan is batch-legal, and the
+    band-index probe is the same equi-join. The static index re-reads
+    per batch, so swapping a grown index under the job is a metadata
     change, not a restart.
+
+    Delivery semantics: foreachBatch is AT-LEAST-ONCE (a retry after a
+    partial write but before the checkpoint commit re-runs the batch),
+    so each micro-batch writes to its own ``__batch_id={id}`` partition
+    with OVERWRITE — the replay rewrites the same partition instead of
+    appending duplicates, making the sink effectively-once. Readers of
+    ``target_dir`` see the extra ``__batch_id`` partition column (batch
+    lineage; drop it if unwanted).
 
     Returns the started StreamingQuery (availableNow trigger); await
     it and read ``target_dir`` for the accepted docs.
@@ -412,7 +419,11 @@ def dedup_stream_against_store(
         accepted = batch.join(
             decisions.filter("accepted").select(id_col), id_col, "left_semi"
         )
-        accepted.write.mode("append").parquet(target_dir)
+        # idempotent per-batch sink: a foreachBatch retry of batch N
+        # overwrites __batch_id=N instead of appending a second copy
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"__batch_id={batch_id}")
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(_process)
