@@ -548,3 +548,110 @@ def bench_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFra
         batch, index, store, "text", "doc_id", threshold=0.85,
         num_hashes=32, bands=8, shingle_size=1,
     )
+
+
+@query(
+    "dedup_representatives_by_score",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES},
+    scored AS (
+      SELECT c.node, c.cluster_id, d.n_chars
+      FROM cc c JOIN documents d ON d.doc_id = c.node
+    ),
+    keepers AS (
+      SELECT cluster_id, node AS keep FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, node) AS rk
+        FROM scored) WHERE rk = 1
+    ),
+    losers AS (
+      SELECT s.node FROM scored s JOIN keepers k USING (cluster_id)
+      WHERE s.node <> k.keep
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_representatives_by_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware dedup representatives: each exact-Jaccard near-dup
+    cluster keeps its LONGEST member (n_chars as the quality score,
+    ties -> lowest doc_id) instead of the minimum id — the FineWeb-
+    style curation policy that keeps the best copy of a duplicated
+    document (operators/graph.dedup_representatives_by_score).
+    Singletons pass through. Rides the checkpointed shared pair set;
+    DuckDB recomputes the closure recursively and applies the same
+    keep rule, so the driver hashes the kept set itself."""
+    from hummingbirddatapipeline_spark.operators.graph import (
+        dedup_representatives_by_score as reps_by_score,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    return reps_by_score(docs, pairs, "doc_id", "n_chars")
+
+
+_PAGERANK_ITERS = 10
+_PAGERANK_DP = 12
+
+
+def _pagerank_unrolled_sql(n_iter: int, dp: int) -> str:
+    """Chained-CTE unroll of the fixed-iteration PageRank recurrence
+    (standard SQL forbids aggregation inside a recursive term, so the
+    oracle unrolls): same symmetrized edge set, same per-term and
+    per-iteration rounding as operators/graph.pagerank."""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+    pr{k} AS (
+      SELECT n.node,
+             ROUND((1.0 - 0.85) / nn.c
+                   + 0.85 * COALESCE(s.inc, 0.0), {dp}) AS score
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.v AS node, SUM(ROUND(p.score / d.d, {dp + 3})) AS inc
+        FROM pr{k - 1} p
+        JOIN edges2 e ON e.u = p.node
+        JOIN deg2 d ON d.u = e.u
+        GROUP BY e.v
+      ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH RECURSIVE {DUCK_JACCARD_CC_CTES},
+    edges2 AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    nodes AS (
+      SELECT DISTINCT x AS node FROM (
+        SELECT id_a AS x FROM near UNION ALL SELECT id_b FROM near)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+    deg2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges2 GROUP BY u),
+    pr0 AS (
+      SELECT node, ROUND(1.0 / nn.c, {dp}) AS score
+      FROM nodes CROSS JOIN nn
+    ),{",".join(steps)}
+    SELECT node, score AS pagerank FROM pr{n_iter}
+    ORDER BY node
+    """
+
+
+@query("dedup_pagerank", oracle=_pagerank_unrolled_sql(_PAGERANK_ITERS, _PAGERANK_DP))
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the shared exact-Jaccard near-dup
+    graph (operators/graph.pagerank, 10 synchronous power iterations,
+    damping 0.85) — hub-vs-periphery centrality inside near-dup
+    neighborhoods, and the repo's second iterative-propagation shape
+    alongside connected components. Per-iteration 12dp rounding (and
+    15dp per-contribution rounding before the hash aggregate) makes
+    the whole float trajectory engine-identical, so the oracle — the
+    SAME recurrence unrolled as chained CTEs — must reproduce every
+    score bit-for-bit. Per iteration: one edge-join shuffle + one hash
+    aggregate over skinny (node, score) state, lineage cut with
+    localCheckpoint."""
+    from hummingbirddatapipeline_spark.operators.graph import pagerank
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    return pagerank(pairs, n_iter=_PAGERANK_ITERS, round_dp=_PAGERANK_DP)

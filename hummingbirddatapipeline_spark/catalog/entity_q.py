@@ -335,3 +335,46 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged, updates, "c_custkey", "acct_value", "confidence"
     )
     return residual.agg(F.count("*").alias("residual_changes"))
+
+
+@query(
+    "merge_cdc_apply",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS VARCHAR) AS ts,
+             o_orderkey AS tb,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(o_totalprice AS DOUBLE) AS amount,
+             o_orderpriority AS prio
+      FROM orders
+    ),
+    w AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                   ORDER BY ts DESC, tb DESC) AS rk
+      FROM ch
+    )
+    SELECT k, ts, tb, amount, prio FROM w WHERE rk = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply with delete tombstones — the batch
+    ``MERGE INTO`` (operators/merge.apply_cdc): orders become a
+    synthetic per-customer change stream ordered by (orderdate,
+    orderkey), every 7th order a delete tombstone; the current
+    snapshot is the latest non-deleted change per key. ONE shuffle on
+    the key serves a per-key argmax (``max(struct(ts, tiebreak,
+    payload))`` — no per-key sort, map-side combined); the tombstone
+    filter is a projection on the winner. The oracle recomputes every
+    keep/delete decision with a row_number formulation."""
+    from hummingbirddatapipeline_spark.operators.merge import apply_cdc
+
+    ch = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("string").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").cast("double").alias("amount"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    return apply_cdc(ch, ["k"], "ts", "op", "tb")

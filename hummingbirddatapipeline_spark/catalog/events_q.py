@@ -701,3 +701,38 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _with_ts_ms(load(spark, sf_dir, "events")).select("user_id", "ts_ms")
     return decayed_activity(ev, "user_id", "ts_ms", half_life=86_400_000.0)
+
+
+# --------------------------------------------------------------------------
+# Per-event trailing RANGE-frame features (feature-store shape)
+# --------------------------------------------------------------------------
+@query(
+    "events_rolling_window_feats",
+    oracle=f"""
+    SELECT event_id, user_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           ROUND(SUM(value) OVER w, 6) AS sum_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000000)
+                 RANGE BETWEEN {_HOUR_MS - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def events_rolling_window_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour features — for every event, the user's
+    event count and 6dp value sum in ``(ts - 1h, ts]`` as of that event
+    (operators/windows.rolling_window_stats): the feature-store shape
+    "activity in the last hour as of each interaction". ONE shuffle on
+    user_id serves a native RANGE-frame window — no self-join, no
+    explode; same-millisecond ties are mutually in-frame by RANGE
+    semantics, which both engines define identically."""
+    from hummingbirddatapipeline_spark.operators.windows import (
+        rolling_window_stats,
+    )
+
+    ev = _with_ts_ms(load(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "ts_ms", "value"
+    )
+    return rolling_window_stats(
+        ev, "user_id", "ts_ms", _HOUR_MS, "value"
+    ).select("event_id", "user_id", "ts_ms", "n_in_window", "sum_in_window")

@@ -162,3 +162,169 @@ def feature_impute_median_balance(
         .alias("bal"),
     )
     return impute_median(cust, "bal", "c_mktsegment")
+
+
+@query(
+    "feature_profile_drift",
+    oracle="""
+    WITH r AS (
+      SELECT * FROM (
+        SELECT 'l_quantity' AS column_name,
+               ROUND((COUNT(*) - COUNT(l_quantity)) / CAST(COUNT(*) AS DOUBLE), 6) AS ref_null_rate,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ref_n_distinct,
+               CAST(MIN(l_quantity) AS DOUBLE) AS ref_min,
+               CAST(MAX(l_quantity) AS DOUBLE) AS ref_max,
+               ROUND(AVG(l_quantity), 6) AS ref_mean
+        FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+        UNION ALL
+        SELECT 'l_extendedprice',
+               ROUND((COUNT(*) - COUNT(l_extendedprice)) / CAST(COUNT(*) AS DOUBLE), 6),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE),
+               ROUND(AVG(l_extendedprice), 6)
+        FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+        UNION ALL
+        SELECT 'l_discount',
+               ROUND((COUNT(*) - COUNT(l_discount)) / CAST(COUNT(*) AS DOUBLE), 6),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               CAST(MIN(l_discount) AS DOUBLE),
+               CAST(MAX(l_discount) AS DOUBLE),
+               ROUND(AVG(l_discount), 6)
+        FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+      )
+    ),
+    c AS (
+      SELECT * FROM (
+        SELECT 'l_quantity' AS column_name,
+               ROUND((COUNT(*) - COUNT(l_quantity)) / CAST(COUNT(*) AS DOUBLE), 6) AS cur_null_rate,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS cur_n_distinct,
+               CAST(MIN(l_quantity) AS DOUBLE) AS cur_min,
+               CAST(MAX(l_quantity) AS DOUBLE) AS cur_max,
+               ROUND(AVG(l_quantity), 6) AS cur_mean
+        FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+        UNION ALL
+        SELECT 'l_extendedprice',
+               ROUND((COUNT(*) - COUNT(l_extendedprice)) / CAST(COUNT(*) AS DOUBLE), 6),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE),
+               ROUND(AVG(l_extendedprice), 6)
+        FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+        UNION ALL
+        SELECT 'l_discount',
+               ROUND((COUNT(*) - COUNT(l_discount)) / CAST(COUNT(*) AS DOUBLE), 6),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               CAST(MIN(l_discount) AS DOUBLE),
+               CAST(MAX(l_discount) AS DOUBLE),
+               ROUND(AVG(l_discount), 6)
+        FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+      )
+    )
+    SELECT r.column_name, ref_null_rate, cur_null_rate,
+           ROUND(cur_null_rate - ref_null_rate, 6) AS null_rate_delta,
+           ref_n_distinct, cur_n_distinct,
+           ref_min, cur_min, ref_max, cur_max, ref_mean, cur_mean,
+           ROUND(cur_mean - ref_mean, 6) AS mean_delta
+    FROM r JOIN c USING (column_name)
+    ORDER BY column_name
+    """,
+)
+def feature_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift report between the pre-1998 (training
+    window) and 1998+ (serving window) lineitem snapshots: one row per
+    profiled column with null rate / distinct count / min / max / 6dp
+    mean per side plus deltas (operators/expectations.profile_compare).
+    ONE aggregate pass per side computes every column simultaneously,
+    then the two single-row frames unpivot and join — no per-column
+    jobs; the oracle rebuilds each side with per-column aggregates and
+    must agree on every stat bit-for-bit."""
+    from hummingbirddatapipeline_spark.operators.expectations import (
+        profile_compare,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < F.lit("1998-01-01"))
+    cur = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    return profile_compare(
+        ref, cur, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+@query(
+    "feature_quantile_transform",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal,
+           ROUND(PERCENT_RANK() OVER
+                   (PARTITION BY c_mktsegment ORDER BY bal), 6) AS bal_qt
+    FROM c WHERE bal IS NOT NULL
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, bal, NULL AS bal_qt
+    FROM c WHERE bal IS NULL
+    ORDER BY c_custkey
+    """,
+)
+def feature_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile (percent-rank) scaling of customer balances per
+    market segment, with every 11th balance deterministically NULLed so
+    the NULL-exclusion contract is exercised: NULLs keep a NULL rank
+    and never distort the CDF (operators/scale.quantile_transform).
+    One shuffle on the group key for the rank window; ranks round 6dp
+    from exact integers so both engines agree bit-for-bit."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        quantile_transform,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("bal"),
+    )
+    return quantile_transform(cust, "bal", "c_mktsegment")
+
+
+@query(
+    "feature_target_encode",
+    oracle="""
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS m,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(y) AS prior FROM o),
+    p AS (
+      SELECT m AS category, CAST(COUNT(y) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) AS sum_label
+      FROM o GROUP BY m
+    )
+    SELECT category, n, sum_label, ROUND(g.prior, 6) AS prior,
+           ROUND((sum_label + 20.0 * g.prior) / (n + 20.0), 6) AS encoding
+    FROM p CROSS JOIN g
+    ORDER BY category
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of order month against the is-URGENT
+    label (operators/scale.target_encode, alpha=20): one hash aggregate
+    per category plus a single-row global prior broadcast back — the
+    tiny encoder table IS the persisted training artifact; serving
+    broadcast-joins it onto the feature frame. Exact integer label
+    sums; prior and encoding are single rounded divisions, so the
+    oracle reproduces every encoding bit-for-bit."""
+    from hummingbirddatapipeline_spark.operators.scale import target_encode
+
+    ord_ = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return target_encode(ord_, "m", "y", alpha=20.0)

@@ -520,3 +520,47 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs, "doc_id", "wgt", k=5, seed="r7", strata_col="lang"
     ).select("doc_id", "lang", "sample_rank")
+
+
+@query(
+    "sample_contrastive_negatives",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    draws AS (
+      SELECT doc_id, rnk, n, UNNEST([1, 2, 3, 4]) AS neg_rank
+      FROM ranked
+    ),
+    resolved AS (
+      SELECT d.doc_id, d.neg_rank,
+             CASE WHEN raw >= d.rnk THEN raw + 1 ELSE raw END AS tgt
+      FROM (
+        SELECT *,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(neg_rank AS VARCHAR) || ':r8'), 1, 13) AS BIGINT)
+                % (n - 1)) + 1 AS raw
+        FROM draws) d
+    )
+    SELECT r.doc_id, CAST(r.neg_rank AS INT) AS neg_rank,
+           l.doc_id AS neg_id
+    FROM resolved r JOIN ranked l ON l.rnk = r.tgt
+    ORDER BY r.doc_id, r.neg_rank
+    """,
+)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: each document draws
+    4 pseudo-random OTHER documents (operators/sampling.
+    contrastive_negatives) via 52-bit md5 content-hash uniforms over
+    the skip-self rank trick — never an RNG, so the pairing is
+    rerun/repartition-stable and DuckDB recomputes every draw from the
+    same hashes. Two narrow shuffles (rank window + rank equi-join)
+    and a k-element explode — no cross join at any scale."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return contrastive_negatives(docs, "doc_id", k=4, seed="r8")

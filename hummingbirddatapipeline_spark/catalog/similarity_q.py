@@ -487,3 +487,60 @@ def similarity_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
     )
+
+
+def _ivf_frozen_cent_sql() -> str:
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+
+    cent_lists = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in IVF_CENTROIDS_64D
+    )
+    return f"""
+    WITH cents AS (
+      SELECT UNNEST(range({len(IVF_CENTROIDS_64D)})) AS cid,
+             UNNEST([{cent_lists}]) AS cv
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(
+               list_sum(list_zip(e.embedding, c.cv)
+                 .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2]))
+               / (sqrt(list_sum(e.embedding
+                    .list_transform(x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(c.cv.list_transform(x -> x * x)))), 6)
+               AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, cid, sim, ROW_NUMBER() OVER
+               (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT vec_id, CAST(cid AS INT) AS centroid_id, sim AS centroid_sim
+    FROM best WHERE rk = 1
+    ORDER BY vec_id
+    """
+
+
+@query("similarity_ivf_incremental_add", oracle=_ivf_frozen_cent_sql())
+def similarity_ivf_incremental_add(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN index MAINTENANCE: assign an arriving vector batch to the
+    FROZEN IVF coarse quantizer (artifacts.IVF_CENTROIDS_64D — trained
+    once offline, committed like the dedup store) without retraining
+    (operators/similarity.ivf_incremental_add). The centroids ride the
+    plan as literals — ONE map-side pass, no join, no shuffle; at
+    100 TB the assigned batch appends straight into the
+    partition-by-centroid layout. Argmax cosine with ties to the
+    lowest centroid id; DuckDB recomputes every cosine from the SAME
+    frozen constants, so the assignment is fully oracled."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        ivf_incremental_add,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_incremental_add(emb, IVF_CENTROIDS_64D).select(
+        "vec_id", "centroid_id", "centroid_sim"
+    )

@@ -489,3 +489,94 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "event_type", "ts_ms", "event_id",
         session_gap=1_800_000,
     )
+
+
+# --------------------------------------------------------------------------
+# First/last-touch attribution over the bucketized range join
+# --------------------------------------------------------------------------
+@query(
+    "events_touch_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id,
+             (epoch_ns(ts) // 1000000) AS conv_ts_ms,
+             ROUND(value, 6) AS conv_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000) AS click_ts_ms,
+             event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT c.conv_id, k.click_ts_ms, k.click_id
+      FROM conv c JOIN clicks k
+        ON k.user_id = c.user_id
+       AND k.click_ts_ms > c.conv_ts_ms - {_DAY_MS}
+       AND k.click_ts_ms <= c.conv_ts_ms
+    ),
+    rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY click_ts_ms, click_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY click_ts_ms DESC, click_id DESC)
+               AS rl
+      FROM pairs
+    ),
+    agg AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             MAX(CASE WHEN rf = 1 THEN click_id END) AS first_touch_id,
+             MAX(CASE WHEN rf = 1 THEN click_ts_ms END) AS first_touch_ts,
+             MAX(CASE WHEN rl = 1 THEN click_id END) AS last_touch_id,
+             MAX(CASE WHEN rl = 1 THEN click_ts_ms END) AS last_touch_ts
+      FROM rk GROUP BY conv_id
+    )
+    SELECT c.conv_id, c.user_id, c.conv_ts_ms, c.conv_value,
+           COALESCE(a.n_touches, 0) AS n_touches,
+           a.first_touch_id, a.first_touch_ts,
+           a.last_touch_id, a.last_touch_ts,
+           CASE WHEN a.first_touch_id IS NOT NULL
+                THEN ROUND(c.conv_value / 2.0, 6) END AS first_touch_credit,
+           CASE WHEN a.last_touch_id IS NOT NULL
+                THEN ROUND(c.conv_value / 2.0, 6) END AS last_touch_credit
+    FROM conv c LEFT JOIN agg a USING (conv_id)
+    ORDER BY conv_id
+    """,
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (operators/temporal.touch_attribution): every purchase is credited
+    to the first and last click in its trailing 24 h window, 50/50
+    value split; purchases with no click survive with NULL touches.
+    The bucketized range join keeps the inequality OUT of the join
+    condition (hash equi-join on (user, day-bucket), exact bound
+    re-checked), then ONE per-conversion argmin/argmax
+    (min/max(struct(ts, id)) — no sort). DuckDB recomputes the pairs
+    with a raw inequality join and row_number ranks."""
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        touch_attribution,
+    )
+
+    ev = _ts_ms(load(spark, sf_dir, "events"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts_ms").alias("conv_ts_ms"),
+        F.round(F.col("value"), 6).alias("conv_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ms").alias("click_ts_ms"),
+        F.col("event_id").alias("click_id"),
+    )
+    return touch_attribution(
+        conv,
+        clicks,
+        "user_id",
+        "conv_ts_ms",
+        "click_ts_ms",
+        "click_id",
+        lookback_ms=_DAY_MS,
+        value_col="conv_value",
+    )
