@@ -220,3 +220,94 @@ def stream_enrich_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete")
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> ''))) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT b.doc_id AS doc_id, s.doc_id AS store_id, COUNT(*) AS inter
+      FROM tok b JOIN tok s ON b.w = s.w
+      WHERE b.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT DISTINCT p.doc_id
+      FROM pairs p
+      JOIN sizes sb ON sb.doc_id = p.doc_id
+      JOIN sizes ss ON ss.doc_id = p.store_id
+      WHERE inter / (sb.n + ss.n - inter) >= 0.85
+    )
+    SELECT d.doc_id, dup.doc_id IS NULL AS accepted
+    FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    ORDER BY d.doc_id
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup under the FULL oracle gate: odd
+    doc_ids arrive as a real file-source stream (one file per
+    micro-batch, so decisions cross real micro-batch boundaries), each
+    micro-batch probes the frozen even-doc_id shingle store inside
+    ``foreachBatch`` (streaming/core.dedup_stream_against_store,
+    exact-Jaccard probe), and accepted rows land in per-batch-id
+    partitions. The hashed output is the complete accept/reject roster
+    read back from the sink — DuckDB recomputes every batch-vs-store
+    decision from the raw union, so this row proves the STREAMING
+    composition end-to-end (source -> foreachBatch probe -> idempotent
+    sink), not just its batch twin (dedup_incremental_batch, same
+    decision SQL). Batch-boundary invariance holds because decisions
+    depend only on (doc, store); replay idempotence is pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        build_jaccard_store,
+    )
+    from hummingbirddatapipeline_spark.streaming.core import (
+        dedup_stream_against_store,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store = build_jaccard_store(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        shingle_size=1,
+    )
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+
+    src = tempfile.mkdtemp(prefix="sg_stream_dedup_src_")
+    target = tempfile.mkdtemp(prefix="sg_stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="sg_stream_dedup_ckpt_")
+    # 4 files -> 4 real micro-batches under maxFilesPerTrigger=1
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup_stream_against_store(
+        stream,
+        None,
+        store,
+        target,
+        threshold=0.85,
+        shingle_size=1,
+        checkpoint=ckpt,
+        probe="jaccard",
+    )
+    q.awaitTermination()
+    accepted = spark.read.parquet(target).select(
+        "doc_id", F.lit(True).alias("accepted")
+    )
+    return arriving.select("doc_id").join(accepted, "doc_id", "left").select(
+        "doc_id", F.coalesce("accepted", F.lit(False)).alias("accepted")
+    )

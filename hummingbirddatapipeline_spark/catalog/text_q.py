@@ -821,3 +821,93 @@ def bench_bpe_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(docs.select("doc_id", "text"), "text", merges).select(
         "doc_id", "n_bpe_tokens"
     )
+
+
+def _bpe_frozen_oracle() -> str:
+    """DuckDB replay of the FROZEN BPE merge list via chained
+    boundary-safe string replaces — an independent formulation of
+    merge-replay segmentation (operators/tokenization.bpe_segment
+    replays the same artifact as array rewrites).
+
+    Encoding: each symbol is wrapped as TAB..sym..NL, so a merge
+    pattern (TAB l NL TAB r NL) can neither false-match inside a
+    longer symbol (the TAB/NL boundaries force complete symbols) nor
+    overlap an adjacent occurrence (no shared characters between
+    matches) — string replace's left-to-right non-overlapping scan
+    then implements exactly the published greedy merge rule. Tokens
+    come from whitespace splitting, so no symbol can contain TAB/NL.
+    """
+    from hummingbirddatapipeline_spark.artifacts import BPE_MERGES
+
+    seg = (
+        "chr(9) || array_to_string(string_split(w, ''), chr(10) || chr(9))"
+        " || chr(10) || chr(9) || '</w>' || chr(10)"
+    )
+    for m in BPE_MERGES:
+        left, right = m["left"], m["right"]
+        for sym in (left, right):
+            if "'" in sym or "\t" in sym or "\n" in sym:
+                raise ValueError(f"unsafe BPE symbol {sym!r}")
+        pat = f"'\t{left}\n\t{right}\n'"
+        rep = f"'\t{left}{right}\n'"
+        seg = f"replace({seg}, {pat}, {rep})"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    vocab AS (SELECT DISTINCT unnest(t) AS w FROM toks),
+    segd AS (SELECT w, {seg} AS s FROM vocab),
+    segtok AS (
+      SELECT w,
+             CAST(length(s) - length(replace(s, chr(9), '')) AS INT)
+               AS n_toks,
+             trim(replace(s, chr(10) || chr(9), ' '), chr(9) || chr(10))
+               AS toks_str
+      FROM segd
+    ),
+    pos AS (
+      SELECT doc_id, u[2] AS pos, u[1] AS w
+      FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t) + 1))) AS u
+            FROM toks)
+    ),
+    per_doc AS (
+      SELECT p.doc_id,
+             CAST(SUM(st.n_toks) AS INT) AS n_bpe_tokens,
+             md5(string_agg(st.toks_str, ' ' ORDER BY p.pos))
+               AS bpe_fingerprint
+      FROM pos p JOIN segtok st USING (w)
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(pd.bpe_fingerprint, md5('')) AS bpe_fingerprint
+    FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("text_bpe_segment", oracle=_bpe_frozen_oracle())
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization under the full oracle gate: every document is
+    segmented by replaying the FROZEN merge artifact
+    (artifacts.BPE_MERGES — learned once offline by the distributed
+    trainer, whose greedy loop is separately differentialed against a
+    pure-Python Sennrich reference in tests/test_tokenization.py), and
+    the driver hashes each doc's token count plus an md5 fingerprint
+    of the full space-joined token sequence. Spark replays merges as
+    rank-ordered ``aggregate`` array rewrites ONCE PER UNIQUE WORD
+    (broadcast-joined back by position — the corpus-vs-dictionary
+    separation that makes this tractable at 100 TB); DuckDB replays
+    the same artifact as chained boundary-safe string replaces — two
+    independent formulations of the published merge-replay rule that
+    must agree on every token of every document."""
+    from hummingbirddatapipeline_spark.artifacts import BPE_MERGES
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        bpe_segment,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = bpe_segment(docs, "text", BPE_MERGES, id_cols=["doc_id"])
+    return seg.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_fingerprint"),
+    )

@@ -355,7 +355,7 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
 
 def dedup_stream_against_store(
     doc_stream: DataFrame,
-    band_index: DataFrame,
+    band_index: DataFrame | None,
     store: DataFrame,
     target_dir: str,
     text_col: str = "text",
@@ -365,12 +365,22 @@ def dedup_stream_against_store(
     bands: int = 8,
     shingle_size: int = 1,
     checkpoint: str | None = None,
+    probe: str = "minhash",
 ):
     """Streaming incremental dedup: each micro-batch of arriving
-    documents is probed against the STATIC corpus MinHash band index
-    and only the accepted (not-already-in-corpus) rows append to
-    ``target_dir`` — continuous-ingestion dedup, the Structured
-    Streaming form of ``incremental_minhash_dedup``.
+    documents is probed against the STATIC corpus index and only the
+    accepted (not-already-in-corpus) rows land in ``target_dir`` —
+    continuous-ingestion dedup, the Structured Streaming form of the
+    incremental batch operators.
+
+    ``probe`` picks the batch operator run per micro-batch:
+    ``"minhash"`` (default) probes the MinHash ``band_index``
+    (``incremental_minhash_dedup`` — the cheap approximate-candidate
+    path, exact-Jaccard-verified); ``"jaccard"`` probes the shingle
+    ``store``'s posting lists directly under the store's frozen prefix
+    order (``incremental_jaccard_dedup`` — exact, ``band_index`` may
+    be None). Decisions depend only on (doc, store) in both modes, so
+    micro-batch boundaries never change the output.
 
     Architecture: the probe pipeline ends in a per-document aggregate
     followed by a join back onto the batch roster — a shape Structured
@@ -397,25 +407,40 @@ def dedup_stream_against_store(
     import tempfile as _tf
 
     from hummingbirddatapipeline_spark.operators.dedup import (
+        incremental_jaccard_dedup,
         incremental_minhash_dedup,
     )
 
+    if probe not in ("minhash", "jaccard"):
+        raise ValueError(f"unknown probe mode {probe!r}")
+    if probe == "minhash" and band_index is None:
+        raise ValueError("probe='minhash' requires a band_index")
     checkpoint = checkpoint or _tf.mkdtemp(prefix="sg_dedup_ckpt_")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        decisions = incremental_minhash_dedup(
-            batch,
-            band_index,
-            store,
-            text_col,
-            id_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_size=shingle_size,
-        )
+        if probe == "jaccard":
+            decisions = incremental_jaccard_dedup(
+                batch,
+                store,
+                text_col,
+                id_col,
+                threshold=threshold,
+                shingle_size=shingle_size,
+            )
+        else:
+            decisions = incremental_minhash_dedup(
+                batch,
+                band_index,
+                store,
+                text_col,
+                id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_size=shingle_size,
+            )
         accepted = batch.join(
             decisions.filter("accepted").select(id_col), id_col, "left_semi"
         )
