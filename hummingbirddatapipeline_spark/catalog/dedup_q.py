@@ -174,7 +174,8 @@ _SIMHASH_TWIN_OFFSET = 20_000_000
     )
     SELECT MIN(doc_id) AS rep_doc_id,
            COUNT(*) AS n_members,
-           TRUE AS same_simhash
+           TRUE AS same_simhash,
+           TRUE AS far_simhash_differs
     FROM fp GROUP BY f HAVING COUNT(*) >= 2
     ORDER BY rep_doc_id
     """,
@@ -191,9 +192,15 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster at every SF; organic exact-dup groups merge in on top.
     Hashes the group roster (rep id, size — real cross-engine data)
     plus the consistency flag, so a regression in shingling or the
-    bit-vote accumulator goes driver-red. The raw per-doc simhash
-    stays rows-only above (the 64-bit vote hash itself is
-    engine-specific)."""
+    bit-vote accumulator goes driver-red.
+
+    The contract is TWO-SIDED: a degenerate simhash (e.g. a constant)
+    would still satisfy the positive side, so each group also asserts
+    ``far_simhash_differs`` — the rep doc's BYTE-REVERSED text (a
+    completely different token multiset; no palindromic docs exist at
+    any SF) must hash to a DIFFERENT simhash than the group's. The raw
+    per-doc simhash stays rows-only above (the 64-bit vote hash itself
+    is engine-specific)."""
     from hummingbirddatapipeline_spark.functions.text import fingerprint
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -206,15 +213,27 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("f"),
         simhash64(F.col("text"), shingle_size=1).alias("sh"),
     )
-    return (
+    far = docs.select(
+        F.col("doc_id").alias("rep_doc_id"),
+        simhash64(F.reverse(F.col("text")), shingle_size=1).alias("sh_far"),
+    )
+    groups = (
         h.groupBy("f")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
             F.count("*").alias("n_members"),
             (F.countDistinct("sh") == 1).alias("same_simhash"),
+            F.min("sh").alias("__sh"),
         )
         .filter(F.col("n_members") >= 2)
-        .select("rep_doc_id", "n_members", "same_simhash")
+    )
+    # every group contains an original (twins share their origin's
+    # fingerprint), so rep_doc_id always resolves in the far table
+    return groups.join(far, "rep_doc_id").select(
+        "rep_doc_id",
+        "n_members",
+        "same_simhash",
+        (F.col("sh_far") != F.col("__sh")).alias("far_simhash_differs"),
     )
 
 

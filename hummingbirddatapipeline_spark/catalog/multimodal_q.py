@@ -69,14 +69,16 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000)
 
 
-# Twin offset for the phash contract fixture; far above any doc_id
+# Twin offsets for the phash contract fixture; far above any doc_id
 _PHASH_TWIN_OFFSET = 10_000_000
+_PHASH_FAR_OFFSET = 30_000_000
 
 
 @query(
     "multimodal_phash_groups",
     oracle="""
-    SELECT doc_id AS media_id, TRUE AS twin_same_cluster
+    SELECT doc_id AS media_id, TRUE AS twin_same_cluster,
+           TRUE AS far_diff_cluster
     FROM documents
     ORDER BY media_id
     """,
@@ -96,11 +98,27 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface the (original, twin) candidate, the Hamming verify (<= 6)
     must keep it, and CC must put both in one cluster — recall here is
     a theorem of the implementation, not a probability, which is what
-    makes an every-round driver contract sound. Output: one row per
-    original with twin_same_cluster, which DuckDB asserts is uniformly
-    TRUE over the exact doc roster. Perceptual behavior on free-form
-    perturbations (and non-collapse of unrelated blobs) is pinned in
-    tests/test_multimodal.py."""
+    makes an every-round driver contract sound.
+
+    The contract is TWO-SIDED: every doc also gets a FAR twin — a
+    720-byte constant blob, long enough that every one of the 72
+    thumbnail cells is non-empty and equal, so its dHash is EXACTLY 0
+    (zero rising gradients). That is out of the text distribution by
+    construction: every text/cell-flip hash at every SF carries >= 21
+    gradient bits (min measured 23, and a one-cell flip moves <= 2),
+    so no chain can connect hash 0 to any text cluster under the
+    Hamming-6 verify. In-distribution far constructions fail this —
+    byte-reversal drifts into the mega-cluster's transitive span at
+    sf0.1, and a same-length constant blob inherits a short doc's
+    empty-thumbnail-cell gradient pattern (measured: a 44-byte doc's
+    hash lands within Hamming 6 of its constant twin). The row asserts
+    the far twin lands in a DIFFERENT cluster, so a degenerate
+    implementation that collapsed everything into one cluster (which
+    would still pass the recall side) goes driver-red.
+    Output: one row per original with twin_same_cluster AND
+    far_diff_cluster, which DuckDB asserts are uniformly TRUE over the
+    exact doc roster. Perceptual behavior on free-form perturbations
+    is additionally pinned in tests/test_multimodal.py."""
     from hummingbirddatapipeline_spark.multimodal.core import phash_groups
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -127,15 +145,35 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content"),
         )
     )
-    pg = phash_groups(media.unionByName(twins), max_distance=6, bands=8)
+    fars = docs.select(
+        (F.col("doc_id") + _PHASH_FAR_OFFSET).alias("media_id"),
+        F.encode(F.repeat(F.lit("z"), 720), "utf-8").alias("content"),
+    )
+    pg = phash_groups(
+        media.unionByName(twins).unionByName(fars), max_distance=6, bands=8
+    )
     orig = pg.filter(F.col("media_id") < _PHASH_TWIN_OFFSET).select(
         "media_id", F.col("phash_cluster").alias("__c_orig")
     )
-    twin = pg.filter(F.col("media_id") >= _PHASH_TWIN_OFFSET).select(
+    twin = pg.filter(
+        (F.col("media_id") >= _PHASH_TWIN_OFFSET)
+        & (F.col("media_id") < _PHASH_FAR_OFFSET)
+    ).select(
         (F.col("media_id") - _PHASH_TWIN_OFFSET).alias("media_id"),
         F.col("phash_cluster").alias("__c_twin"),
     )
-    return orig.join(twin, "media_id").select(
-        "media_id",
-        (F.col("__c_orig") == F.col("__c_twin")).alias("twin_same_cluster"),
+    far = pg.filter(F.col("media_id") >= _PHASH_FAR_OFFSET).select(
+        (F.col("media_id") - _PHASH_FAR_OFFSET).alias("media_id"),
+        F.col("phash_cluster").alias("__c_far"),
+    )
+    return (
+        orig.join(twin, "media_id")
+        .join(far, "media_id")
+        .select(
+            "media_id",
+            (F.col("__c_orig") == F.col("__c_twin")).alias(
+                "twin_same_cluster"
+            ),
+            (F.col("__c_orig") != F.col("__c_far")).alias("far_diff_cluster"),
+        )
     )
