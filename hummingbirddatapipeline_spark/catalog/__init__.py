@@ -135,122 +135,111 @@ def _load_modules() -> None:
 # queries per round (dict insertion order). With 110+ catalog entries,
 # which rows get hard driver signal is a choice — so make it explicit.
 #
-# Round-7 window: every r6-sampled row came back green
-# (CORRECTNESS_r06.json, 50/50), so the whole r6 window is eligible to
-# rotate out. This round pins (a) the 13 newly registered operators
-# (the r6 "banked" set — LTTB, Markov transitions, A-ES sampling,
-# TF-IDF cosine pairs, triangle counts, decayed activity, winsorize,
-# PSI drift, median impute, radius join, basket co-occurrence —
-# plus round 7's incremental batch-vs-index dedup and multimodal
-# phash clusters), then
-# (b) the standard staleness back-fill: the 2 rows whose last driver
-# sample is r1, the 3 whose last is r4, and 32 of the 48 r5 rows —
-# prioritizing those whose shared helpers were refactored in r6
-# (text_substring_dup post-xxhash64 swap, text_repetition_stats,
-# dedup_minhash_near_dups, curation_funnel, the events window family,
-# _DUCK_TOKS consumers). The 16 r5 rows left outside (plain relational
-# / merge / classify rows whose code paths were untouched in r6) plus
-# the 50 r6-green rows remain last-sample-green, which
+# Round-8 window: every r7-sampled row came back green
+# (CORRECTNESS_r07.json, 50/50). This round pins
+# (a) the 12 newly registered operators — the r7 "banked" set
+# (rolling RANGE-frame features, quality-aware representatives,
+# PageRank, CDC apply, contrastive negatives, profile drift, quantile
+# transform, target encoding, touch attribution, frozen-quantizer IVF
+# add) plus the two surfaces that previously lived OUTSIDE the oracle
+# registry and now carry full contract rows (text_bpe_segment —
+# frozen-merge-artifact replay; stream_dedup_incremental — the
+# foreachBatch streaming dedup whose accept/reject roster DuckDB
+# recomputes from the raw union);
+# (b) the two consistency contracts re-hardened this round with
+# negative controls (multimodal_phash_groups far_diff_cluster,
+# dedup_simhash_consistency far_simhash_differs) — changed queries
+# must re-sample;
+# (c) the full r5-stale back-fill: all 16 rows whose last driver
+# sample is r5 (the plain relational/merge/classify family);
+# (d) 20 of the 50 r6-green rows, refactor-adjacent first: the five
+# streaming rows (streaming/core grew the probe= path + idempotent
+# per-batch sink this round), the similarity family (the
+# cosine_pairs_blocked rounding regime changed to half-away-from-zero),
+# the CC-riding curation/split/representatives rows (operators/graph
+# was edited), and the three scoring specs + corpus report as the
+# oldest heavyweight remainder. The other 30 r6 rows and all 50 r7
+# rows remain last-sample-green, which
 # tests/test_catalog_smoke.test_driver_window_rotation_policy
 # enforces against the CORRECTNESS_r*.json history.
 #
-# Banked for r8 registration (operators implemented + DuckDB-
-# differential-tested this round in tests/test_r8_oracles.py;
-# catalog entries deliberately NOT added because the r7 window is
-# full): operators/windows.rolling_window_stats (per-event trailing
-# RANGE-frame features — "events in the last hour as of each event"),
-# operators/graph.dedup_representatives_by_score (quality-aware
-# cluster representatives — keep the best-scoring copy, not min-id),
-# operators/merge.apply_cdc (CDC changelog apply with delete
-# tombstones — per-key argmax, the batch MERGE INTO), operators/
-# sampling.contrastive_negatives (deterministic hash-derived negative
-# sampling for contrastive training — skip-self rank draw, no cross
-# join), operators/expectations.profile_compare (column-profile drift
-# report — one aggregate pass per side, unpivoted), and operators/
-# temporal.touch_attribution (first/last-touch conversion attribution
-# over the bucketized range join), operators/scale.quantile_transform
-# (exact percent-rank feature scaling per group, NULLs excluded from
-# ranking), operators/scale.target_encode (smoothed mean encoding —
-# the persisted-encoder-table artifact shape), and operators/
-# similarity.ivf_incremental_add (assign new vectors to the FROZEN
-# IVF quantizer — ANN index maintenance without retraining, map-side
-# centroid literals; DuckDB recomputes every argmax cosine from the
-# same constants), and operators/graph.pagerank (fixed-iteration
-# power iteration over the symmetrized near-dup graph, per-iteration
-# rounding makes the float trajectory engine-identical; the oracle
-# unrolls the same 10 iterations as chained CTEs). Registration
-# recipe: move the test SQL into @query oracles (table names already
-# match the driver views), pin the ten to the front of DRIVER_WINDOW,
-# rotate out ten freshly-r7-green rows.
-#
-# Also implemented + verified this round, outside the oracle registry
-# by design: operators/tokenization (distributed BPE merge training
-# over the word-frequency dictionary + merge-replay segmentation —
-# verified by merge-list equality against a pure-Python reference of
-# the published Sennrich algorithm, the independent-implementation
-# differential used where SQL can't express the iterative greedy
-# loop) and streaming/core.dedup_stream_against_store (continuous-
-# ingestion dedup via foreachBatch over the incremental probe;
-# batch-equality + replay-idempotence test-pinned).
+# Banked for r9 registration (operators implemented + DuckDB-
+# differential-tested this round in tests/test_r9_oracles.py;
+# catalog entries deliberately NOT added because the r8 window is
+# full): operators/similarity.semantic_dedup (SemDeDup, arXiv:
+# 2303.09540 — frozen-quantizer cells + within-cell cosine pairs +
+# CC + min-id keep; the scaled-twin fixture gives the differential
+# real semantic duplicates), operators/graph.
+# incremental_connected_components (label maintenance under edge
+# arrivals — star-edge subgraph over affected components only, never
+# the historical graph; proven equal to full re-closure AND to
+# DuckDB's recursive closure), functions/web.canonicalize_url +
+# host_gate (FineWeb-style URL normalization and host-level gating —
+# pure expressions, dirty-URL fixture derivable by both engines), and
+# functions/text.best_fit_pack (best-fit-decreasing sequence packing,
+# capacity-strict, applyInPandas per pack group; DuckDB replays the
+# same greedy rule with a recursive CTE over positional bin-load
+# lists). Registration recipe: move the test SQL into @query oracles,
+# pin the four to the front of DRIVER_WINDOW, back-fill with the
+# now-oldest rows (the 30 unrotated r6 rows first).
 DRIVER_WINDOW: list[str] = [
-    # (a) newly registered round-7 operators — first driver rows
-    "events_lttb_downsample",
-    "events_markov_transitions",
-    "sample_weighted_aes",
-    "dedup_tfidf_cosine_pairs",
-    "dedup_triangle_counts",
-    "events_decayed_activity",
-    "feature_winsorize_prices",
-    "feature_psi_price_drift",
-    "feature_impute_median_balance",
-    "geo_radius_join_suppliers",
-    "assoc_basket_cooccurrence",
-    "dedup_incremental_batch",
+    # (a) newly registered round-8 operators — first driver rows
+    "events_rolling_window_feats",
+    "dedup_representatives_by_score",
+    "dedup_pagerank",
+    "merge_cdc_apply",
+    "sample_contrastive_negatives",
+    "feature_profile_drift",
+    "feature_quantile_transform",
+    "feature_target_encode",
+    "events_touch_attribution",
+    "similarity_ivf_incremental_add",
+    "text_bpe_segment",
+    "stream_dedup_incremental",
+    # (b) re-hardened two-sided contracts (changed -> re-sample)
     "multimodal_phash_groups",
-    # (b) staleness back-fill: last driver sample r1
-    "search_topk_substring",
-    "union_dedup_segments",
-    # last driver sample r4
-    "hhi_supplier_concentration",
-    "safe_divide_discount_rate",
-    "topk_orders_by_price",
-    # last driver sample r5, r6-refactor-adjacent first
-    "text_substring_dup",
-    "text_repetition_stats",
-    "dedup_minhash_near_dups",
-    "dedup_connected_components",
     "dedup_simhash_consistency",
-    "curation_funnel",
-    "text_jaccard_near_dups",
-    "text_exact_dedup",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_chunk_documents",
-    "text_pack_chunks",
-    "events_hourly_tumbling",
-    "events_sessionization",
-    "events_sliding_3h1h",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_incremental_rollup",
-    "events_first_per_user_type",
-    "events_json_props",
-    "sketch_approx_distinct_users",
-    "sketch_value_quantiles",
-    "sketch_topk_heavy_hitters",
-    "er_multipass_name_match",
-    "er_fuzzy_join_levenshtein",
-    "er_fuzzy_join_lsh",
-    "multimodal_byte_features",
-    "multimodal_frame_plan",
-    "window_yoy_nation_revenue_growth",
-    "extract_best_candidate",
-    # (extract_multi_pattern / extract_context_window yield their
-    # slots to the two new round-7 operators above: both r5-green,
-    # extraction helpers untouched since, extract_best_candidate
-    # still covers the family this round)
+    # (c) staleness back-fill: all 16 rows last sampled r5
+    "anti_join_idle_customers",
+    "asof_latest_order_per_customer",
+    "bucket_customer_balance",
+    "classify_and_prioritize",
+    "conditional_counters",
+    "distinct_customers_per_nation",
+    "extract_context_window",
+    "extract_multi_pattern",
+    "merge_conditional_upsert",
+    "merge_upsert_idempotent",
+    "pivot_nation_revenue_by_year",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "semi_join_active_customers",
+    "unpivot_returnflag_metrics",
+    # (d) r6-green rotation, refactor-adjacent first: streaming core
+    "stream_dedup_union",
+    "stream_enrich_nation_counts",
+    "stream_hourly_tumbling",
+    "stream_interval_join_pairs",
+    "stream_sessionization",
+    # similarity family (rounding-regime change)
+    "similarity_cosine_topk",
+    "similarity_near_dup_embeddings",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_near_dup_clusters",
+    "similarity_near_dup_clusters_banded",
+    "embedding_quantize_roundtrip",
+    # CC-riding rows (operators/graph edited)
+    "text_dedup_representatives",
+    "sample_split_leakfree",
+    "sample_split_ngram_overlap",
+    "curation_funnel_gated",
+    # heavyweight r6 remainder
+    "scoring_customer_health",
+    "scoring_990_model",
+    "scoring_ipeds_model",
+    "corpus_stats_report",
 ]
 
 

@@ -425,3 +425,76 @@ def repetition_battery(df, text_col: str, id_col: str):
             for n in ns
         ],
     )
+
+
+def best_fit_pack(
+    chunks,
+    group_cols,
+    order_cols,
+    token_col: str = "n_tokens",
+    budget: int = 512,
+):
+    """Best-fit-decreasing sequence packing: within each pack group,
+    chunks are processed in (tokens DESC, ``order_cols`` ASC) order
+    and each is placed into the FULLEST open bin that still fits
+    (ties -> lowest bin id), opening a new bin when none fits — the
+    classic BFD rule (<= 11/9 OPT + 1 bins; Johnson 1973), a strictly
+    tighter packing than :func:`pack_token_bins`'s start-offset
+    binning, which trades slack for a pure-window plan. Bins never
+    exceed ``budget`` unless a single chunk alone does (it then sits
+    in its own overweight bin).
+
+    Greedy best-fit is inherently SEQUENTIAL state (each placement
+    depends on all previous loads), so this is the documented
+    Arrow-batched escape hatch: one ``applyInPandas`` per pack group,
+    O(n log n) per group via a sorted-loads bisect — the pack group is
+    the unit of parallelism exactly as in pack_token_bins (salt skewed
+    groups the same way). The decision sequence is deterministic for
+    any execution order, and the SAME rule is replayed independently
+    by a DuckDB recursive CTE in the differential tests.
+
+    Returns the input plus ``bin_id`` (0-based, dense per group).
+    """
+    import bisect
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    # fresh StructType: StructType.add MUTATES, and chunks.schema is the
+    # DataFrame's cached schema object — mutating it corrupts resolution
+    out_schema = StructType(
+        list(chunks.schema.fields) + [StructField("bin_id", LongType())]
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(
+            [token_col] + order_cols,
+            ascending=[False] + [True] * len(order_cols),
+            kind="mergesort",  # stable: deterministic under ties
+        )
+        loads: list[tuple[int, int]] = []  # sorted (load, bin_id)
+        n_bins = 0
+        assign = []
+        for n in pdf[token_col]:
+            n = int(n)
+            cap = budget - n
+            # rightmost load <= cap = the fullest bin that fits
+            i = bisect.bisect_right(loads, (cap, float("inf"))) - 1
+            if i >= 0:
+                # among equal max loads take the LOWEST bin id
+                while i > 0 and loads[i - 1][0] == loads[i][0]:
+                    i -= 1
+                load, b = loads.pop(i)
+                bisect.insort(loads, (load + n, b))
+            else:
+                b = n_bins
+                n_bins += 1
+                bisect.insort(loads, (n, b))
+            assign.append(b)
+        pdf = pdf.copy()
+        pdf["bin_id"] = assign
+        return pdf
+
+    return chunks.groupBy(*group_cols).applyInPandas(_pack, out_schema)

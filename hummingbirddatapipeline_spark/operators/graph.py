@@ -350,3 +350,62 @@ def pagerank(
             .localCheckpoint()
         )
     return scores.select("node", F.col("score").alias("pagerank"))
+
+
+def incremental_connected_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Maintain a CC labeling under EDGE ARRIVALS without re-closing
+    the full graph — the missing incremental half of the dedup
+    clustering story (batch-vs-index dedup probes the store without
+    rescanning it; this updates the store's CLUSTER LABELS without
+    re-running closure over every historical pair).
+
+    ``labels`` is an existing (node, cluster_id) assignment under this
+    module's min-member-id labeling contract (``connected_components``
+    output: every cluster_id is itself a member node). ``new_edges``
+    may touch labeled nodes, corpus singletons absent from ``labels``,
+    or brand-new nodes.
+
+    Algorithm: only components TOUCHED by a new edge can change. The
+    touched nodes' clusters are resolved with one join; every member
+    of an affected cluster is pulled into a subgraph as a STAR edge
+    (node, cluster_id) — connectivity-preserving because the label is
+    a member — new edges are unioned in, and the pointer-jumping
+    closure runs over that bounded subgraph only. Untouched clusters
+    pass through by anti-join. Min-id labels of merged components stay
+    GLOBALLY correct because every old member rides the star edges.
+
+    Scale shape: cost is proportional to the affected components plus
+    the new edges — never the historical graph; the star construction
+    is one join + one anti-join on skinny (node, label) state, and the
+    closure inherits connected_components' O(log n)-round bound on the
+    subgraph. Returns the updated full (node, cluster_id) table.
+    """
+    e = new_edges.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
+    touched = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    affected = (
+        touched.join(labels, "node")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    members = labels.join(affected, "cluster_id")
+    star = members.select(F.col("node").alias("u"), F.col("cluster_id").alias("v"))
+    updated = connected_components(
+        star.unionByName(e), "u", "v", max_iter=max_iter
+    )
+    untouched = labels.join(affected, "cluster_id", "left_anti")
+    return untouched.select("node", "cluster_id").unionByName(
+        updated.select("node", "cluster_id")
+    )

@@ -564,3 +564,97 @@ def ivf_incremental_add(
         (-F.col("__b.neg_cid")).cast("int").alias("centroid_id"),
         F.col("__b.sim").alias("centroid_sim"),
     ).drop("__b")
+
+
+def semantic_dedup(
+    items: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): embeddings are bucketed by a
+    FROZEN coarse quantizer (:func:`ivf_incremental_add` — k-means
+    cells), near-duplicate pairs are enumerated ONLY within a cell
+    (6dp-rounded cosine >= ``threshold``), the pair graph closes into
+    clusters with the pointer-jumping CC operator, and each semantic
+    cluster keeps its minimum-id member.
+
+    Returns (item_id, centroid_id, sem_cluster, kept): every input row
+    labeled with its quantizer cell, its semantic-cluster id (minimum
+    member id; its own id for singletons) and whether it survives
+    dedup. Deterministic and fully SQL-reproducible from the same
+    centroid constants.
+
+    Scale shape: the published algorithm's cost model — within-cell
+    quadratic, never corpus-quadratic; cell population is controlled
+    by the quantizer's k upstream (SemDeDup's own knob), and the
+    candidate join is a hash equi-join on centroid_id. ``max_cell``
+    guards the degenerate mega-cell: raise loudly rather than let one
+    cell turn the job quadratic (the LSH ``max_bucket`` policy; re-fit
+    the quantizer with larger k instead).
+    """
+    assigned = ivf_incremental_add(
+        items.select(item_id, item_vec), centroids, item_id, item_vec
+    ).select(item_id, item_vec, "centroid_id")
+    if max_cell is not None:
+        over = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_cell)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"semantic_dedup: cell {over[0]['centroid_id']} holds "
+                f"{over[0]['__n']} > max_cell={max_cell} vectors; re-fit "
+                "the quantizer with more centroids"
+            )
+    a = assigned.select(
+        "centroid_id",
+        F.col(item_id).alias("id_a"),
+        F.col(item_vec).alias("__va"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(item_id).alias("id_b"),
+        F.col(item_vec).alias("__vb"),
+    )
+    sim = F.round(
+        cosine(
+            F.transform("__va", lambda x: x.cast("double")),
+            F.transform("__vb", lambda x: x.cast("double")),
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs)
+    return (
+        assigned.join(
+            cc.select(F.col("node").alias(item_id), "cluster_id"),
+            item_id,
+            "left",
+        )
+        .select(
+            item_id,
+            "centroid_id",
+            F.coalesce("cluster_id", F.col(item_id)).alias("sem_cluster"),
+            (
+                F.coalesce("cluster_id", F.col(item_id)) == F.col(item_id)
+            ).alias("kept"),
+        )
+    )
