@@ -88,6 +88,19 @@ HEADLINE = [
     "assoc_basket_cooccurrence",
     "dedup_incremental_batch",
     "multimodal_phash_groups",
+    # round-8 operators
+    "events_rolling_window_feats",
+    "dedup_representatives_by_score",
+    "dedup_pagerank",
+    "merge_cdc_apply",
+    "sample_contrastive_negatives",
+    "feature_profile_drift",
+    "feature_quantile_transform",
+    "feature_target_encode",
+    "events_touch_attribution",
+    "similarity_ivf_incremental_add",
+    "text_bpe_segment",
+    "stream_dedup_incremental",
 ]
 
 

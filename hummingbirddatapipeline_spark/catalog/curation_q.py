@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import bench_query, query
 from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
 from hummingbirddatapipeline_spark.tables import load
 
@@ -380,3 +380,19 @@ def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("pct_rank") >= 0.5)
         .select("doc_id", "source", "quality", "pct_rank", "kept")
     )
+
+
+@bench_query("bench_url_host_gate")
+def bench_url_host_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of the r9-banked URL canonicalization + host gate
+    (correctness: DuckDB differential in tests/test_r9_oracles.py):
+    canonicalize the deterministic dirty-URL fixture and aggregate the
+    host-level gate table — all pure expressions, one scan-level
+    projection + one hash aggregate."""
+    from hummingbirddatapipeline_spark.functions.web import (
+        host_gate,
+        synth_dirty_urls,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return host_gate(synth_dirty_urls(docs), min_docs=10, max_dup_frac=0.6)

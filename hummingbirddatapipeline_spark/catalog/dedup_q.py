@@ -674,3 +674,31 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = shared_jaccard_pairs(spark, sf_dir)
     return pagerank(pairs, n_iter=_PAGERANK_ITERS, round_dp=_PAGERANK_DP)
+
+
+@bench_query("bench_incremental_cc")
+def bench_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of the r9-banked incremental CC maintenance
+    (correctness: equal to full re-closure + DuckDB recursive closure
+    in tests/test_r9_oracles.py): the existing labeling over the
+    shared exact-Jaccard graph is updated with a synthetic edge batch
+    (cluster-joining edges + brand-new nodes) by re-closing ONLY the
+    affected components — the number that matters is this marginal
+    cost vs the full closure tracked by dedup_connected_components."""
+    from hummingbirddatapipeline_spark.operators.graph import (
+        incremental_connected_components,
+    )
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents")
+    new_edges = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 3).alias("id_b"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 151 == 0).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 90_000_000).alias("id_b"),
+        )
+    )
+    return incremental_connected_components(labels, new_edges)

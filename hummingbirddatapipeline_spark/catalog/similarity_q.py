@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import bench_query, query
 from hummingbirddatapipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -543,4 +543,31 @@ def similarity_ivf_incremental_add(
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivf_incremental_add(emb, IVF_CENTROIDS_64D).select(
         "vec_id", "centroid_id", "centroid_sim"
+    )
+
+
+@bench_query("bench_semantic_dedup")
+def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of the r9-banked SemDeDup operator (correctness:
+    DuckDB differential in tests/test_r9_oracles.py): scaled-copy
+    twins give the near-orthogonal synthetic embeddings real semantic
+    duplicates, then frozen-quantizer cells + within-cell cosine pairs
+    + CC closure produce the keep/drop labeling."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(twins), IVF_CENTROIDS_64D, threshold=0.999
     )

@@ -911,3 +911,22 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_fingerprint"),
     )
+
+
+@bench_query("bench_best_fit_pack")
+def bench_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of the r9-banked best-fit-decreasing packer
+    (correctness: DuckDB recursive-CTE replay in
+    tests/test_r9_oracles.py): capacity-strict BFD over per-source
+    document token counts — one applyInPandas pass per pack group."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        best_fit_pack,
+        ws_token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return best_fit_pack(docs, "source", "doc_id", budget=128)
