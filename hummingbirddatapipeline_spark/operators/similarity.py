@@ -335,6 +335,7 @@ def cosine_pairs_blocked(
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     n_blocks: int = 32,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via blocked GEMM — the
     dense-regime escape hatch for corpora where candidate pruning
@@ -358,27 +359,37 @@ def cosine_pairs_blocked(
     Returns (id_a, id_b, sim) with id_a < id_b and sim = ROUND(cosine,
     6) >= threshold (the repo's cross-engine float rule). Zero-norm
     vectors never emit pairs.
+
+    ``part_col`` restricts pair generation to WITHIN-partition pairs
+    (e.g. a quantizer cell id): blocks become (part, blk), the tile
+    fan-out is an equi-join on the partition key plus the triangular
+    block filter, and cross-partition pairs are never formed — the
+    SemDeDup within-cell regime at GEMM speed instead of per-pair
+    lambda cost.
     """
     id_type = items.schema[item_id].dataType.simpleString()
+    keys = [part_col] if part_col else []
     dense = items.select(
+        *keys,
         F.col(item_id).alias("id"),
         F.col(item_vec).cast("array<double>").alias("vec"),
         F.pmod(F.xxhash64(F.col(item_id)), F.lit(n_blocks)).alias("__blk"),
     )
-    packed = dense.groupBy("__blk").agg(
+    packed = dense.groupBy(*keys, "__blk").agg(
         F.collect_list(F.struct("id", "vec")).alias("rows")
     )
-    tiles = (
-        packed.select(
-            F.col("__blk").alias("blk_a"), F.col("rows").alias("rows_a")
-        )
-        .crossJoin(
-            packed.select(
-                F.col("__blk").alias("blk_b"), F.col("rows").alias("rows_b")
-            )
-        )
-        .filter(F.col("blk_a") <= F.col("blk_b"))
+    left = packed.select(
+        *keys, F.col("__blk").alias("blk_a"), F.col("rows").alias("rows_a")
     )
+    right = packed.select(
+        *keys, F.col("__blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    if keys:
+        tiles = left.join(right, keys).filter(
+            F.col("blk_a") <= F.col("blk_b")
+        ).drop(*keys)
+    else:
+        tiles = left.crossJoin(right).filter(F.col("blk_a") <= F.col("blk_b"))
 
     thr = float(threshold)
 
@@ -573,6 +584,7 @@ def semantic_dedup(
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     max_cell: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -591,15 +603,22 @@ def semantic_dedup(
 
     Scale shape: the published algorithm's cost model — within-cell
     quadratic, never corpus-quadratic; cell population is controlled
-    by the quantizer's k upstream (SemDeDup's own knob), and the
-    candidate join is a hash equi-join on centroid_id. ``max_cell``
-    guards the degenerate mega-cell: raise loudly rather than let one
-    cell turn the job quadratic (the LSH ``max_bucket`` policy; re-fit
-    the quantizer with larger k instead).
+    by the quantizer's k upstream (SemDeDup's own knob). Within-cell
+    pairs run through the blocked-GEMM tile path partitioned by cell
+    (:func:`cosine_pairs_blocked` with ``part_col`` — one numpy
+    normalized matmul per tile instead of a per-pair lambda cosine:
+    measured 16.6 s -> sub-second on the twin fixture), and the
+    assignment is localCheckpointed once — production would persist it
+    as the partition-by-centroid layout anyway, and every downstream
+    branch (both tile sides, the final label join) reuses the blocks
+    instead of re-deriving the argmax. ``max_cell`` guards the
+    degenerate mega-cell: raise loudly rather than let one cell turn
+    the job quadratic (the LSH ``max_bucket`` policy; re-fit the
+    quantizer with larger k instead).
     """
     assigned = ivf_incremental_add(
         items.select(item_id, item_vec), centroids, item_id, item_vec
-    ).select(item_id, item_vec, "centroid_id")
+    ).select(item_id, item_vec, "centroid_id").localCheckpoint()
     if max_cell is not None:
         over = (
             assigned.groupBy("centroid_id")
@@ -614,30 +633,14 @@ def semantic_dedup(
                 f"{over[0]['__n']} > max_cell={max_cell} vectors; re-fit "
                 "the quantizer with more centroids"
             )
-    a = assigned.select(
-        "centroid_id",
-        F.col(item_id).alias("id_a"),
-        F.col(item_vec).alias("__va"),
-    )
-    b = assigned.select(
-        "centroid_id",
-        F.col(item_id).alias("id_b"),
-        F.col(item_vec).alias("__vb"),
-    )
-    sim = F.round(
-        cosine(
-            F.transform("__va", lambda x: x.cast("double")),
-            F.transform("__vb", lambda x: x.cast("double")),
-        ),
-        6,
-    )
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__sim", sim)
-        .filter(F.col("__sim") >= threshold)
-        .select("id_a", "id_b")
-    )
+    pairs = cosine_pairs_blocked(
+        assigned,
+        threshold,
+        item_id=item_id,
+        item_vec=item_vec,
+        n_blocks=n_blocks,
+        part_col="centroid_id",
+    ).select("id_a", "id_b")
     from hummingbirddatapipeline_spark.operators.graph import (
         connected_components,
     )
