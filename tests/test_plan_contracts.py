@@ -211,3 +211,83 @@ def test_apply_cdc_single_exchange_no_sort(spark, sf_dir):
     n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n_ex == 1, n_ex
     assert "Window" not in plan
+
+
+def test_ivf_incremental_add_is_map_side_only(spark, sf_dir):
+    """Frozen-quantizer assignment must be ONE map-side pass: the
+    centroids are plan literals, so the executed plan contains NO
+    exchange, no join, no sort — the property that lets 100 TB ingest
+    batches append to the partition-by-centroid layout without
+    shuffling anything."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["similarity_ivf_incremental_add"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_rolling_window_feats_single_exchange(spark, sf_dir):
+    """The trailing RANGE-frame features must ride ONE keyed exchange
+    (the window partition) — no self-join, no explode-based rewrite."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["events_rolling_window_feats"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_cdc_apply_is_argmax_not_rownumber(spark, sf_dir):
+    """CDC apply must be the per-key struct-argmax aggregate (ONE key
+    exchange, map-side combined), never a window row_number over a
+    per-key sort of the changelog."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["merge_cdc_apply"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_touch_attribution_no_nested_loop(spark, sf_dir):
+    """The attribution range join must stay bucketized hash joins —
+    the inequality must never reach a join condition (which would plan
+    BroadcastNestedLoopJoin and go quadratic at scale)."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["events_touch_attribution"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encode_scalar_broadcast_only(spark, sf_dir):
+    """The global prior may ride a single-row broadcast (the one
+    sanctioned nested-loop shape); anything beyond that one scalar
+    broadcast — or any cartesian — is a regression."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["feature_target_encode"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_tiles_are_cell_equi_join(spark, sf_dir):
+    """With part_col set, the blocked-GEMM tile fan-out must be an
+    equi-join on the cell key — cross-cell tiles must never form (the
+    SemDeDup within-cell cost model)."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    plan = _physical(
+        semantic_dedup(emb, IVF_CENTROIDS_64D, threshold=0.999)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
