@@ -179,9 +179,13 @@ def _load_modules() -> None:
 # functions/text.best_fit_pack (best-fit-decreasing sequence packing,
 # capacity-strict, applyInPandas per pack group; DuckDB replays the
 # same greedy rule with a recursive CTE over positional bin-load
-# lists). Registration recipe: move the test SQL into @query oracles,
-# pin the four to the front of DRIVER_WINDOW, back-fill with the
-# now-oldest rows (the 30 unrotated r6 rows first).
+# lists), and operators/sampling.dsir_select (DSIR importance
+# resampling, Xie et al. NeurIPS 2023 — hashed n-gram target/raw
+# model fits, broadcast log-ratio join, content-hash Gumbel-top-k;
+# DuckDB refits both models and must select the identical k docs).
+# Registration recipe: move the test SQL into @query oracles, pin the
+# five to the front of DRIVER_WINDOW, back-fill with the now-oldest
+# rows (the 30 unrotated r6 rows first).
 DRIVER_WINDOW: list[str] = [
     # (a) newly registered round-8 operators — first driver rows
     "events_rolling_window_feats",

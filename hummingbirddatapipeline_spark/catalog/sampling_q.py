@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import bench_query, query
 from hummingbirddatapipeline_spark.functions.privacy import (
     PII_PATTERNS,
     pii_flags,
@@ -564,3 +564,18 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return contrastive_negatives(docs, "doc_id", k=4, seed="r8")
+
+
+@bench_query("bench_dsir_select")
+def bench_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH form of the r9-banked DSIR importance resampling
+    (correctness: DuckDB differential in tests/test_r9_oracles.py):
+    target = the English documents, raw = the whole pool; two hashed
+    n-gram model fits, one broadcast log-ratio join, Gumbel-top-k."""
+    from hummingbirddatapipeline_spark.operators.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(
+        docs, target, k=50, n_buckets=4096, smoothing=1.0, seed="r9"
+    )

@@ -476,3 +476,113 @@ def contrastive_negatives(
     return drawn.join(lookup, "__neg_rank_idx").select(
         id_col, "neg_rank", "neg_id"
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    seed: str = "dsir0",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — the DSIR pipeline): fit bag-of-hashed-ngram unigram
+    models over a small TARGET corpus and the RAW pool, weight every
+    raw document by its importance log-ratio, and draw a k-document
+    sample with Gumbel-top-k — the published recipe for "select
+    pretraining data that looks like the target domain".
+
+    Features are hashed unigram+bigram counts into ``n_buckets``
+    buckets (md5-derived buckets here so the identical arithmetic runs
+    in ANSI SQL; swap the hash for xxhash64 at 100 TB — one line, no
+    shape change). Per-bucket probabilities use add-``smoothing``
+    estimates; a raw doc's log-weight is sum over its gram occurrences
+    of ln(p_target(b)) - ln(p_raw(b)). The Gumbel noise is the
+    repo's content-hash uniform (52-bit md5 — rerun/repartition-stable,
+    never an RNG), so the selection is deterministic and exactly
+    reproducible cross-engine; weights and keys round 6dp.
+
+    Scale shape: TWO corpus-scale explode+count aggregates (target fit
+    + raw fit), ONE broadcast join of the <= n_buckets log-ratio table
+    onto the raw gram stream feeding a per-doc sum, and one rank
+    window for the top-k. The target side is small by definition (the
+    domain exemplar set); nothing ever joins corpus-to-corpus. For a
+    sharded global top-k at extreme scale, rank within strata and
+    merge, exactly as with weighted_sample_topk.
+
+    Returns the k selected rows: (id, dsir_logweight, gumbel_key,
+    sample_rank).
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        toks = ws_tokens(F.lower(F.col(text_col)))
+        n = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        g = F.explode(F.concat(toks, bigrams)).alias("__g")
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 13), 16, 10)
+            .cast("long")
+            % n_buckets
+        )
+        return df.select(*keep, g).select(*keep, bucket.alias("bucket"))
+
+    B = float(n_buckets)
+    s = float(smoothing)
+    t_counts = grams(target).groupBy("bucket").agg(
+        F.count("*").cast("double").alias("t_n")
+    )
+    r_counts = grams(raw).groupBy("bucket").agg(
+        F.count("*").cast("double").alias("r_n")
+    )
+    t_total = t_counts.agg(F.sum("t_n").alias("t_total"))
+    r_total = r_counts.agg(F.sum("r_n").alias("r_total"))
+    # raw-side buckets drive the join: a raw gram always has r_n >= 1;
+    # buckets unseen in the target get the smoothed floor. The totals
+    # ride single-row scalar broadcasts so a missing target bucket
+    # never NULLs the denominator.
+    ratio = (
+        r_counts.join(t_counts, "bucket", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("t_n"), F.lit(0.0)) + s)
+                    / (F.col("t_total") + s * B)
+                )
+                - F.log((F.col("r_n") + s) / (F.col("r_total") + s * B))
+            ).alias("log_ratio"),
+        )
+    )
+    doc_w = (
+        grams(raw, id_col)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"))
+    )
+    hex13 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))),
+        1,
+        13,
+    )
+    val = F.conv(hex13, 16, 10).cast("long").cast("double")
+    u = (val + F.lit(0.5)) / F.lit(float(1 << 52))
+    gumbel = -F.log(-F.log(u))
+    keyed = doc_w.withColumn(
+        "gumbel_key", F.round(F.col("dsir_logweight") + gumbel, 6)
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

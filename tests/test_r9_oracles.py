@@ -488,3 +488,83 @@ def test_best_fit_packing_quality_vs_start_offset(spark):
         .collect()
     )
     assert all(r["max_load"] > budget for r in sob_loads)
+
+
+def test_dsir_select_matches_duckdb(spark):
+    """DSIR importance resampling: target = the English documents, raw
+    = the whole pool; DuckDB refits both hashed-ngram models, rebuilds
+    every log-ratio, per-doc weight, and Gumbel key from the same md5
+    arithmetic, and must select the identical k documents."""
+    from hummingbirddatapipeline_spark.operators.sampling import dsir_select
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    got = dsir_select(
+        docs, target, k=50, n_buckets=4096, smoothing=1.0, seed="r9"
+    ).collect()
+
+    B, s = 4096, 1.0
+    gram_cte = """
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) % 4096 AS bucket
+      FROM (
+        SELECT doc_id, unnest(list_concat(t,
+                 list_transform(list_zip(
+                     t[1:len(t)-1], t[2:len(t)]),
+                   p -> p[1] || ' ' || p[2]))) AS g
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents {where}))
+    """
+    sql = f"""
+    WITH tg AS ({gram_cte.format(where="WHERE lang = 'en'")}),
+    rg AS ({gram_cte.format(where="")}),
+    tc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS t_n
+           FROM tg GROUP BY bucket),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS r_n
+           FROM rg GROUP BY bucket),
+    tt AS (SELECT SUM(t_n) AS t_total FROM tc),
+    rt AS (SELECT SUM(r_n) AS r_total FROM rc),
+    ratio AS (
+      SELECT rc.bucket,
+             ln((COALESCE(tc.t_n, 0.0) + {s}) / (tt.t_total + {s} * {B}))
+             - ln((rc.r_n + {s}) / (rt.r_total + {s} * {B})) AS log_ratio
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt
+    ),
+    w AS (
+      SELECT g.doc_id, ROUND(SUM(r.log_ratio), 6) AS dsir_logweight
+      FROM rg g JOIN ratio r USING (bucket)
+      GROUP BY g.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, dsir_logweight,
+             ROUND(dsir_logweight
+               - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':r9'), 1, 13) AS BIGINT) + 0.5) / 4503599627370496.0))
+               , 6) AS gumbel_key
+      FROM w
+    )
+    SELECT doc_id, dsir_logweight, gumbel_key,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rk
+      FROM keyed) WHERE rk <= 50
+    """
+    con = _duck()
+    exp = con.sql(sql).fetchall()
+    rows = [tuple(r) for r in got]
+    assert len(rows) == 50
+    # selection is genuinely weight-driven: the picked docs skew toward
+    # the target language
+    picked = {r[0] for r in rows}
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    en_frac_picked = sum(1 for d in picked if langs[d] == "en") / len(picked)
+    en_frac_pool = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert en_frac_picked > en_frac_pool
+    assert _norm(rows) == _norm(exp)
