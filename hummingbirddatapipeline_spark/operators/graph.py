@@ -324,7 +324,7 @@ def pagerank(
         "node", F.round(F.lit(1.0 / n), round_dp).alias("score")
     ).localCheckpoint()
     teleport = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             edges.join(deg, "u")
             .join(
@@ -347,6 +347,11 @@ def pagerank(
                     round_dp,
                 ).alias("score"),
             )
+            # per-round truncation; a batched every-3rd-round cadence
+            # was MEASURED cold at sf0.1 and is not faster (20.6 s vs
+            # 19.6 s — fusing 3 lazy rounds into one job just shifts
+            # cost into optimizing the 3-deep join plan), so keep the
+            # simple shape that matches CC's
             .localCheckpoint()
         )
     return scores.select("node", F.col("score").alias("pagerank"))
