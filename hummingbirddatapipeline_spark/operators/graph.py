@@ -324,7 +324,7 @@ def pagerank(
         "node", F.round(F.lit(1.0 / n), round_dp).alias("score")
     ).localCheckpoint()
     teleport = (1.0 - damping) / n
-    for i in range(n_iter):
+    for _ in range(n_iter):
         contrib = (
             edges.join(deg, "u")
             .join(

@@ -540,6 +540,15 @@ def dsir_select(
     t_counts = grams(target).groupBy("bucket").agg(
         F.count("*").cast("double").alias("t_n")
     )
+    # loud guard, not silent degeneracy: an empty/gram-less target
+    # would NULL t_total and every weight with it (the PSI empty-
+    # reference lesson); the probe is one bounded action on the small
+    # exemplar side
+    if not t_counts.take(1):
+        raise ValueError(
+            "dsir_select: target corpus has no grams — cannot fit the "
+            "target model"
+        )
     r_counts = grams(raw).groupBy("bucket").agg(
         F.count("*").cast("double").alias("r_n")
     )

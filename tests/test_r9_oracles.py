@@ -568,3 +568,46 @@ def test_dsir_select_matches_duckdb(spark):
     en_frac_pool = sum(1 for v in langs.values() if v == "en") / len(langs)
     assert en_frac_picked > en_frac_pool
     assert _norm(rows) == _norm(exp)
+
+
+def test_r9_guards(spark):
+    """Loud-failure contracts for the banked operators: empty DSIR
+    target, semantic mega-cell cap, and incremental-CC no-op on an
+    empty edge batch."""
+    import pytest
+
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+    from hummingbirddatapipeline_spark.operators.sampling import dsir_select
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="target corpus has no grams"):
+        dsir_select(docs, docs.filter(F.lit(False)), k=5)
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="max_cell"):
+        semantic_dedup(emb, IVF_CENTROIDS_64D, threshold=0.999, max_cell=3)
+
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+
+    labels = connected_components(shared_jaccard_pairs(spark, SF))
+    empty = labels.filter(F.lit(False)).select(
+        F.col("node").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    got = incremental_connected_components(labels, empty).collect()
+    exp = labels.collect()
+    assert _norm([tuple(r) for r in got]) == _norm([tuple(r) for r in exp])
