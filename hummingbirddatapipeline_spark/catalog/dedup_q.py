@@ -669,7 +669,19 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME recurrence unrolled as chained CTEs — must reproduce every
     score bit-for-bit. Per iteration: one edge-join shuffle + one hash
     aggregate over skinny (node, score) state, lineage cut with
-    localCheckpoint."""
+    localCheckpoint.
+
+    Residual tie-window risk (r8 ADVICE, accepted): the bit-for-bit
+    claim rests on SUM over 15dp-rounded doubles; FP addition is
+    non-associative and the rounded contributions are not
+    binary-exact, so a partial sum landing within ULPs of a 5e-13
+    rounding boundary could round differently across engines or
+    partitionings — a latent flaky-red, not a wrongness bug. Kept
+    under the repo's standard rounding convention because the fixture
+    degrees (<100 contributions/node) keep accumulated ULP error ~8
+    orders of magnitude below the boundary window; if it ever flakes,
+    switch the contributions to scaled-long integer sums (round to
+    1e-15, cast to long) to make the trajectory truly exact."""
     from hummingbirddatapipeline_spark.operators.graph import pagerank
 
     pairs = shared_jaccard_pairs(spark, sf_dir)

@@ -266,7 +266,13 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink), not just its batch twin (dedup_incremental_batch, same
     decision SQL). Batch-boundary invariance holds because decisions
     depend only on (doc, store); replay idempotence is pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    The roster is collected eagerly and re-wrapped as a local
+    DataFrame so the three temp dirs (source, sink, checkpoint) can be
+    removed before returning — every driver/bench invocation used to
+    leak its written corpus subset to /tmp (r8 ADVICE)."""
+    import shutil
     import tempfile
 
     from hummingbirddatapipeline_spark.operators.dedup import (
@@ -308,6 +314,14 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = spark.read.parquet(target).select(
         "doc_id", F.lit(True).alias("accepted")
     )
-    return arriving.select("doc_id").join(accepted, "doc_id", "left").select(
-        "doc_id", F.coalesce("accepted", F.lit(False)).alias("accepted")
+    roster = (
+        arriving.select("doc_id")
+        .join(accepted, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("accepted", F.lit(False)).alias("accepted")
+        )
+        .collect()
     )
+    for d in (src, target, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(roster, "doc_id long, accepted boolean")

@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+# (=|$) so a VALUELESS tracking param (bare `fbclid`, `utm_x`) is
+# dropped too, not just the `key=value` form (r8 ADVICE).
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 
 def url_parts(url: Column) -> Column:

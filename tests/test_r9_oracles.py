@@ -262,7 +262,7 @@ _DUCK_CANON = """
                list_sort(list_filter(
                  string_split(regexp_extract(u1, '\\?([^#]*)', 1), '&'),
                  p -> p <> '' AND NOT regexp_matches(
-                        p, '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS q
+                        p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS q
       FROM (
         SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u1,
                regexp_extract(regexp_replace(url, '#.*', ''),
@@ -447,8 +447,14 @@ def test_best_fit_packing_quality_vs_start_offset(spark):
     the budget (a bin absorbs the chunk that straddles its boundary —
     it can even undercut the capacity-respecting lower bound that
     way). The real contract pair is: (a) BFD respects the budget on
-    every bin while staying within its published bin-count guarantee
-    (11/9 OPT + 1, Johnson 1973; OPT >= ceil(total/budget)); (b)
+    every bin while its bin count stays within 11/9 * LB + 1, where
+    LB = ceil(total/budget). NOTE (r8 ADVICE): LB only LOWER-bounds
+    OPT, so this inequality is STRONGER than the published BFD
+    guarantee (11/9 OPT + 1 relative to OPT, Johnson 1973) — it is
+    asserted as an EMPIRICAL property of this frozen fixture (item
+    sizes are small relative to the budget, so bins pack near-full
+    and the LB-relative bound holds with slack), not as the theorem;
+    a valid BFD on a different fixture could exceed it; (b)
     start-offset violates the budget on this same fixture in every
     group — the defect a capacity-strict packer exists to remove
     (its own contract is bounded overflow, which its docstring
