@@ -101,6 +101,13 @@ HEADLINE = [
     "similarity_ivf_incremental_add",
     "text_bpe_segment",
     "stream_dedup_incremental",
+    # round-9 operators (former bench_* banked forms, now catalog rows)
+    "similarity_semantic_dedup",
+    "dedup_incremental_cc",
+    "web_canonicalize_url",
+    "web_host_gate",
+    "text_pack_best_fit",
+    "sample_dsir_select",
 ]
 
 

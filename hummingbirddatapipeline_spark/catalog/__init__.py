@@ -132,118 +132,83 @@ def _load_modules() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 registered
-# queries per round (dict insertion order). With 110+ catalog entries,
+# queries per round (dict insertion order). With 130+ catalog entries,
 # which rows get hard driver signal is a choice — so make it explicit.
+# (Per-round window history and the bank ledger live in PLANS.md §
+# "Driver-window ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-8 window: every r7-sampled row came back green
-# (CORRECTNESS_r07.json, 50/50). This round pins
-# (a) the 12 newly registered operators — the r7 "banked" set
-# (rolling RANGE-frame features, quality-aware representatives,
-# PageRank, CDC apply, contrastive negatives, profile drift, quantile
-# transform, target encoding, touch attribution, frozen-quantizer IVF
-# add) plus the two surfaces that previously lived OUTSIDE the oracle
-# registry and now carry full contract rows (text_bpe_segment —
-# frozen-merge-artifact replay; stream_dedup_incremental — the
-# foreachBatch streaming dedup whose accept/reject roster DuckDB
-# recomputes from the raw union);
-# (b) the two consistency contracts re-hardened this round with
-# negative controls (multimodal_phash_groups far_diff_cluster,
-# dedup_simhash_consistency far_simhash_differs) — changed queries
-# must re-sample;
-# (c) the full r5-stale back-fill: all 16 rows whose last driver
-# sample is r5 (the plain relational/merge/classify family);
-# (d) 20 of the 50 r6-green rows, refactor-adjacent first: the five
-# streaming rows (streaming/core grew the probe= path + idempotent
-# per-batch sink this round), the similarity family (the
-# cosine_pairs_blocked rounding regime changed to half-away-from-zero),
-# the CC-riding curation/split/representatives rows (operators/graph
-# was edited), and the three scoring specs + corpus report as the
-# oldest heavyweight remainder. The other 30 r6 rows and all 50 r7
-# rows remain last-sample-green, which
+# Round-9 window:
+# (a) the 6 newly registered rows — the r8 "banked" set promoted from
+#     bench-only forms to full oracles (SemDeDup semantic dedup,
+#     incremental CC maintenance, URL canonicalize, host gate,
+#     best-fit packing, DSIR selection) — never sampled, so they must
+#     sit inside the first 50 slots;
+# (b) two r8-green rows whose code or oracle changed this round and
+#     must re-sample: stream_dedup_incremental (eager roster collect +
+#     temp-dir cleanup) and similarity_ivf_incremental_add (oracle SQL
+#     now built from the shared _cent_cte_body helper);
+# (c) the full r6-stale back-fill: all 30 rows whose last driver
+#     sample is r6 (sampling/text-scoring/dq/range-join family);
+# (d) 12 of the oldest r7 rows (ER family + the dedup family adjacent
+#     to the new incremental-CC row + the entry flagship).
+# Everything outside the window is last-sample-green (r7/r8), which
 # tests/test_catalog_smoke.test_driver_window_rotation_policy
 # enforces against the CORRECTNESS_r*.json history.
-#
-# Banked for r9 registration (operators implemented + DuckDB-
-# differential-tested this round in tests/test_r9_oracles.py;
-# catalog entries deliberately NOT added because the r8 window is
-# full): operators/similarity.semantic_dedup (SemDeDup, arXiv:
-# 2303.09540 — frozen-quantizer cells + within-cell cosine pairs +
-# CC + min-id keep; the scaled-twin fixture gives the differential
-# real semantic duplicates), operators/graph.
-# incremental_connected_components (label maintenance under edge
-# arrivals — star-edge subgraph over affected components only, never
-# the historical graph; proven equal to full re-closure AND to
-# DuckDB's recursive closure), functions/web.canonicalize_url +
-# host_gate (FineWeb-style URL normalization and host-level gating —
-# pure expressions, dirty-URL fixture derivable by both engines), and
-# functions/text.best_fit_pack (best-fit-decreasing sequence packing,
-# capacity-strict, applyInPandas per pack group; DuckDB replays the
-# same greedy rule with a recursive CTE over positional bin-load
-# lists), and operators/sampling.dsir_select (DSIR importance
-# resampling, Xie et al. NeurIPS 2023 — hashed n-gram target/raw
-# model fits, broadcast log-ratio join, content-hash Gumbel-top-k;
-# DuckDB refits both models and must select the identical k docs).
-# Registration recipe: move the test SQL into @query oracles, pin the
-# five to the front of DRIVER_WINDOW, back-fill with the now-oldest
-# rows (the 30 unrotated r6 rows first).
 DRIVER_WINDOW: list[str] = [
-    # (a) newly registered round-8 operators — first driver rows
-    "events_rolling_window_feats",
-    "dedup_representatives_by_score",
-    "dedup_pagerank",
-    "merge_cdc_apply",
-    "sample_contrastive_negatives",
-    "feature_profile_drift",
-    "feature_quantile_transform",
-    "feature_target_encode",
-    "events_touch_attribution",
-    "similarity_ivf_incremental_add",
-    "text_bpe_segment",
+    # (a) newly registered round-9 operators — first driver rows
+    "similarity_semantic_dedup",
+    "dedup_incremental_cc",
+    "web_canonicalize_url",
+    "web_host_gate",
+    "text_pack_best_fit",
+    "sample_dsir_select",
+    # (b) changed-this-round re-samples
     "stream_dedup_incremental",
-    # (b) re-hardened two-sided contracts (changed -> re-sample)
-    "multimodal_phash_groups",
-    "dedup_simhash_consistency",
-    # (c) staleness back-fill: all 16 rows last sampled r5
-    "anti_join_idle_customers",
-    "asof_latest_order_per_customer",
-    "bucket_customer_balance",
-    "classify_and_prioritize",
-    "conditional_counters",
-    "distinct_customers_per_nation",
-    "extract_context_window",
-    "extract_multi_pattern",
-    "merge_conditional_upsert",
-    "merge_upsert_idempotent",
-    "pivot_nation_revenue_by_year",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "semi_join_active_customers",
-    "unpivot_returnflag_metrics",
-    # (d) r6-green rotation, refactor-adjacent first: streaming core
-    "stream_dedup_union",
-    "stream_enrich_nation_counts",
-    "stream_hourly_tumbling",
-    "stream_interval_join_pairs",
-    "stream_sessionization",
-    # similarity family (rounding-regime change)
-    "similarity_cosine_topk",
-    "similarity_near_dup_embeddings",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_near_dup_clusters",
-    "similarity_near_dup_clusters_banded",
-    "embedding_quantize_roundtrip",
-    # CC-riding rows (operators/graph edited)
-    "text_dedup_representatives",
-    "sample_split_leakfree",
-    "sample_split_ngram_overlap",
-    "curation_funnel_gated",
-    # heavyweight r6 remainder
-    "scoring_customer_health",
-    "scoring_990_model",
-    "scoring_ipeds_model",
-    "corpus_stats_report",
+    "similarity_ivf_incremental_add",
+    # (c) staleness back-fill: all 30 rows last sampled r6
+    "asof_join_purchase_click",
+    "band_join_balance_siblings",
+    "curation_quality_percentile",
+    "curation_source_gate",
+    "dq_orders_expectations",
+    "dq_skew_report",
+    "events_anomaly_zscore",
+    "events_hypertable_rollup",
+    "grouping_sets_counters",
+    "latest_filing_plus_history",
+    "layout_zorder_codes",
+    "range_join_clicks_before_purchase",
+    "range_join_pairs",
+    "sample_hash_fraction",
+    "sample_per_source_cap",
+    "sample_stratified_by_lang",
+    "sample_temperature_mix",
+    "sample_token_budget_mix",
+    "sample_train_holdout_counts",
+    "scd2_user_event_history",
+    "search_hybrid_rrf",
+    "serving_map_extract",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_c4_filters",
+    "text_contamination_check",
+    "text_redact_pii",
+    "text_repetition_battery",
+    "text_substring_dup_stride1",
+    "text_unigram_logprob",
+    # (d) oldest r7 rows: ER family, dedup family, entry flagship
+    "er_multipass_name_match",
+    "er_fuzzy_join_levenshtein",
+    "er_fuzzy_join_lsh",
+    "text_exact_dedup",
+    "dedup_connected_components",
+    "dedup_minhash_near_dups",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_incremental_batch",
+    "dedup_triangle_counts",
+    "union_dedup_segments",
+    "window_yoy_nation_revenue_growth",
+    "hhi_supplier_concentration",
 ]
 
 

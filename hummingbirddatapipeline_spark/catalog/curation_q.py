@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import bench_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
 from hummingbirddatapipeline_spark.tables import load
 
@@ -382,13 +382,138 @@ def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@bench_query("bench_url_host_gate")
-def bench_url_host_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENCH form of the r9-banked URL canonicalization + host gate
-    (correctness: DuckDB differential in tests/test_r9_oracles.py):
-    canonicalize the deterministic dirty-URL fixture and aggregate the
-    host-level gate table — all pure expressions, one scan-level
-    projection + one hash aggregate."""
+# DuckDB replay of functions/web.synth_dirty_urls: the deterministic
+# dirty-URL fixture derived from (doc_id, source) — mixed-case hosts,
+# www. prefixes, default and non-default ports, tracking params,
+# unsorted param order, fragments, trailing slashes. Shared with
+# tests/test_r9_oracles.py (single source of truth for the SQL side).
+DUCK_URL_FIXTURE_CTE = """
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 2 = 0 THEN upper(h) ELSE h END ||
+             CASE WHEN doc_id % 5 = 0 THEN ':443'
+                  WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+             '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                       || '&utm_campaign=x&b=2'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'www.' || source || '.example.com'
+                    ELSE source || '.example.com' END AS h
+        FROM documents)
+"""
+
+# DuckDB replay of functions/web.url_parts + the canonicalization rule
+# set; the tracking-param regex carries the (=|$) anchor so valueless
+# params drop too, matching web._TRACKING_RE exactly.
+DUCK_URL_CANON_CTES = """
+      SELECT doc_id, url,
+             lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               lower(regexp_replace(hostport, ':[0-9]+$', '')),
+               '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_replace(
+               regexp_extract(u1,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS path,
+             COALESCE(array_to_string(
+               list_sort(list_filter(
+                 string_split(regexp_extract(u1, '\\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT regexp_matches(
+                        p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS q
+      FROM (
+        SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u1,
+               regexp_extract(regexp_replace(url, '#.*', ''),
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS hostport
+        FROM fixture)
+"""
+
+
+def duck_canon_sql(select: str) -> str:
+    """Full oracle scaffold: fixture -> parsed parts -> canonical form,
+    finishing with the caller's SELECT over CTE ``canon``
+    (doc_id, url, host, canonical_url)."""
+    return f"""
+    WITH fixture AS ({DUCK_URL_FIXTURE_CTE}),
+    parts AS ({DUCK_URL_CANON_CTES}),
+    canon AS (
+      SELECT doc_id, url, host,
+             scheme || '://' || host ||
+             CASE WHEN port = '' OR
+                       (scheme = 'https' AND port = '443') OR
+                       (scheme = 'http' AND port = '80')
+                  THEN '' ELSE ':' || port END ||
+             path ||
+             CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM parts
+    )
+    {select}
+    """
+
+
+@query(
+    "web_canonicalize_url",
+    oracle=duck_canon_sql(
+        "SELECT doc_id, url, host, canonical_url FROM canon"
+    ),
+)
+def web_canonicalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/CommonCrawl-style URL canonicalization under the full
+    oracle gate: the deterministic dirty-URL fixture (mixed-case
+    hosts, www., default ports, tracking params, unsorted params,
+    fragments, trailing slashes) is normalized to the canonical form
+    by functions/web.canonicalize_url — pure column expressions, one
+    regexp parse + one split/filter/sort pass, no UDF — while DuckDB
+    replays the same rule set from its own regexp toolkit. The
+    web-scale dedup/provenance key: canonicalization must change >50%
+    of the fixture rows (asserted in tests/test_r9_oracles.py)."""
+    from hummingbirddatapipeline_spark.functions.web import (
+        canonical_host,
+        canonicalize_url,
+        synth_dirty_urls,
+    )
+
+    urls = synth_dirty_urls(load(spark, sf_dir, "documents"))
+    return urls.select(
+        "doc_id",
+        "url",
+        canonical_host(F.col("url")).alias("host"),
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+@query(
+    "web_host_gate",
+    oracle=duck_canon_sql("""
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           ROUND(1.0 - COUNT(DISTINCT canonical_url)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+           COUNT(*) >= 10 AND
+           ROUND(1.0 - COUNT(DISTINCT canonical_url)
+                 / CAST(COUNT(*) AS DOUBLE), 6) <= 0.6 AS gated
+    FROM canon GROUP BY host
+    """),
+)
+def web_host_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality gate under the full oracle gate: aggregate
+    the canonicalized fixture per host and flag hosts with >= 10 docs
+    AND canonical-URL duplicate fraction <= 0.6 — the provenance-level
+    curation move where heavily-duplicated or too-thin hosts drop
+    WHOLE, upstream of per-document filters. ONE scan-level projection
+    (host + canonical url) + one hash aggregate; the gate table is
+    tiny and broadcast-joins back onto the corpus for the actual drop.
+    Both gate outcomes occur on the fixture (asserted in
+    tests/test_r9_oracles.py)."""
     from hummingbirddatapipeline_spark.functions.web import (
         host_gate,
         synth_dirty_urls,

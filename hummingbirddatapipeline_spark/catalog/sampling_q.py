@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import bench_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.functions.privacy import (
     PII_PATTERNS,
     pii_flags,
@@ -566,12 +566,77 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_negatives(docs, "doc_id", k=4, seed="r8")
 
 
-@bench_query("bench_dsir_select")
-def bench_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENCH form of the r9-banked DSIR importance resampling
-    (correctness: DuckDB differential in tests/test_r9_oracles.py):
-    target = the English documents, raw = the whole pool; two hashed
-    n-gram model fits, one broadcast log-ratio join, Gumbel-top-k."""
+# DuckDB replay of the hashed unigram+bigram featurizer inside
+# operators/sampling.dsir_select (md5-bucketed grams, B=4096).
+_DSIR_GRAM_CTE = """
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) % 4096 AS bucket
+      FROM (
+        SELECT doc_id, unnest(list_concat(t,
+                 list_transform(list_zip(
+                     t[1:len(t)-1], t[2:len(t)]),
+                   p -> p[1] || ' ' || p[2]))) AS g
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents {where}))
+    """
+
+
+@query(
+    "sample_dsir_select",
+    oracle=f"""
+    WITH tg AS ({_DSIR_GRAM_CTE.format(where="WHERE lang = 'en'")}),
+    rg AS ({_DSIR_GRAM_CTE.format(where="")}),
+    tc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS t_n
+           FROM tg GROUP BY bucket),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS r_n
+           FROM rg GROUP BY bucket),
+    tt AS (SELECT SUM(t_n) AS t_total FROM tc),
+    rt AS (SELECT SUM(r_n) AS r_total FROM rc),
+    ratio AS (
+      SELECT rc.bucket,
+             ln((COALESCE(tc.t_n, 0.0) + 1.0) / (tt.t_total + 1.0 * 4096))
+             - ln((rc.r_n + 1.0) / (rt.r_total + 1.0 * 4096)) AS log_ratio
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt
+    ),
+    w AS (
+      SELECT g.doc_id, ROUND(SUM(r.log_ratio), 6) AS dsir_logweight
+      FROM rg g JOIN ratio r USING (bucket)
+      GROUP BY g.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, dsir_logweight,
+             ROUND(dsir_logweight
+               - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':r9'), 1, 13) AS BIGINT) + 0.5) / 4503599627370496.0))
+               , 6) AS gumbel_key
+      FROM w
+    )
+    SELECT doc_id, dsir_logweight, gumbel_key,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rk
+      FROM keyed) WHERE rk <= 50
+    """,
+)
+def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023) under the
+    FULL oracle gate: target = the English documents, raw = the whole
+    pool; hashed unigram+bigram models fit over both (md5 buckets,
+    B=4096, add-1 smoothing), every raw doc weighted by its importance
+    log-ratio, and the k=50 sample drawn with content-hash
+    Gumbel-top-k — deterministic, rerun/repartition-stable, never an
+    RNG. DuckDB refits both models and rebuilds every log-ratio,
+    per-doc weight, and Gumbel key from the same md5 arithmetic, so it
+    must select the IDENTICAL 50 documents. Selection is genuinely
+    weight-driven: the picked set skews toward the target language
+    (asserted in tests/test_r9_oracles.py).
+
+    Scale shape: two explode+count aggregates, one broadcast join of
+    the <= B log-ratio table onto the raw gram stream, one rank
+    window — nothing joins corpus-to-corpus."""
     from hummingbirddatapipeline_spark.operators.sampling import dsir_select
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")

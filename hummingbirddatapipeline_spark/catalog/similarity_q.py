@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import bench_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -489,16 +489,25 @@ def similarity_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_frozen_cent_sql() -> str:
+def _cent_cte_body() -> str:
+    """DuckDB CTE body materializing the frozen IVF centroid constants
+    as (cid, cv) rows — shared by every oracle that rebuilds the
+    quantizer assignment from the same literals."""
     from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
 
     cent_lists = ", ".join(
         "[" + ", ".join(repr(x) for x in c) + "]" for c in IVF_CENTROIDS_64D
     )
+    return (
+        f"SELECT UNNEST(range({len(IVF_CENTROIDS_64D)})) AS cid, "
+        f"UNNEST([{cent_lists}]) AS cv"
+    )
+
+
+def _ivf_frozen_cent_sql() -> str:
     return f"""
     WITH cents AS (
-      SELECT UNNEST(range({len(IVF_CENTROIDS_64D)})) AS cid,
-             UNNEST([{cent_lists}]) AS cv
+      {_cent_cte_body()}
     ),
     scored AS (
       SELECT e.vec_id, c.cid,
@@ -546,13 +555,95 @@ def similarity_ivf_incremental_add(
     )
 
 
-@bench_query("bench_semantic_dedup")
-def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENCH form of the r9-banked SemDeDup operator (correctness:
-    DuckDB differential in tests/test_r9_oracles.py): scaled-copy
-    twins give the near-orthogonal synthetic embeddings real semantic
-    duplicates, then frozen-quantizer cells + within-cell cosine pairs
-    + CC closure produce the keep/drop labeling."""
+# Scaled-copy twin offset for the SemDeDup fixture: even vec_ids get a
+# 0.5x-scaled duplicate at vec_id + offset (cosine exactly 1.0 and the
+# same quantizer cell by scale invariance), giving the near-orthogonal
+# synthetic embeddings (max non-twin pairwise cosine 0.479) real
+# semantic duplicates both engines can derive.
+_SEM_TWIN_OFFSET = 10_000
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    allv AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_SEM_TWIN_OFFSET},
+             v.list_transform(x -> x * 0.5)
+      FROM base WHERE vec_id % 2 = 0
+    ),
+    cents AS ({_cent_cte_body()}),
+    scored AS (
+      SELECT a.vec_id, c.cid,
+             ROUND(
+               list_sum(list_zip(a.v, c.cv).list_transform(p -> p[1] * p[2]))
+               / (sqrt(list_sum(a.v.list_transform(x -> x * x)))
+                  * sqrt(list_sum(c.cv.list_transform(x -> x * x)))), 6)
+               AS sim
+      FROM allv a CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER
+                 (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        FROM scored) WHERE rk = 1
+    ),
+    near AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM allv a
+      JOIN assigned aa ON aa.vec_id = a.vec_id
+      JOIN assigned ab ON TRUE
+      JOIN allv b ON b.vec_id = ab.vec_id
+      WHERE aa.centroid_id = ab.centroid_id AND a.vec_id < b.vec_id
+        AND ROUND(
+              list_sum(list_zip(a.v, b.v).list_transform(p -> p[1] * p[2]))
+              / (sqrt(list_sum(a.v.list_transform(x -> x * x)))
+                 * sqrt(list_sum(b.v.list_transform(x -> x * x)))), 6)
+            >= 0.999
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT a.vec_id, a.centroid_id,
+           COALESCE(cc.cluster_id, a.vec_id) AS sem_cluster,
+           COALESCE(cc.cluster_id, a.vec_id) = a.vec_id AS kept
+    FROM assigned a LEFT JOIN cc ON cc.node = a.vec_id
+    """
+
+
+@query("similarity_semantic_dedup", oracle=_semantic_dedup_sql())
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) under the FULL oracle gate: embeddings (plus
+    scaled-copy twins — the deterministic fixture both engines derive,
+    see _SEM_TWIN_OFFSET) are bucketed by the FROZEN IVF quantizer,
+    near-duplicate pairs are enumerated ONLY within a cell (6dp cosine
+    >= 0.999), the pair graph closes into clusters via pointer-jumping
+    CC, and each cluster keeps its minimum-id member. DuckDB rebuilds
+    the assignment, every within-cell cosine, and the transitive
+    closure from the same centroid constants, so the keep/drop
+    labeling itself is hashed. Every even vec_id must lose exactly its
+    twin (asserted in tests/test_r9_oracles.py).
+
+    Scale shape: the published algorithm's own cost model —
+    within-cell quadratic via per-cell blocked-GEMM tiles, never
+    corpus-quadratic; ``max_cell`` raises loudly on a degenerate
+    mega-cell instead of letting one cell turn the job quadratic."""
     from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
     from hummingbirddatapipeline_spark.operators.similarity import (
         semantic_dedup,
@@ -565,9 +656,12 @@ def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     twins = emb.filter(F.col("vec_id") % 2 == 0).select(
-        (F.col("vec_id") + 10_000).alias("vec_id"),
+        (F.col("vec_id") + _SEM_TWIN_OFFSET).alias("vec_id"),
         F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
     )
     return semantic_dedup(
-        emb.unionByName(twins), IVF_CENTROIDS_64D, threshold=0.999
+        emb.unionByName(twins),
+        IVF_CENTROIDS_64D,
+        threshold=0.999,
+        max_cell=100_000,
     )

@@ -913,12 +913,84 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@bench_query("bench_best_fit_pack")
-def bench_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENCH form of the r9-banked best-fit-decreasing packer
-    (correctness: DuckDB recursive-CTE replay in
-    tests/test_r9_oracles.py): capacity-strict BFD over per-source
-    document token counts — one applyInPandas pass per pack group."""
+_BFD_BUDGET = 128
+
+
+@query(
+    "text_pack_best_fit",
+    oracle=f"""
+    WITH RECURSIVE ch AS (
+      SELECT source AS grp, doc_id, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, doc_id) AS rnk
+      FROM (
+        SELECT source, doc_id,
+               CAST(len(list_filter(
+                 string_split_regex(trim(text), '\\s+'),
+                 t -> t <> '')) AS BIGINT) AS n
+        FROM documents)
+    ),
+    steps(grp, r, loads, bins) AS (
+      SELECT grp, 0, CAST([] AS BIGINT[]), CAST([] AS INT[])
+      FROM (SELECT DISTINCT grp FROM ch)
+      UNION ALL
+      SELECT grp, r + 1,
+             CASE WHEN best IS NULL THEN list_append(loads, n)
+                  ELSE list_transform(
+                         list_zip(loads, range(1, len(loads) + 1)),
+                         p -> CASE WHEN p[2] = best THEN p[1] + n
+                              ELSE p[1] END)
+             END,
+             list_append(
+               bins,
+               CAST(COALESCE(best, len(loads) + 1) - 1 AS INT))
+      FROM (
+        SELECT s.grp, s.r, s.loads, s.bins, c.n,
+               list_aggregate(
+                 list_transform(
+                   list_filter(
+                     list_zip(s.loads, range(1, len(s.loads) + 1)),
+                     p -> p[1] + c.n <= {_BFD_BUDGET}),
+                   p -> CASE WHEN p[1] = list_aggregate(
+                          list_transform(
+                            list_filter(
+                              list_zip(s.loads,
+                                       range(1, len(s.loads) + 1)),
+                              p2 -> p2[1] + c.n <= {_BFD_BUDGET}),
+                            p2 -> p2[1]), 'max')
+                        THEN p[2] END), 'min') AS best
+        FROM steps s JOIN ch c ON c.grp = s.grp AND c.rnk = s.r + 1
+      )
+    ),
+    final AS (
+      SELECT grp, bins FROM steps s
+      WHERE r = (SELECT MAX(rnk) FROM ch WHERE ch.grp = s.grp)
+    ),
+    a2 AS (
+      SELECT grp, CAST(u[2] AS BIGINT) AS rnk,
+             CAST(u[1] AS BIGINT) AS bin_id
+      FROM (SELECT grp, UNNEST(list_zip(bins, range(1, len(bins) + 1)))
+                     AS u
+            FROM final)
+    )
+    SELECT c.grp AS source, c.doc_id, c.n AS n_tokens, a2.bin_id
+    FROM ch c JOIN a2 ON a2.grp = c.grp AND a2.rnk = c.rnk
+    """,
+)
+def text_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing under the FULL oracle
+    gate: per-source document token counts pack into capacity-strict
+    128-token bins by the classic BFD rule (tokens DESC, doc_id ASC;
+    fullest bin that still fits, ties to lowest bin id) — the
+    training-batch construction move that start-offset binning
+    (text_pack_chunks) trades away capacity-strictness for. Greedy
+    best-fit is inherently sequential state, so this is the documented
+    Arrow-batched escape hatch: ONE applyInPandas pass per pack group
+    (the unit of parallelism), O(n log n) per group via sorted-loads
+    bisect. DuckDB independently REPLAYS the same deterministic rule
+    with a recursive CTE over positional bin-load lists, so every
+    chunk's bin assignment is hashed. No bin exceeds the budget on
+    this fixture (asserted in tests/test_r9_oracles.py)."""
     from hummingbirddatapipeline_spark.functions.text import (
         best_fit_pack,
         ws_token_count,
@@ -929,4 +1001,6 @@ def bench_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
-    return best_fit_pack(docs, "source", "doc_id", budget=128)
+    return best_fit_pack(
+        docs, "source", "doc_id", token_col="n_tokens", budget=_BFD_BUDGET
+    )
