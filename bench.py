@@ -175,23 +175,53 @@ def main() -> None:
 
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total_warm",
-                "value": total_warm,
-                "unit": "sec",
-                "n_queries": len(names),  # suite widened r2: 24 -> 35
-                "value_cold": total_cold,
-                # one-time materializations shared across queries; per-
-                # query numbers below are MARGINAL costs on top of these
-                "shared_setup": shared_setup,
-                "queries": warm,
-                "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_suite_total_warm",
+        "value": total_warm,
+        "unit": "sec",
+        "n_queries": len(names),  # suite widened r2: 24 -> 35
+        "value_cold": total_cold,
+        # one-time materializations shared across queries; per-
+        # query numbers below are MARGINAL costs on top of these
+        "shared_setup": shared_setup,
+        "queries": warm,
+        "queries_cold": cold,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    _write_local_artifact(payload)
+
+
+def _write_local_artifact(payload: dict) -> None:
+    """Durable full-suite record: the driver's BENCH_r{N}.json keeps
+    only a 2000-char stdout tail, which silently drops the HEAD of the
+    per-query map once the suite outgrows it (r8 lost ~17 early rows).
+    Write the complete payload to BENCH_LOCAL_r{N}.json (N = current
+    round, inferred as max driver round + 1) so round-over-round
+    comparison never depends on the truncated tail.
+    tools/bench_compare.py prefers these files when given a driver
+    artifact. Set SPARK_GRAFT_BENCH_LOCAL to override the path, or to
+    "0" to skip (e.g. throwaway A/B runs)."""
+    import glob
+    import re
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
+    if override == "0":
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if override:
+        path = override
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = (max(rounds) if rounds else 0) + 1
+        path = os.path.join(repo, f"BENCH_LOCAL_r{n:02d}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -97,3 +97,95 @@ def ngram_contamination(
         F.count("__hit").alias("n_hit_grams"),
         (F.count("__hit") >= min_hits).alias("contaminated"),
     )
+
+
+def decontaminate_clusters(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    pairs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """CLUSTER-AWARE benchmark decontamination: per-document n-gram
+    collision (:func:`ngram_contamination`) hardened with the same
+    move that makes splits leak-free (operators/sampling.
+    split_leakfree) — near-dup clusters are dropped WHOLE. A training
+    doc is excluded when its cluster (a) contains any benchmark
+    member, or (b) contains any train member with >= ``min_hits``
+    benchmark n-gram hits. This closes the near-dup leak the per-doc
+    check misses: a paraphrased twin of a contaminated doc can carry
+    zero colliding n-grams itself yet still leak the benchmark's
+    content into training.
+
+    ``benchmark`` rows whose id also appears in ``docs`` define the
+    benchmark membership; training docs are ``docs`` minus those ids.
+    ``pairs`` is the near-dup edge list over ALL of ``docs`` (benchmark
+    members included — their cluster membership is exactly what rule
+    (a) needs).
+
+    Returns one row per TRAIN doc: (id, cluster_id, n_grams,
+    n_hit_grams, doc_contaminated, cluster_contaminated, kept) with
+    ``kept`` = NOT cluster_contaminated.
+
+    Scale shape: the per-doc check is the broadcast gram join (corpus
+    never shuffles); the cluster closure is the shared CC labeling;
+    the escalation is one hash aggregate over (cluster_id) plus one
+    skinny join back — nothing new shuffles at corpus width.
+    """
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    bench_ids = benchmark.select(F.col(id_col)).distinct()
+    train = docs.join(bench_ids, id_col, "left_anti")
+    cont = ngram_contamination(
+        train,
+        benchmark,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        min_hits=min_hits,
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias(id_col), "cluster_id"
+    )
+    labeled = docs.select(id_col).join(labels, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+    is_bench = labeled.join(
+        bench_ids.withColumn("__b", F.lit(1)), id_col, "left"
+    )
+    cluster_flag = (
+        is_bench.join(
+            cont.select(id_col, "contaminated"), id_col, "left"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            (
+                (F.max(F.coalesce(F.col("__b"), F.lit(0))) == 1)
+                | (
+                    F.max(
+                        F.coalesce(F.col("contaminated").cast("int"), F.lit(0))
+                    )
+                    == 1
+                )
+            ).alias("cluster_contaminated")
+        )
+    )
+    return (
+        labeled.join(cont, id_col)
+        .join(cluster_flag, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "n_grams",
+            "n_hit_grams",
+            F.col("contaminated").alias("doc_contaminated"),
+            "cluster_contaminated",
+            (~F.col("cluster_contaminated")).alias("kept"),
+        )
+    )

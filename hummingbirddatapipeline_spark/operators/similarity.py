@@ -661,3 +661,107 @@ def semantic_dedup(
             ).alias("kept"),
         )
     )
+
+
+def kmeans_refine(
+    items: DataFrame,
+    init_centroids: list[list[float]],
+    n_iter: int = 3,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    dist_dp: int = 6,
+    mean_dp: int = 8,
+) -> tuple[DataFrame, list[list[float]]]:
+    """In-engine k-means quantizer training: exactly ``n_iter``
+    synchronous Lloyd iterations (assign to nearest centroid by
+    squared L2, recompute each centroid as the mean of its members)
+    seeded from ``init_centroids`` — the retraining job that produces
+    the frozen quantizer :func:`ivf_incremental_add` /
+    :func:`semantic_dedup` consume, completing the
+    train -> index -> add -> dedup story inside the engine.
+
+    Determinism is the pagerank quantize regime applied to vector
+    state: per-item distances round to ``dist_dp`` before the argmin
+    (ties -> lowest centroid id via the (dist, cid) struct min), and
+    every mean coordinate rounds to ``mean_dp`` before becoming the
+    next iteration's plan literal — per-cluster mean summation order
+    differs between engines and across partitionings, and without the
+    per-iteration quantize those ulps would compound through the
+    recurrence. With it the whole trajectory is bit-reproducible in
+    ANSI SQL (the oracle unrolls the same iterations as chained CTEs,
+    re-deriving every centroid from the same 8dp constants). Fixture
+    magnitudes keep accumulated FP noise ~5 orders below the rounding
+    windows; the residual tie-window caveat documented on
+    dedup_pagerank applies here identically. An empty cluster keeps
+    its previous centroid (the deterministic convention).
+
+    Scale shape: per iteration ONE map-side assignment pass (centroids
+    ride the plan as literals — no join, no shuffle, identical to the
+    frozen-quantizer add) plus ONE hash aggregate producing k rows of
+    dim partial means; the k x dim result returning to the driver is
+    bounded model state, not data (the same loop structure
+    spark.ml.clustering.KMeans runs). Input is localCheckpointed once
+    so the n_iter+1 passes re-scan materialized rows, not lineage.
+
+    Returns (assignments, final_centroids): assignments is
+    (item_id, cluster_id, dist) against the FINAL centroids;
+    final_centroids is the trained k x dim list (``mean_dp``-rounded),
+    ready to freeze as the next artifacts.IVF_CENTROIDS generation.
+    """
+    if not init_centroids:
+        raise ValueError("kmeans_refine: init_centroids is empty")
+    dim = len(init_centroids[0])
+    if any(len(c) != dim for c in init_centroids):
+        raise ValueError("kmeans_refine: ragged init_centroids")
+
+    base = items.select(item_id, item_vec).localCheckpoint()
+
+    def sqdist(c: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col(item_vec),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(sqdist(c), dist_dp).alias("d"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )
+        return base.select(
+            item_id,
+            item_vec,
+            best["cid"].alias("cluster_id"),
+            best["d"].alias("dist"),
+        )
+
+    cents = [list(map(float, c)) for c in init_centroids]
+    for _ in range(n_iter):
+        # k rows x dim cols of rounded means: bounded MODEL state (the
+        # documented driver-collect class — same as BPE's per-merge row)
+        rows = (
+            assign(cents)
+            .groupBy("cluster_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.col(item_vec)[i]), mean_dp).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        means = {r["cluster_id"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
+        cents = [means.get(i, c) for i, c in enumerate(cents)]
+
+    return assign(cents).select(item_id, "cluster_id", "dist"), cents

@@ -20,9 +20,19 @@ def load(path: str) -> dict[str, float]:
     """Accepts either bench.py's raw one-line JSON ({"queries": ...})
     or the driver's BENCH_r{N}.json wrapper, whose "tail" field embeds
     a (possibly truncated) copy of that stdout — per-query pairs are
-    regex-scavenged from it in that case."""
+    regex-scavenged from it in that case. Given a driver artifact,
+    a sibling BENCH_LOCAL_r{N}.json (the full-suite record bench.py
+    writes since r9) is preferred over the truncated tail."""
+    import os
     import re
 
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        local = os.path.join(
+            os.path.dirname(path) or ".", f"BENCH_LOCAL_r{int(m.group(1)):02d}.json"
+        )
+        if os.path.exists(local):
+            path = local
     text = open(path).read()
     try:
         doc = json.loads(text)
