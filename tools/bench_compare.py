@@ -16,13 +16,20 @@ import json
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str, cold: bool = False) -> dict[str, float]:
     """Accepts either bench.py's raw one-line JSON ({"queries": ...})
     or the driver's BENCH_r{N}.json wrapper, whose "tail" field embeds
     a (possibly truncated) copy of that stdout — per-query pairs are
     regex-scavenged from it in that case. Given a driver artifact,
     a sibling BENCH_LOCAL_r{N}.json (the full-suite record bench.py
-    writes since r9) is preferred over the truncated tail."""
+    writes since r9) is preferred over the truncated tail.
+
+    CAVEAT on driver tails: the 2000-char tail is the END of the JSON
+    line, which lands mostly inside "queries_cold" — scavenged driver
+    numbers are predominantly COLD timings (and last-occurrence wins
+    for keys present in both maps). Compare a tail against a full
+    payload with cold=True (--cold) or the diff reads as a phantom
+    across-the-board improvement."""
     import os
     import re
 
@@ -39,7 +46,8 @@ def load(path: str) -> dict[str, float]:
     except json.JSONDecodeError:
         doc = None
     if isinstance(doc, dict) and "queries" in doc:
-        return doc["queries"]
+        key = "queries_cold" if cold and "queries_cold" in doc else "queries"
+        return doc[key]
     tail = doc.get("tail", text) if isinstance(doc, dict) else text
     pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
     out = {k: float(v) for k, v in pairs if k not in ("value", "sf", "n", "rc", "cpus")}
@@ -49,11 +57,13 @@ def load(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if a != "--cold"]
+    cold = "--cold" in sys.argv[1:]
+    if len(args) < 2:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old, new = load(args[0], cold), load(args[1], cold)
+    ratio = float(args[2]) if len(args) > 2 else 1.5
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     rows = []
