@@ -291,3 +291,30 @@ def test_semantic_dedup_tiles_are_cell_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_refine_assignment_is_map_side_only(spark, sf_dir):
+    """Lloyd assignment must be ONE map-side pass per iteration: the
+    current centroids ride the plan as literals (exactly like the
+    frozen-quantizer add), so the assignment DataFrame contains NO
+    exchange and NO join — the property that keeps each training
+    round at one scan + one hash aggregate at any corpus size. The
+    returned final-assignment plan is that same shape."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    assigned, _ = kmeans_refine(emb, IVF_CENTROIDS_64D, n_iter=1)
+    plan = _physical(assigned)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
