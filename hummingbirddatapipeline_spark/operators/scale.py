@@ -453,3 +453,69 @@ def target_encode(
             6,
         ).alias("encoding"),
     )
+
+
+def shard_of(key: Column, n_shards: int, seed: str = "shard0") -> Column:
+    """Deterministic training-shard assignment: the 52-bit md5 integer
+    of ``key:seed`` (the repo's content-hash uniform — never an RNG)
+    mod ``n_shards``. Rerun-, repartition-, and resize-stable: a doc's
+    shard is recomputable from its key alone, on any engine."""
+    hex13 = F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":" + seed))), 1, 13
+    )
+    return F.pmod(F.conv(hex13, 16, 10).cast("long"), F.lit(n_shards))
+
+
+def shard_manifest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    n_shards: int = 16,
+    seed: str = "shard0",
+) -> DataFrame:
+    """Training-shard layout + audit manifest — the step that turns a
+    curated corpus into the N files a trainer actually reads. Each doc
+    lands in :func:`shard_of` its id; the manifest reports one row per
+    shard: (shard_id, n_docs, n_tokens, fingerprint) where
+    ``fingerprint`` is the BIT_XOR of every member's 52-bit content
+    hash — ORDER-INSENSITIVE and overflow-free, so the same shard
+    contents produce the same fingerprint on any engine, any
+    partitioning, any row order (the property that lets a 1000-node
+    writer and a single-node auditor agree without sorting anything).
+    Empty shards are absent (0 of N appearing is itself auditable
+    against COUNT(DISTINCT shard_id) = N expectations downstream).
+
+    Scale shape: ONE map-side projection (shard + hash are pure
+    expressions at the scan) + ONE hash aggregate on shard_id; the
+    manifest is n_shards rows of bounded audit state. The physical
+    write would `partitionBy(shard_id)` the same projection.
+    """
+    hash52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.lit(None).cast("long")
+    )
+    return (
+        docs.select(
+            shard_of(F.col(id_col), n_shards, seed).alias("shard_id"),
+            hash52.alias("__h"),
+            toks.alias("__t"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+            F.expr("bit_xor(__h)").alias("fingerprint"),
+        )
+    )
