@@ -765,3 +765,115 @@ def kmeans_refine(
         cents = [means.get(i, c) for i, c in enumerate(cents)]
 
     return assign(cents).select(item_id, "cluster_id", "dist"), cents
+
+
+def pca_power_top1(
+    items: DataFrame,
+    dim: int,
+    n_iter: int = 5,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Top principal component by fixed-iteration power method, fully
+    in-engine — the dimension-reduction half of embedding prep
+    (normalize -> quantize -> PROJECT -> index): center the corpus,
+    build the d x d covariance with one explode + hash aggregate, run
+    exactly ``n_iter`` synchronous power iterations over the skinny
+    (i, val) eigenvector state, and project every centered vector onto
+    the resulting component.
+
+    Determinism is the pagerank quantize regime end to end: per-dim
+    means round 8dp; covariance entries are ROUND(SUM(ROUND(xi*xj,
+    12))/n, 8); each matvec coordinate is ROUND(SUM(ROUND(cv*val,
+    12)), 12); the norm rounds 12dp; the normalized vector rounds 9dp;
+    projections round 6dp — so the whole trajectory (eigenvector sign
+    included: the all-positive start makes it deterministic) is
+    bit-reproducible in ANSI SQL as chained CTEs from the same corpus.
+    The dedup_pagerank tie-window caveat applies identically.
+
+    Scale shape: TWO corpus passes (mean aggregate; covariance
+    explode whose d^2-per-row blowup is absorbed by the same-stage
+    partial hash aggregate into d^2 keys) + ONE projection pass with
+    the final component as plan literals; the n_iter matvec rounds run
+    over d-row state (bounded model state, like kmeans' k x dim), and
+    only the d-element component is ever collected. Nothing joins
+    corpus-to-corpus.
+
+    Returns (projections, component): projections is (item_id,
+    pc1_score) — the centered dot product, 6dp; component is the
+    d-element unit eigenvector estimate.
+    """
+    if n_iter < 1:
+        raise ValueError("pca_power_top1: n_iter must be >= 1")
+    spark = items.sparkSession
+    base = items.select(item_id, item_vec).localCheckpoint()
+    n = base.count()
+    if n == 0:
+        raise ValueError("pca_power_top1: empty input")
+
+    means_row = base.agg(
+        *[
+            F.round(F.avg(F.col(item_vec)[i]), 8).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    mean_lit = F.array(*[F.lit(float(means_row[f"m{i}"])) for i in range(dim)])
+    centered = base.select(
+        item_id,
+        F.zip_with(F.col(item_vec), mean_lit, lambda x, y: x - y).alias("c"),
+    ).localCheckpoint()
+
+    cov = (
+        centered.select(F.posexplode("c").alias("i", "xi"), F.col("c"))
+        .select("i", "xi", F.posexplode("c").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("xi") * F.col("xj"), 12)) / F.lit(float(n)),
+                8,
+            ).alias("cv")
+        )
+        .localCheckpoint()
+    )
+
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 9).alias("val"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        w = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("cv") * F.col("val"), 12)), 12
+                ).alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 12).alias("nrm")
+        )
+        v = (
+            w.crossJoin(nrm)  # single-row scalar broadcast
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("w") / F.col("nrm"), 9).alias("val"),
+            )
+            .localCheckpoint()
+        )
+
+    # d-element MODEL state to the driver (documented bounded collect)
+    comp = [r["val"] for r in v.orderBy("j").collect()]
+    comp_lit = F.array(*[F.lit(float(x)) for x in comp])
+    proj = centered.select(
+        item_id,
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("c"), comp_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("pc1_score"),
+    )
+    return proj, comp

@@ -388,3 +388,120 @@ def test_shard_manifest_matches_duckdb(spark):
         ).collect()
     ]
     assert _norm(re_rows) == _norm(rows)
+
+
+_PCA_ITERS = 3
+
+
+def _pca_sql(n_iter: int) -> str:
+    """Unrolled power iterations as chained CTEs over the SAME
+    covariance the operator builds: per-dim 8dp means, ROUND(SUM(
+    ROUND(xi*xj,12))/n,8) covariance, 12dp matvec + norm, 9dp
+    normalized vector, 6dp centered projection."""
+    return f"""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM allv),
+    mx AS (
+      SELECT list(m ORDER BY dim) AS m FROM (
+        SELECT CAST(u[2] AS INT) AS dim, ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS m
+        FROM (SELECT UNNEST(list_zip(v, range(1, len(v) + 1))) AS u FROM allv)
+        GROUP BY 1)
+    ),
+    centered AS (
+      SELECT a.vec_id,
+             list_zip(a.v, mx.m).list_transform(p -> p[1] - p[2]) AS c
+      FROM allv a CROSS JOIN mx
+    ),
+    ci AS (
+      SELECT vec_id, CAST(u[2] AS INT) - 1 AS i,
+             CAST(u[1] AS DOUBLE) AS xi, c
+      FROM (SELECT vec_id, c, UNNEST(list_zip(c, range(1, len(c) + 1))) AS u
+            FROM centered)
+    ),
+    cij AS (
+      SELECT i, CAST(u2[2] AS INT) - 1 AS j, xi, CAST(u2[1] AS DOUBLE) AS xj
+      FROM (SELECT i, xi, UNNEST(list_zip(c, range(1, len(c) + 1))) AS u2
+            FROM ci)
+    ),
+    cov AS (
+      SELECT i, j,
+             ROUND(SUM(ROUND(xi * xj, 12)) / (SELECT n FROM cnt), 8) AS cv
+      FROM cij GROUP BY i, j
+    ),
+    v0 AS (
+      SELECT CAST(j AS INT) AS j, ROUND(1.0 / sqrt(64.0), 9) AS val
+      FROM range(64) t(j)
+    )""" + "".join(
+        f""",
+    w{k} AS (
+      SELECT cov.i, ROUND(SUM(ROUND(cov.cv * v.val, 12)), 12) AS w
+      FROM cov JOIN v{k} v ON v.j = cov.j GROUP BY cov.i
+    ),
+    n{k} AS (SELECT ROUND(sqrt(SUM(w * w)), 12) AS nrm FROM w{k}),
+    v{k + 1} AS (
+      SELECT i AS j, ROUND(w / (SELECT nrm FROM n{k}), 9) AS val FROM w{k}
+    )"""
+        for k in range(n_iter)
+    ) + f""",
+    comp AS (SELECT list(val ORDER BY j) AS cv FROM v{n_iter})
+    SELECT c.vec_id,
+           ROUND(list_sum(list_zip(c.c, comp.cv)
+                   .list_transform(p -> p[1] * p[2])), 6) AS pc1_score
+    FROM centered c CROSS JOIN comp
+    """
+
+
+def test_pca_power_top1_matches_duckdb(spark):
+    """Covariance + unrolled power iterations + projection: DuckDB
+    re-derives the whole trajectory from the raw embeddings and both
+    engines must agree on every (vec_id, pc1_score) row AND on the
+    component being unit-norm."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        pca_power_top1,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    proj, comp = pca_power_top1(emb, dim=64, n_iter=_PCA_ITERS)
+    rows = [tuple(r) for r in proj.collect()]
+
+    con = _duck()
+    exp = con.sql(_pca_sql(_PCA_ITERS)).fetchall()
+    con.close()
+    assert len(rows) == len(exp) > 0
+    assert _norm(rows) == _norm(exp)
+
+    # component is unit-norm (quantization dust aside) and the
+    # projection is genuinely discriminative on this fixture
+    assert abs(sum(x * x for x in comp) - 1.0) < 1e-6
+    scores = [r[1] for r in rows]
+    assert max(scores) > 0 > min(scores)
+
+
+def test_pca_power_top1_guards(spark):
+    import pytest
+
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        pca_power_top1,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="n_iter"):
+        pca_power_top1(emb, dim=64, n_iter=0)
+    with pytest.raises(ValueError, match="empty"):
+        pca_power_top1(emb.filter(F.lit(False)), dim=64, n_iter=1)
