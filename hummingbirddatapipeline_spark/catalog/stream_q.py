@@ -268,10 +268,12 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     depend only on (doc, store); replay idempotence is pinned in
     tests/test_streaming.py.
 
-    The roster is collected eagerly and re-wrapped as a local
-    DataFrame so the three temp dirs (source, sink, checkpoint) can be
-    removed before returning — every driver/bench invocation used to
-    leak its written corpus subset to /tmp (r8 ADVICE)."""
+    The roster is eagerly localCheckpointed (materialized on the
+    EXECUTORS with lineage cut — never a driver collect, so the shape
+    stays legal at any corpus size) so the three temp dirs (source,
+    sink, checkpoint) can be removed before returning — every
+    driver/bench invocation used to leak its written corpus subset to
+    /tmp (r8 ADVICE)."""
     import shutil
     import tempfile
 
@@ -320,8 +322,8 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce("accepted", F.lit(False)).alias("accepted")
         )
-        .collect()
+        .localCheckpoint()  # eager: blocks live on executors, not /tmp
     )
     for d in (src, target, ckpt):
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(roster, "doc_id long, accepted boolean")
+    return roster
