@@ -1,0 +1,194 @@
+"""Structural property tests for the round-9 registered operators and
+the round-10 bank — invariants the DuckDB value-hash differential does
+not state explicitly (idempotence, bounds, density, representative
+uniqueness), pinned so a future refactor that preserves the hash but
+breaks the contract still fails CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_canonicalize_url_idempotent(spark, sf_dir):
+    """Canonicalization is a normal form: applying it to its own
+    output must be the identity on the whole fixture."""
+    from hummingbirddatapipeline_spark.functions.web import (
+        canonicalize_url,
+        synth_dirty_urls,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    urls = synth_dirty_urls(load(spark, sf_dir, "documents"))
+    once = urls.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("c1")
+    )
+    twice = once.select(
+        "doc_id", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_host_gate_bounds(spark, sf_dir):
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    rows = QUERIES["web_host_gate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_canonical"] <= r["n_docs"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_best_fit_bins_dense_per_group(spark, sf_dir):
+    """Bin ids are 0-based and DENSE within each pack group — a gap
+    would mean a phantom empty bin in the trainer's shard list."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    per_group = (
+        QUERIES["text_pack_best_fit"](spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+            F.countDistinct("bin_id").alias("n"),
+        )
+        .collect()
+    )
+    assert per_group
+    for r in per_group:
+        assert r["lo"] == 0
+        assert r["n"] == r["hi"] + 1
+
+
+def test_dsir_ranks_are_exactly_1_to_k(spark, sf_dir):
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+    from hummingbirddatapipeline_spark.tables import load
+
+    rows = QUERIES["sample_dsir_select"](spark, sf_dir).collect()
+    assert sorted(r["sample_rank"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    pool = {
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in rows} <= pool
+
+
+def test_semantic_dedup_one_representative_per_cluster(spark, sf_dir):
+    """Every semantic cluster keeps EXACTLY one member, and it is the
+    minimum id — the dedup guarantee itself."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    rows = QUERIES["similarity_semantic_dedup"](spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["sem_cluster"], []).append(r)
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1
+        assert kept[0]["vec_id"] == min(m["vec_id"] for m in members) == cid
+
+
+def test_incremental_cc_covers_node_universe(spark, sf_dir):
+    """The maintained labeling must cover every previously-labeled
+    node AND every endpoint of the new edge batch."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    got = {
+        r["node"]
+        for r in QUERIES["dedup_incremental_cc"](spark, sf_dir).collect()
+    }
+    old = {
+        r["node"]
+        for r in connected_components(
+            shared_jaccard_pairs(spark, sf_dir)
+        ).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    new_nodes = set()
+    for r in docs.filter(F.col("doc_id") % 97 == 0).collect():
+        new_nodes |= {r["doc_id"], r["doc_id"] + 3}
+    for r in docs.filter(F.col("doc_id") % 151 == 0).collect():
+        new_nodes |= {r["doc_id"], r["doc_id"] + 90_000_000}
+    assert old <= got
+    assert new_nodes <= got
+
+
+def test_kmeans_assignment_in_range(spark, sf_dir):
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    assigned, cents = kmeans_refine(emb, IVF_CENTROIDS_64D, n_iter=2)
+    k = len(IVF_CENTROIDS_64D)
+    assert len(cents) == k and all(
+        len(c) == len(IVF_CENTROIDS_64D[0]) for c in cents
+    )
+    bad = assigned.filter(
+        (F.col("cluster_id") < 0)
+        | (F.col("cluster_id") >= k)
+        | (F.col("dist") < 0)
+    ).count()
+    assert bad == 0
+
+
+def test_shard_manifest_partitions_the_corpus(spark, sf_dir):
+    """Shards partition the corpus exactly: doc counts sum to the
+    corpus size, every shard id is in [0, n_shards), and token totals
+    sum to the corpus total."""
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+    from hummingbirddatapipeline_spark.operators.scale import shard_manifest
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    n_docs, n_tokens = docs.agg(
+        F.count("*"), F.sum("n_tokens")
+    ).first()
+    rows = shard_manifest(
+        docs, "doc_id", token_col="n_tokens", n_shards=16, seed="r10"
+    ).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_tokens"] for r in rows) == n_tokens
+    assert all(0 <= r["shard_id"] < 16 for r in rows)
+
+
+def test_decontaminate_keeps_only_clean_clusters(spark, sf_dir):
+    """kept <=> NOT cluster_contaminated, and a cluster's flag is
+    uniform across its members."""
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        decontaminate_clusters,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rows = decontaminate_clusters(
+        docs, bench, shared_jaccard_pairs(spark, sf_dir), n=5
+    ).collect()
+    flags: dict[int, bool] = {}
+    for r in rows:
+        assert r["kept"] == (not r["cluster_contaminated"])
+        prev = flags.setdefault(r["cluster_id"], r["cluster_contaminated"])
+        assert prev == r["cluster_contaminated"]
