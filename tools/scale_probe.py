@@ -116,7 +116,13 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--dir", default="/tmp/sfprobe1")
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE to run (default: all)",
+    )
     args = ap.parse_args()
+    probe = args.queries.split(",") if args.queries else PROBE
 
     from hummingbirddatapipeline_spark.catalog import BENCH_ONLY, QUERIES
     from hummingbirddatapipeline_spark.session import get_spark, tune_for_sf
@@ -148,7 +154,7 @@ def main() -> None:
         pass
 
     results = {}
-    for name in PROBE:
+    for name in probe:
         if name not in runnable:
             continue
         t0 = time.perf_counter()
