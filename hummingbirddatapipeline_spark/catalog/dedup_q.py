@@ -616,20 +616,33 @@ _PAGERANK_ITERS = 10
 _PAGERANK_DP = 12
 
 
-def _pagerank_unrolled_sql(n_iter: int, dp: int) -> str:
+def _pagerank_unrolled_sql(n_iter: int, dp: int, exact: bool = False) -> str:
     """Chained-CTE unroll of the fixed-iteration PageRank recurrence
     (standard SQL forbids aggregation inside a recursive term, so the
     oracle unrolls): same symmetrized edge set, same per-term and
-    per-iteration rounding as operators/graph.pagerank."""
+    per-iteration rounding as operators/graph.pagerank. With
+    ``exact``, the per-node sum runs over SCALED LONGS exactly as
+    ``pagerank(exact_longs=True)`` does — associative, so bit-equal
+    under any partitioning (the r10-banked hardening that closes the
+    FP tie-window; the registered r9 row keeps exact=False so its
+    oracle text is unchanged)."""
+    scale = f"1e{dp + 3}"
     steps = []
     for k in range(1, n_iter + 1):
+        if exact:
+            inc = (
+                f"SUM(CAST(ROUND(ROUND(p.score / d.d, {dp + 3}) * {scale})"
+                f" AS BIGINT)) / {scale}"
+            )
+        else:
+            inc = f"SUM(ROUND(p.score / d.d, {dp + 3}))"
         steps.append(f"""
     pr{k} AS (
       SELECT n.node,
              ROUND((1.0 - 0.85) / nn.c
                    + 0.85 * COALESCE(s.inc, 0.0), {dp}) AS score
       FROM nodes n CROSS JOIN nn LEFT JOIN (
-        SELECT e.v AS node, SUM(ROUND(p.score / d.d, {dp + 3})) AS inc
+        SELECT e.v AS node, {inc} AS inc
         FROM pr{k - 1} p
         JOIN edges2 e ON e.u = p.node
         JOIN deg2 d ON d.u = e.u
@@ -679,9 +692,11 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings — a latent flaky-red, not a wrongness bug. Kept
     under the repo's standard rounding convention because the fixture
     degrees (<100 contributions/node) keep accumulated ULP error ~8
-    orders of magnitude below the boundary window; if it ever flakes,
-    switch the contributions to scaled-long integer sums (round to
-    1e-15, cast to long) to make the trajectory truly exact."""
+    orders of magnitude below the boundary window. The closure is
+    implemented and banked: ``pagerank(exact_longs=True)`` sums
+    scaled longs (associative — bit-identical under any partitioning;
+    differential + invariance test in tests/test_r10_oracles.py);
+    r10 flips this row to it and re-samples."""
     from hummingbirddatapipeline_spark.operators.graph import pagerank
 
     pairs = shared_jaccard_pairs(spark, sf_dir)

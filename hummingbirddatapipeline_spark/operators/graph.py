@@ -267,6 +267,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     round_dp: int = 12,
+    exact_longs: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list (edges
     symmetrized, so every node on a real edge has out-degree >= 1) —
@@ -324,18 +325,32 @@ def pagerank(
         "node", F.round(F.lit(1.0 / n), round_dp).alias("score")
     ).localCheckpoint()
     teleport = (1.0 - damping) / n
+    # exact_longs closes the residual FP tie-window documented on the
+    # dedup_pagerank catalog row: each (round_dp+3)dp-rounded
+    # contribution is an integer-valued double after scaling by
+    # 10^(round_dp+3) (magnitude <= 1e15 < 2^53, exactly
+    # representable), so summing the scaled LONGS is associative and
+    # the per-iteration result is bit-identical under ANY partitioning
+    # or engine — no ULP can land near a rounding boundary. Overflow
+    # is impossible at any graph size: the contributions entering one
+    # node sum to at most the total outgoing mass (<= 1), so the
+    # scaled sum stays <= ~1e15 plus rounding dust, far under 2^63.
+    scale = float(10 ** (round_dp + 3))
     for _ in range(n_iter):
+        contrib_col = F.round(F.col("score") / F.col("__d"), round_dp + 3)
+        if exact_longs:
+            summed = (
+                F.sum(F.round(contrib_col * scale).cast("long")) / scale
+            )
+        else:
+            summed = F.sum(contrib_col)
         contrib = (
             edges.join(deg, "u")
             .join(
                 scores.select(F.col("node").alias("u"), "score"), "u"
             )
             .groupBy(F.col("v").alias("node"))
-            .agg(
-                F.sum(
-                    F.round(F.col("score") / F.col("__d"), round_dp + 3)
-                ).alias("__in")
-            )
+            .agg(summed.alias("__in"))
         )
         scores = (
             nodes.join(contrib, "node", "left")

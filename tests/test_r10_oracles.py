@@ -505,3 +505,40 @@ def test_pca_power_top1_guards(spark):
         pca_power_top1(emb, dim=64, n_iter=0)
     with pytest.raises(ValueError, match="empty"):
         pca_power_top1(emb.filter(F.lit(False)), dim=64, n_iter=1)
+
+
+def test_pagerank_exact_longs_matches_duckdb_and_partitioning(spark):
+    """The r10-banked pagerank hardening: summing scaled longs is
+    associative, so the trajectory is bit-identical to DuckDB's
+    scaled-long unroll AND invariant under input repartitioning —
+    the property the double-sum regime can only approximate (its
+    accepted tie-window is documented on the dedup_pagerank row)."""
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        _pagerank_unrolled_sql,
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import pagerank
+
+    pairs = shared_jaccard_pairs(spark, SF)
+    got = [
+        tuple(r)
+        for r in pagerank(pairs, n_iter=10, round_dp=12, exact_longs=True)
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF, 'documents.parquet')}')"
+    )
+    exp = con.sql(_pagerank_unrolled_sql(10, 12, exact=True)).fetchall()
+    con.close()
+    assert len(got) == len(exp) > 0
+    assert _norm(got) == _norm(exp)
+
+    rep = [
+        tuple(r)
+        for r in pagerank(
+            pairs.repartition(13), n_iter=10, round_dp=12, exact_longs=True
+        ).collect()
+    ]
+    assert sorted(rep) == sorted(got)
