@@ -665,3 +665,133 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.999,
         max_cell=100_000,
     )
+
+
+# --- r10-banked oracle builders (NOT yet registered: the r9 driver
+# window is full). kmeans/PCA differential tests import these, so the
+# SQL has a single source of truth and round-10 registration is a
+# decorator + window change (recipe: PLANS.md "r10 registration
+# recipe"). Each unrolls the operator's fixed-iteration recurrence as
+# chained CTEs from the same frozen constants.
+
+def _kmeans_refine_sql(n_iter: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs: itK holds the
+    centroids entering iteration K+1; each round re-derives the
+    assignment (ROUND(dist,6), ties -> lowest cid) and the 8dp-rounded
+    per-dimension means, with COALESCE keeping an empty cluster's
+    previous centroid — the exact recurrence kmeans_refine runs."""
+    parts = [
+        f"""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    it0 AS (
+      SELECT cid, cv.list_transform(x -> CAST(x AS DOUBLE)) AS cv
+      FROM ({_cent_cte_body()})
+    )"""
+    ]
+    for k in range(n_iter):
+        parts.append(f""",
+    s{k} AS (
+      SELECT a.vec_id, a.v, c.cid,
+             ROUND(list_sum(list_zip(a.v, c.cv)
+                     .list_transform(p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+               AS d
+      FROM allv a CROSS JOIN it{k} c
+    ),
+    a{k} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM s{k}) WHERE rk = 1
+    ),
+    m{k} AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM (
+        SELECT cid, CAST(u[2] AS INT) AS dim,
+               ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS m
+        FROM (SELECT cid, UNNEST(list_zip(v, range(1, len(v) + 1))) AS u
+              FROM a{k})
+        GROUP BY cid, dim) GROUP BY cid
+    ),
+    it{k + 1} AS (
+      SELECT c0.cid, COALESCE(m{k}.cv, c0.cv) AS cv
+      FROM it{k} c0 LEFT JOIN m{k} USING (cid)
+    )""")
+    parts.append(f"""
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id, d AS dist FROM (
+      SELECT a.vec_id, c.cid,
+             ROUND(list_sum(list_zip(a.v, c.cv)
+                     .list_transform(p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+               AS d,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               ROUND(list_sum(list_zip(a.v, c.cv)
+                       .list_transform(p -> (p[1] - p[2]) * (p[1] - p[2]))), 6),
+               c.cid) AS rk
+      FROM allv a CROSS JOIN it{n_iter} c
+    ) WHERE rk = 1
+    """)
+    return "".join(parts)
+
+
+def _pca_top1_sql(n_iter: int) -> str:
+    """Unrolled power iterations as chained CTEs over the SAME
+    covariance the operator builds: per-dim 8dp means, ROUND(SUM(
+    ROUND(xi*xj,12))/n,8) covariance, 12dp matvec + norm, 9dp
+    normalized vector, 6dp centered projection."""
+    return f"""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM allv),
+    mx AS (
+      SELECT list(m ORDER BY dim) AS m FROM (
+        SELECT CAST(u[2] AS INT) AS dim, ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS m
+        FROM (SELECT UNNEST(list_zip(v, range(1, len(v) + 1))) AS u FROM allv)
+        GROUP BY 1)
+    ),
+    centered AS (
+      SELECT a.vec_id,
+             list_zip(a.v, mx.m).list_transform(p -> p[1] - p[2]) AS c
+      FROM allv a CROSS JOIN mx
+    ),
+    ci AS (
+      SELECT vec_id, CAST(u[2] AS INT) - 1 AS i,
+             CAST(u[1] AS DOUBLE) AS xi, c
+      FROM (SELECT vec_id, c, UNNEST(list_zip(c, range(1, len(c) + 1))) AS u
+            FROM centered)
+    ),
+    cij AS (
+      SELECT i, CAST(u2[2] AS INT) - 1 AS j, xi, CAST(u2[1] AS DOUBLE) AS xj
+      FROM (SELECT i, xi, UNNEST(list_zip(c, range(1, len(c) + 1))) AS u2
+            FROM ci)
+    ),
+    cov AS (
+      SELECT i, j,
+             ROUND(SUM(ROUND(xi * xj, 12)) / (SELECT n FROM cnt), 8) AS cv
+      FROM cij GROUP BY i, j
+    ),
+    v0 AS (
+      SELECT CAST(j AS INT) AS j, ROUND(1.0 / sqrt(64.0), 9) AS val
+      FROM range(64) t(j)
+    )""" + "".join(
+        f""",
+    w{k} AS (
+      SELECT cov.i, ROUND(SUM(ROUND(cov.cv * v.val, 12)), 12) AS w
+      FROM cov JOIN v{k} v ON v.j = cov.j GROUP BY cov.i
+    ),
+    n{k} AS (SELECT ROUND(sqrt(SUM(w * w)), 12) AS nrm FROM w{k}),
+    v{k + 1} AS (
+      SELECT i AS j, ROUND(w / (SELECT nrm FROM n{k}), 9) AS val FROM w{k}
+    )"""
+        for k in range(n_iter)
+    ) + f""",
+    comp AS (SELECT list(val ORDER BY j) AS cv FROM v{n_iter})
+    SELECT c.vec_id,
+           ROUND(list_sum(list_zip(c.c, comp.cv)
+                   .list_transform(p -> p[1] * p[2])), 6) AS pc1_score
+    FROM centered c CROSS JOIN comp
+    """
