@@ -498,3 +498,65 @@ def best_fit_pack(
         return pdf
 
     return chunks.groupBy(*group_cols).applyInPandas(_pack, out_schema)
+
+
+def winnow_fingerprints(
+    text: Column,
+    k: int = 4,
+    w: int = 5,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    word k-gram, slide a window of ``w`` consecutive hashes, and keep
+    each window's RIGHTMOST minimal hash. The published guarantee:
+    any two documents sharing a token substring of length >=
+    ``w + k - 1`` share at least one fingerprint — so fingerprint
+    equality is a recall-complete candidate filter for substring-level
+    duplication at ~1/w the density of all k-gram hashing.
+
+    Pure expressions, no UDF: the (hash, position) pair is packed
+    into ONE BIGINT as ``hash52 * 2048 + (2047 - pos)`` so a plain
+    ``array_min`` over longs implements rightmost-min exactly (min
+    key -> min hash, ties -> max position), and the identical integer
+    arithmetic runs in ANSI SQL. 52-bit md5 hashes (the repo's
+    content-hash convention) leave 11 bits for position — documents
+    beyond 2047 k-grams raise rather than silently mis-rank
+    (fingerprint CHUNKS of that size upstream, the scheme is local by
+    design).
+
+    Returns a sorted array of DISTINCT packed fingerprints (decode:
+    hash = fp DIV 2048, pos = 2047 - fp % 2048). Empty array when the
+    document has fewer than ``k + w - 1`` tokens (no full window).
+    """
+    toks = ws_tokens(text)
+
+    def packed(t: Column) -> Column:
+        n_grams = F.size(t) - (k - 1)
+        gram = lambda i: F.array_join(F.slice(t, i + 1, k), " ")  # noqa: E731
+        key = lambda i: (  # noqa: E731
+            F.conv(F.substring(F.md5(gram(i)), 1, 13), 16, 10).cast("long")
+            * 2048
+            + (2047 - i)
+        )
+        keys = F.transform(
+            F.sequence(F.lit(0), n_grams - 1), lambda i: key(i)
+        )
+        n_wins = n_grams - (w - 1)
+        fps = F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda j: F.array_min(F.slice(keys, j + 1, w)),
+        )
+        return F.when(
+            n_grams > 2047,
+            F.raise_error(
+                F.lit(
+                    "winnow_fingerprints: document exceeds 2047 k-grams; "
+                    "chunk upstream (position field is 11 bits)"
+                )
+            ).cast("array<bigint>"),
+        ).otherwise(
+            F.when(n_wins >= 1, F.array_sort(F.array_distinct(fps)))
+            .otherwise(F.array().cast("array<bigint>"))
+        )
+
+    return F.transform(F.array(toks), packed)[0]

@@ -421,3 +421,87 @@ def test_pagerank_exact_longs_matches_duckdb_and_partitioning(spark):
         ).collect()
     ]
     assert sorted(rep) == sorted(got)
+
+
+def test_winnow_fingerprints_matches_duckdb(spark):
+    """Winnowing (Schleimer et al. 2003): DuckDB replays the k-gram
+    hashing, the packed hash*2048+(2047-pos) keys, and the
+    rightmost-min window selection with the same integer arithmetic;
+    per-doc fingerprint sets must match exactly."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    k, w = 4, 5
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=k, w=w).alias("fps")
+        ).collect()
+    }
+
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, len(t) - {k - 1} AS ng,
+             list_transform(range(len(t) - {k - 1}),
+               i -> CAST('0x' || substr(md5(
+                      array_to_string(t[i + 1 : i + {k}], ' ')), 1, 13)
+                    AS BIGINT) * 2048 + (2047 - i)) AS ks
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN ng - {w - 1} >= 1
+                THEN list_sort(list_distinct(
+                       list_transform(range(ng - {w - 1}),
+                         j -> list_min(ks[j + 1 : j + {w}]))))
+                ELSE []::BIGINT[] END AS fps
+    FROM keys
+    """
+    con = _duck()
+    exp = {r[0]: list(r[1]) for r in con.sql(sql).fetchall()}
+    con.close()
+    assert got == exp
+    assert any(len(v) > 0 for v in got.values())
+    # density: winnowing keeps ~1/w of the k-gram hashes (sanity band)
+    total_fps = sum(len(v) for v in got.values())
+    total_grams = sum(
+        1 for r in docs.select(F.size(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ).alias("n")).collect() for _ in range(max(r["n"] - (k - 1), 0))
+    )
+    assert 0.1 < total_fps / total_grams < 0.8
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The published guarantee, constructively: two docs sharing a
+    token substring of length >= w + k - 1 (= 8 here) MUST share a
+    fingerprint; two disjoint-vocabulary docs share none."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 y1 z1 " + shared + " p1 q1"),
+            (2, "u2 v2 " + shared + " w2 r2 s2"),
+            (3, "m3 n3 o3 pp3 qq3 rr3 ss3 tt3 uu3 vv3 ww3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=4, w=5).alias("fps"),
+    ).collect()
+    hashes = {r["doc_id"]: {fp // 2048 for fp in r["fps"]} for r in rows}
+    assert hashes[1] & hashes[2]          # shared substring -> shared fp
+    assert not (hashes[1] & hashes[3])    # disjoint vocab -> disjoint fps
+    assert not (hashes[2] & hashes[3])
