@@ -505,3 +505,24 @@ def test_winnow_shared_substring_guarantee(spark):
     assert hashes[1] & hashes[2]          # shared substring -> shared fp
     assert not (hashes[1] & hashes[3])    # disjoint vocab -> disjoint fps
     assert not (hashes[2] & hashes[3])
+
+
+def test_kmeans_refine_empty_cluster_keeps_centroid(spark):
+    """The deterministic empty-cluster convention, exercised: a seed
+    centroid far from every point attracts no members and must pass
+    through ALL iterations unchanged, while the populated cluster
+    moves to the data mean."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = [[0.0, 0.0], [1000.0, 1000.0]]
+    assigned, cents = kmeans_refine(pts, seeds, n_iter=2)
+    assert cents[1] == [1000.0, 1000.0]          # empty: unchanged
+    assert cents[0] == [2.0, 0.0]                # populated: the mean
+    rows = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert rows == {1: 0, 2: 0}
