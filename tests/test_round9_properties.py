@@ -192,3 +192,58 @@ def test_decontaminate_keeps_only_clean_clusters(spark, sf_dir):
         assert r["kept"] == (not r["cluster_contaminated"])
         prev = flags.setdefault(r["cluster_id"], r["cluster_contaminated"])
         assert prev == r["cluster_contaminated"]
+
+
+def test_canonicalize_url_matches_urllib_reference(spark):
+    """Independent-parser differential: canonicalize_url's regexp
+    parse must agree with a reference built on the stdlib's
+    urllib.parse across a full grid of scheme/host/port/path/query/
+    fragment variations (~4k URLs, one Spark job). Userinfo and
+    non-ASCII are outside the canonicalizer's documented fixture
+    scope and are not generated."""
+    import re as _re
+    from itertools import product
+    from urllib.parse import urlsplit
+
+    from hummingbirddatapipeline_spark.functions.web import canonicalize_url
+
+    def ref(url: str) -> str:
+        s = urlsplit(url)
+        scheme = s.scheme.lower()
+        host = (s.hostname or "")
+        if host.startswith("www."):
+            host = host[4:]
+        default = {"https": 443, "http": 80}.get(scheme)
+        port = "" if s.port is None or s.port == default else f":{s.port}"
+        path = _re.sub("/+$", "", s.path)
+        params = sorted(
+            p
+            for p in s.query.split("&")
+            if p and not _re.match(r"^(utm_[^=]*|fbclid|gclid)(=|$)", p)
+        )
+        q = "?" + "&".join(params) if params else ""
+        return f"{scheme}://{host}{port}{path}{q}"
+
+    urls = [
+        f"{sc}://{h}{pt}{pa}{qu}{fr}"
+        for sc, h, pt, pa, qu, fr in product(
+            ["http", "https", "HTTPS"],
+            ["a.example.com", "WWW.B.Example.COM", "www.c.example.com",
+             "D.EXAMPLE.COM"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/", "/x", "/x/", "/x/y//", "/docs/1"],
+            ["", "?b=2&a=1", "?utm_source=x&a=1", "?fbclid&a=1", "?utm_x",
+             "?a=1&a=0", "?gclid=9"],
+            ["", "#sec"],
+        )
+    ]
+    from pyspark.sql import functions as F
+
+    got = {
+        r["url"]: r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    bad = [(u, got[u], ref(u)) for u in urls if got[u] != ref(u)]
+    assert not bad, bad[:5]
