@@ -108,6 +108,12 @@ HEADLINE = [
     "web_host_gate",
     "text_pack_best_fit",
     "sample_dsir_select",
+    # round-10 operators (former r10-banked forms, now catalog rows)
+    "similarity_kmeans_refine",
+    "similarity_pca_top1",
+    "curation_decontaminate_clusters",
+    "layout_shard_manifest",
+    "text_winnow_fingerprints",
 ]
 
 

@@ -137,78 +137,82 @@ def _load_modules() -> None:
 # (Per-round window history and the bank ledger live in PLANS.md §
 # "Driver-window ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-9 window:
-# (a) the 6 newly registered rows — the r8 "banked" set promoted from
-#     bench-only forms to full oracles (SemDeDup semantic dedup,
-#     incremental CC maintenance, URL canonicalize, host gate,
-#     best-fit packing, DSIR selection) — never sampled, so they must
+# Round-10 window:
+# (a) the 5 newly registered rows — the r9 "banked" set promoted to
+#     full oracles (in-engine k-means quantizer training, PCA top
+#     component, cluster-aware decontamination, deterministic shard
+#     manifest, winnowing fingerprints) — never sampled, so they must
 #     sit inside the first 50 slots;
-# (b) two r8-green rows whose code or oracle changed this round and
-#     must re-sample: stream_dedup_incremental (eager roster collect +
-#     temp-dir cleanup) and similarity_ivf_incremental_add (oracle SQL
-#     now built from the shared _cent_cte_body helper);
-# (c) the full r6-stale back-fill: all 30 rows whose last driver
-#     sample is r6 (sampling/text-scoring/dq/range-join family);
-# (d) 12 of the oldest r7 rows (ER family + the dedup family adjacent
-#     to the new incremental-CC row + the entry flagship).
-# Everything outside the window is last-sample-green (r7/r8), which
+# (b) two rows whose plan or oracle changed after their last green
+#     sample and must re-sample: dedup_pagerank (flipped to
+#     exact_longs=True — operator AND oracle — closing the r8 FP
+#     tie-window) and q3_top_revenue_orders (r9's
+#     pre-aggregate-below-join rewrite landed after its r8 sample);
+# (c) the full r7-stale back-fill: all 36 rows whose last driver
+#     sample is r7 (events/text/sketch/feature/multimodal families);
+# (d) 7 of the oldest r8 rows — the heavyweight contracts
+#     (corpus_stats_report, curation_funnel_gated,
+#     dedup_simhash_consistency, multimodal_phash_groups, the two big
+#     scoring specs, BPE segment).
+# Everything outside the window is last-sample-green (r8/r9), which
 # tests/test_catalog_smoke.test_driver_window_rotation_policy
-# enforces against the CORRECTNESS_r*.json history.
+# enforces against the CORRECTNESS_r*.json history. After r10 nothing
+# in the catalog has a last driver sample older than r8.
 DRIVER_WINDOW: list[str] = [
-    # (a) newly registered round-9 operators — first driver rows
-    "similarity_semantic_dedup",
-    "dedup_incremental_cc",
-    "web_canonicalize_url",
-    "web_host_gate",
-    "text_pack_best_fit",
-    "sample_dsir_select",
-    # (b) changed-this-round re-samples
-    "stream_dedup_incremental",
-    "similarity_ivf_incremental_add",
-    # (c) staleness back-fill: all 30 rows last sampled r6
-    "asof_join_purchase_click",
-    "band_join_balance_siblings",
-    "curation_quality_percentile",
-    "curation_source_gate",
-    "dq_orders_expectations",
-    "dq_skew_report",
-    "events_anomaly_zscore",
-    "events_hypertable_rollup",
-    "grouping_sets_counters",
-    "latest_filing_plus_history",
-    "layout_zorder_codes",
-    "range_join_clicks_before_purchase",
-    "range_join_pairs",
-    "sample_hash_fraction",
-    "sample_per_source_cap",
-    "sample_stratified_by_lang",
-    "sample_temperature_mix",
-    "sample_token_budget_mix",
-    "sample_train_holdout_counts",
-    "scd2_user_event_history",
-    "search_hybrid_rrf",
-    "serving_map_extract",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_c4_filters",
-    "text_contamination_check",
-    "text_redact_pii",
-    "text_repetition_battery",
-    "text_substring_dup_stride1",
-    "text_unigram_logprob",
-    # (d) oldest r7 rows: ER family, dedup family, entry flagship
-    "er_multipass_name_match",
-    "er_fuzzy_join_levenshtein",
-    "er_fuzzy_join_lsh",
-    "text_exact_dedup",
-    "dedup_connected_components",
-    "dedup_minhash_near_dups",
-    "dedup_tfidf_cosine_pairs",
-    "dedup_incremental_batch",
-    "dedup_triangle_counts",
-    "union_dedup_segments",
-    "window_yoy_nation_revenue_growth",
-    "hhi_supplier_concentration",
+    # (a) newly registered round-10 operators — first driver rows
+    "similarity_kmeans_refine",
+    "similarity_pca_top1",
+    "curation_decontaminate_clusters",
+    "layout_shard_manifest",
+    "text_winnow_fingerprints",
+    # (b) changed-since-last-sample re-samples
+    "dedup_pagerank",
+    "q3_top_revenue_orders",
+    # (c) staleness back-fill: all 36 rows last sampled r7
+    "assoc_basket_cooccurrence",
+    "curation_funnel",
+    "events_cohort_retention",
+    "events_decayed_activity",
+    "events_first_per_user_type",
+    "events_funnel_conversion",
+    "events_hourly_tumbling",
+    "events_incremental_rollup",
+    "events_json_props",
+    "events_lttb_downsample",
+    "events_markov_transitions",
+    "events_sessionization",
+    "events_sliding_3h1h",
+    "extract_best_candidate",
+    "feature_impute_median_balance",
+    "feature_psi_price_drift",
+    "feature_winsorize_prices",
+    "geo_radius_join_suppliers",
+    "multimodal_byte_features",
+    "multimodal_frame_plan",
+    "safe_divide_discount_rate",
+    "sample_weighted_aes",
+    "search_topk_substring",
+    "sketch_approx_distinct_users",
+    "sketch_topk_heavy_hitters",
+    "sketch_value_quantiles",
+    "text_chunk_documents",
+    "text_fingerprints",
+    "text_jaccard_near_dups",
+    "text_lang_id",
+    "text_pack_chunks",
+    "text_quality",
+    "text_repetition_stats",
+    "text_substring_dup",
+    "text_token_stats",
+    "topk_orders_by_price",
+    # (d) oldest r8 heavyweights
+    "corpus_stats_report",
+    "curation_funnel_gated",
+    "dedup_simhash_consistency",
+    "multimodal_phash_groups",
+    "scoring_ipeds_model",
+    "scoring_990_model",
+    "text_bpe_segment",
 ]
 
 

@@ -521,3 +521,190 @@ def web_host_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return host_gate(synth_dirty_urls(docs), min_docs=10, max_dup_frac=0.6)
+
+
+def _decontaminate_clusters_sql() -> str:
+    """Independent DuckDB formulation of cluster-aware benchmark
+    decontamination: rebuilds the 5-gram collision join AND the
+    recursive near-dup cluster closure from the raw documents table
+    (benchmark = doc_id < 20, the text_contamination_check fixture)."""
+    from hummingbirddatapipeline_spark.catalog.text_q import _DUCK_TOKS
+
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(range(len(t) - 4),
+                                        i -> array_to_string(t[i + 1 : i + 5], ' '))
+                    ELSE []::VARCHAR[] END
+             ) AS gs
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 20
+    ),
+    dg AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 20
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit FROM dg JOIN bench USING (g)
+      GROUP BY doc_id
+    ),
+    jt AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM jt GROUP BY doc_id),
+    near AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM jt a JOIN jt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / (sa.n + sb.n - inter) >= 0.85
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    ),
+    per_doc AS (
+      SELECT l.doc_id, l.cluster_id,
+             CAST(len(g.gs) AS BIGINT) AS n_grams,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+             COALESCE(h.n_hit, 0) >= 1 AS doc_contaminated
+      FROM labeled l
+      JOIN grams g USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      WHERE l.doc_id >= 20
+    ),
+    cl AS (
+      SELECT l.cluster_id,
+             MAX(CASE WHEN l.doc_id < 20 THEN 1 ELSE 0 END) = 1 AS has_bench,
+             MAX(CASE WHEN p.doc_contaminated THEN 1 ELSE 0 END) = 1
+               AS has_hit
+      FROM labeled l LEFT JOIN per_doc p USING (doc_id)
+      GROUP BY l.cluster_id
+    )
+    SELECT p.doc_id, p.cluster_id, p.n_grams, p.n_hit_grams,
+           p.doc_contaminated,
+           (cl.has_bench OR cl.has_hit) AS cluster_contaminated,
+           NOT (cl.has_bench OR cl.has_hit) AS kept
+    FROM per_doc p JOIN cl USING (cluster_id)
+    """
+
+
+@query("curation_decontaminate_clusters", oracle=_decontaminate_clusters_sql())
+def curation_decontaminate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware benchmark decontamination under the full oracle
+    gate (operators/contamination.decontaminate_clusters): per-doc
+    5-gram collision against the benchmark (docs 0-19, the
+    text_contamination_check fixture) ESCALATED to whole near-dup
+    clusters over the shared exact-Jaccard graph — a training doc
+    drops when its cluster contains a benchmark member OR any directly
+    contaminated member. This closes the near-dup leak the per-doc
+    check misses: a paraphrased twin of a contaminated doc can carry
+    zero colliding n-grams yet still leak benchmark content (the
+    synthetic-twin escalation is pinned in tests/test_r10_oracles.py).
+    DuckDB rebuilds the gram join and the recursive closure
+    independently, so the keep/drop labeling itself is hashed.
+
+    Scale shape: the collision is an n-gram equi-join against a SMALL
+    benchmark gram set (broadcast at scale); the escalation is two
+    hash aggregates over the existing cluster labels — no new
+    closure. Rides the checkpointed shared near-dup pair set."""
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        decontaminate_clusters,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    return decontaminate_clusters(docs, bench, pairs, n=5)
+
+
+# --- r11-banked oracle builder (NOT yet registered: the r10 driver
+# window is full; recipe: PLANS.md "r11 registration recipe").
+
+def _distill_stump_sql(top_frac: float = 0.3) -> str:
+    """Independent DuckDB formulation of quality-score distillation:
+    rebuilds the teacher labels (percent-rank over the 2dp heuristic
+    quality, top ``top_frac`` positive), the per-distinct-student-value
+    cumulative agreement counts for BOTH stump directions, and the
+    deterministic argmax (max agreement -> direction '>=' -> lowest
+    threshold), then applies the winning stump to every doc."""
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {_QUALITY} AS teacher,
+             ROUND(n_chars / CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+               AS DOUBLE), 6) AS student
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, student,
+             PERCENT_RANK() OVER (ORDER BY teacher, doc_id)
+               >= {1.0 - top_frac} AS teacher_label
+      FROM scored
+    ),
+    pv AS (
+      SELECT student, COUNT(*) AS n,
+             SUM(CASE WHEN teacher_label THEN 1 ELSE 0 END) AS pos
+      FROM lab GROUP BY student
+    ),
+    cum AS (
+      SELECT student, n, pos,
+             SUM(n) OVER (ORDER BY student ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(pos) OVER (ORDER BY student ROWS UNBOUNDED PRECEDING)
+               AS cum_pos,
+             SUM(n) OVER () AS nn, SUM(pos) OVER () AS pp
+      FROM pv
+    ),
+    cands AS (
+      SELECT student AS threshold, '>=' AS direction,
+             (pp - (cum_pos - pos)) + ((cum_n - n) - (cum_pos - pos))
+               AS n_correct,
+             nn AS n_docs
+      FROM cum
+      UNION ALL
+      SELECT student, '<=',
+             cum_pos + ((nn - pp) - (cum_n - cum_pos)), nn
+      FROM cum
+    ),
+    best AS (
+      SELECT * FROM cands
+      ORDER BY n_correct DESC, direction DESC, threshold
+      LIMIT 1
+    )
+    SELECT l.doc_id, l.student, l.teacher_label,
+           CASE WHEN b.direction = '>=' THEN l.student >= b.threshold
+                ELSE l.student <= b.threshold END AS student_label,
+           b.threshold, b.direction,
+           CAST(b.n_correct AS BIGINT) AS n_correct,
+           CAST(b.n_docs AS BIGINT) AS n_docs
+    FROM lab l CROSS JOIN best b
+    """

@@ -623,9 +623,9 @@ def _pagerank_unrolled_sql(n_iter: int, dp: int, exact: bool = False) -> str:
     per-iteration rounding as operators/graph.pagerank. With
     ``exact``, the per-node sum runs over SCALED LONGS exactly as
     ``pagerank(exact_longs=True)`` does — associative, so bit-equal
-    under any partitioning (the r10-banked hardening that closes the
-    FP tie-window; the registered r9 row keeps exact=False so its
-    oracle text is unchanged)."""
+    under any partitioning. The registered dedup_pagerank row runs
+    exact=True since round 10 (closing the FP tie-window accepted in
+    r8); exact=False remains for the double-regime comparison test."""
     scale = f"1e{dp + 3}"
     steps = []
     for k in range(1, n_iter + 1):
@@ -670,7 +670,10 @@ def _pagerank_unrolled_sql(n_iter: int, dp: int, exact: bool = False) -> str:
     """
 
 
-@query("dedup_pagerank", oracle=_pagerank_unrolled_sql(_PAGERANK_ITERS, _PAGERANK_DP))
+@query(
+    "dedup_pagerank",
+    oracle=_pagerank_unrolled_sql(_PAGERANK_ITERS, _PAGERANK_DP, exact=True),
+)
 def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the shared exact-Jaccard near-dup
     graph (operators/graph.pagerank, 10 synchronous power iterations,
@@ -684,23 +687,24 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over skinny (node, score) state, lineage cut with
     localCheckpoint.
 
-    Residual tie-window risk (r8 ADVICE, accepted): the bit-for-bit
-    claim rests on SUM over 15dp-rounded doubles; FP addition is
-    non-associative and the rounded contributions are not
-    binary-exact, so a partial sum landing within ULPs of a 5e-13
-    rounding boundary could round differently across engines or
-    partitionings — a latent flaky-red, not a wrongness bug. Kept
-    under the repo's standard rounding convention because the fixture
-    degrees (<100 contributions/node) keep accumulated ULP error ~8
-    orders of magnitude below the boundary window. The closure is
-    implemented and banked: ``pagerank(exact_longs=True)`` sums
-    scaled longs (associative — bit-identical under any partitioning;
-    differential + invariance test in tests/test_r10_oracles.py);
-    r10 flips this row to it and re-samples."""
+    Since round 10 the per-node sum runs over SCALED LONGS
+    (``exact_longs=True``, both engines): integer addition is
+    associative, so the trajectory is bit-identical under ANY
+    partitioning or accumulation order — closing the FP tie-window
+    accepted in r8 (a partial double-sum landing within ULPs of a
+    5e-13 rounding boundary could in principle round differently
+    across engines; the double regime remains available as
+    ``exact_longs=False`` and its invariance-vs-exactness trade is
+    pinned in tests/test_r10_oracles.py)."""
     from hummingbirddatapipeline_spark.operators.graph import pagerank
 
     pairs = shared_jaccard_pairs(spark, sf_dir)
-    return pagerank(pairs, n_iter=_PAGERANK_ITERS, round_dp=_PAGERANK_DP)
+    return pagerank(
+        pairs,
+        n_iter=_PAGERANK_ITERS,
+        round_dp=_PAGERANK_DP,
+        exact_longs=True,
+    )
 
 
 @query(

@@ -842,6 +842,52 @@ def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "layout_shard_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r10'),
+                                 1, 13) AS BIGINT) AS h52,
+             CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT h52 % 16 AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           bit_xor(h52) AS fingerprint
+    FROM h GROUP BY 1
+    """,
+)
+def layout_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout + audit manifest under the
+    full oracle gate (operators/scale.shard_manifest): every document
+    lands in md5-hash-mod-16 of its id, and each shard reports
+    (n_docs, n_tokens, fingerprint) where the fingerprint is the
+    BIT_XOR of member 52-bit content hashes — ORDER-INSENSITIVE and
+    overflow-free, so a 1000-node writer and a single-node auditor
+    agree without sorting anything (repartition invariance pinned in
+    tests/test_r10_oracles.py). DuckDB recomputes every assignment,
+    token count, and XOR fingerprint independently.
+
+    Scale shape: ONE map-side projection (shard + hash are pure
+    expressions at the scan) + ONE hash aggregate to n_shards rows of
+    bounded audit state; the physical write is partitionBy(shard_id)
+    over the same projection."""
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+    from hummingbirddatapipeline_spark.operators.scale import shard_manifest
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return shard_manifest(
+        docs, "doc_id", token_col="n_tokens", n_shards=16, seed="r10"
+    )
+
+
 # --------------------------------------------------------------------------
 # Data-quality expectations (Deequ-shape verdicts; pipeline guardrails)
 # --------------------------------------------------------------------------

@@ -644,3 +644,64 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         docs, target, k=50, n_buckets=4096, smoothing=1.0, seed="r9"
     )
+
+
+# --- r11-banked oracle builder (NOT yet registered: the r10 driver
+# window is full; recipe: PLANS.md "r11 registration recipe").
+
+def _doremi_reweight_sql(
+    lr: float = 100.0, eps: float = 0.3, budget: int = 1_000_000
+) -> str:
+    """Independent DuckDB formulation of the DoReMi one-step domain
+    reweight: rebuilds the corpus unigram LM, the per-domain exact
+    decimal cross-entropy sums, the clipped excess, and the smoothed
+    exponentiated-gradient shares from the raw documents table."""
+    return f"""
+    WITH tok AS (
+      SELECT source AS domain,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+    term AS (
+      SELECT domain,
+             CAST(ROUND(-LN(c / t), 10) AS DECIMAL(20,10)) AS nll
+      FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    ),
+    dom AS (
+      SELECT domain, COUNT(*) AS n_tokens, SUM(nll) AS s
+      FROM term GROUP BY domain
+    ),
+    agg AS (
+      SELECT SUM(dom.s) AS sum_all, SUM(n_tokens) AS n_all,
+             COUNT(*) AS n_dom
+      FROM dom
+    ),
+    ex AS (
+      SELECT domain, CAST(dom.n_tokens AS BIGINT) AS n_tokens,
+             ROUND(CAST(dom.s AS DOUBLE) / dom.n_tokens, 6) AS ce,
+             GREATEST(0.0,
+               ROUND(ROUND(CAST(dom.s AS DOUBLE) / dom.n_tokens, 6)
+                     - ROUND(CAST(a.sum_all AS DOUBLE)
+                             / CAST(a.n_all AS DOUBLE), 6), 6))
+               AS excess,
+             CAST(dom.n_tokens AS DOUBLE) / CAST(a.n_all AS DOUBLE)
+               * EXP({lr} * GREATEST(0.0,
+                   ROUND(ROUND(CAST(dom.s AS DOUBLE) / dom.n_tokens, 6)
+                         - ROUND(CAST(a.sum_all AS DOUBLE)
+                                 / CAST(a.n_all AS DOUBLE), 6),
+                         6))) AS wgt,
+             CAST(a.n_dom AS BIGINT) AS n_dom
+      FROM dom CROSS JOIN agg a
+    ),
+    z AS (SELECT SUM(wgt) AS z_norm FROM ex)
+    SELECT domain, n_tokens, ce, excess,
+           ROUND((1.0 - {eps}) * wgt / z.z_norm + {eps} / n_dom, 6)
+             AS doremi_share,
+           CAST(FLOOR(ROUND({float(budget)}
+                 * ((1.0 - {eps}) * wgt / z.z_norm + {eps} / n_dom), 6))
+             AS BIGINT) AS target_tokens
+    FROM ex CROSS JOIN z
+    """

@@ -667,12 +667,12 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r10-banked oracle builders (NOT yet registered: the r9 driver
-# window is full). kmeans/PCA differential tests import these, so the
-# SQL has a single source of truth and round-10 registration is a
-# decorator + window change (recipe: PLANS.md "r10 registration
-# recipe"). Each unrolls the operator's fixed-iteration recurrence as
-# chained CTEs from the same frozen constants.
+# --- Oracle builders for the in-engine training rows (registered as
+# catalog rows in round 10 per the PLANS.md write-ahead recipe). The
+# differential tests drive the REGISTERED (query, oracle) pair, so the
+# SQL has a single source of truth. Each builder unrolls the
+# operator's fixed-iteration recurrence as chained CTEs from the same
+# frozen constants.
 
 def _kmeans_refine_sql(n_iter: int) -> str:
     """Unrolled Lloyd iterations as chained CTEs: itK holds the
@@ -795,3 +795,71 @@ def _pca_top1_sql(n_iter: int) -> str:
                    .list_transform(p -> p[1] * p[2])), 6) AS pc1_score
     FROM centered c CROSS JOIN comp
     """
+
+
+_KMEANS_REFINE_ITERS = 3
+_PCA_TOP1_ITERS = 3
+
+
+@query("similarity_kmeans_refine", oracle=_kmeans_refine_sql(_KMEANS_REFINE_ITERS))
+def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine k-means quantizer TRAINING under the full oracle
+    gate: exactly three synchronous Lloyd iterations seeded from the
+    frozen IVF centroids (operators/similarity.kmeans_refine),
+    returning every (vec_id, cluster_id, dist) assignment under the
+    refined quantizer. DuckDB re-derives every intermediate centroid
+    of every iteration as chained CTEs from the same 8dp seed
+    constants — the whole training trajectory is hashed, not just the
+    final labels. Completes the train -> index -> add -> dedup story
+    (ivf_incremental_add / semantic_dedup consume the quantizer this
+    row trains).
+
+    Scale shape: per iteration ONE map-side assignment pass (centroids
+    are plan literals — zero shuffles) + ONE hash aggregate producing
+    k x dim bounded MODEL state back to the driver; input
+    localCheckpointed once, n_iter+1 total passes. Determinism is the
+    pagerank quantize regime (6dp distances, 8dp means, ties -> lowest
+    cid); the empty-cluster convention (keep previous centroid) is
+    pinned in tests/test_r10_oracles.py."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    assigned, _cents = kmeans_refine(
+        emb, IVF_CENTROIDS_64D, n_iter=_KMEANS_REFINE_ITERS
+    )
+    return assigned
+
+
+@query("similarity_pca_top1", oracle=_pca_top1_sql(_PCA_TOP1_ITERS))
+def similarity_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by fixed-iteration power method, fully
+    in-engine (operators/similarity.pca_power_top1), under the full
+    oracle gate: center the corpus, build the d x d covariance with
+    one explode + hash aggregate, run three synchronous power
+    iterations over skinny (i, val) eigenvector state, and project
+    every centered vector onto the component — the
+    dimension-reduction half of embedding prep. DuckDB re-derives the
+    WHOLE trajectory (means, covariance, every matvec + norm, the 9dp
+    component, the 6dp projection) from the raw embeddings, so every
+    (vec_id, pc1_score) row is hashed.
+
+    Scale shape: TWO corpus passes (per-dim means; covariance via
+    double posexplode absorbed same-stage into d^2 partial-aggregate
+    keys) + ONE projection pass with the component as plan literals;
+    the power iterations run pagerank-style over d-row state and only
+    the d-element component is ever collected (bounded model state).
+    Eigenvector sign is pinned by the all-positive start."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        pca_power_top1,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    proj, _comp = pca_power_top1(emb, dim=64, n_iter=_PCA_TOP1_ITERS)
+    return proj

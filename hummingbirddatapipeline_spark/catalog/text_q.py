@@ -1004,3 +1004,134 @@ def text_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_fit_pack(
         docs, "source", "doc_id", token_col="n_tokens", budget=_BFD_BUDGET
     )
+
+
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, len(t) - {_WINNOW_K - 1} AS ng,
+             list_transform(range(len(t) - {_WINNOW_K - 1}),
+               i -> CAST('0x' || substr(md5(
+                      array_to_string(t[i + 1 : i + {_WINNOW_K}], ' ')), 1, 13)
+                    AS BIGINT) * 2048 + (2047 - i)) AS ks
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN ng - {_WINNOW_W - 1} >= 1
+                  THEN list_sort(list_distinct(
+                         list_transform(range(ng - {_WINNOW_W - 1}),
+                           j -> list_min(ks[j + 1 : j + {_WINNOW_W}]))))
+                  ELSE []::BIGINT[] END AS f
+      FROM keys
+    )
+    SELECT doc_id, unnest(f) AS fp FROM fps
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme) under the full oracle gate: hash
+    every word 4-gram, slide a window of 5 consecutive hashes, keep
+    each window's RIGHTMOST minimal hash — giving the published
+    guarantee that any shared token substring of length >= w+k-1 (= 8)
+    shares a fingerprint, at ~1/w the density of full k-gram hashing
+    (both properties pinned in tests/test_r10_oracles.py). The
+    (hash, position) pair is packed into ONE BIGINT as
+    hash52*2048 + (2047-pos) so plain array_min implements
+    rightmost-min and DuckDB replays the identical integer arithmetic;
+    the row is the exploded (doc_id, fp) candidate stream the
+    downstream containment join consumes.
+
+    Scale shape: ZERO exchanges — fingerprinting is local to each
+    document by design (pure expressions, no UDF); the candidate join
+    downstream is an equi-join on fingerprint hash."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
+        ).alias("fp"),
+    )
+
+
+# --- r11-banked oracle builders (NOT yet registered: the r10 driver
+# window is full). The cross-corpus-containment differential test
+# imports this, so the SQL has a single source of truth and round-11
+# registration is a decorator + window change (recipe: PLANS.md "r11
+# registration recipe").
+
+def _winnow_containment_sql(k: int = 4, w: int = 5) -> str:
+    """Independent DuckDB formulation of winnowing-fingerprint
+    cross-corpus containment: bench = docs 0-19; train = docs >= 20
+    plus the deterministic embed-twins (doc_id + 70000 carries the
+    first 12 tokens of its bench doc — a shared substring >= w+k-1, so
+    the winnowing guarantee forces at least one shared fingerprint).
+    Containment = shared fingerprint hashes / bench doc's fingerprint
+    hashes."""
+    def winnow_cte(src: str, name: str) -> str:
+        return f"""
+    {name}_toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM {src}
+    ),
+    {name}_keys AS (
+      SELECT doc_id, len(t) - {k - 1} AS ng,
+             list_transform(range(len(t) - {k - 1}),
+               i -> CAST('0x' || substr(md5(
+                      array_to_string(t[i + 1 : i + {k}], ' ')), 1, 13)
+                    AS BIGINT) * 2048 + (2047 - i)) AS ks
+      FROM {name}_toks
+    ),
+    {name}_h AS (
+      SELECT DISTINCT doc_id, fp // 2048 AS h FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN ng - {w - 1} >= 1
+                    THEN list_transform(range(ng - {w - 1}),
+                           j -> list_min(ks[j + 1 : j + {w}]))
+                    ELSE []::BIGINT[] END) AS fp
+        FROM {name}_keys)
+    )"""
+
+    return f"""
+    WITH bench_src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 20
+    ),
+    train_src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20
+      UNION ALL
+      SELECT doc_id + 70000,
+             array_to_string(
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')[1:12], ' ')
+             || ' containment probe suffix block'
+      FROM documents WHERE doc_id < 20
+    ),{winnow_cte("bench_src", "b")},{winnow_cte("train_src", "tr")},
+    bsz AS (SELECT doc_id, COUNT(*) AS bench_fps FROM b_h GROUP BY doc_id),
+    shared AS (
+      SELECT tr_h.doc_id AS train_id, b_h.doc_id AS bench_id,
+             COUNT(*) AS n_shared
+      FROM tr_h JOIN b_h USING (h)
+      GROUP BY 1, 2
+    )
+    SELECT s.train_id, s.bench_id, s.n_shared, z.bench_fps,
+           ROUND(s.n_shared / CAST(z.bench_fps AS DOUBLE), 6) AS containment
+    FROM shared s JOIN bsz z ON z.doc_id = s.bench_id
+    WHERE s.n_shared >= 1
+    """

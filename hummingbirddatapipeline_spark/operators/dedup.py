@@ -246,6 +246,59 @@ def near_dup_pairs_minhash(
     )
 
 
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    num_hashes: int = 32,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The no-silent-caps audit companion to
+    :func:`minhash_lsh_candidates`: one row per (band, bucket) the
+    ``max_bucket`` cap DROPS, with the bucket size and its minimum
+    member id (the natural cluster representative for routing the
+    bucket to :func:`boilerplate_clusters`). An empty result means the
+    cap was a no-op; a non-empty result is the loud record of exactly
+    what candidate coverage was traded for bounded work — log it, ship
+    it to the DQ tables, or feed the representatives to the
+    mega-cluster treatment.
+
+    Same one-shuffle banding plan as candidate generation (explode
+    band keys -> hash aggregate); run it against the SAME cached
+    signature DataFrame so the scan is shared. Kept as a separate
+    audit pass rather than a flag on the candidate path: at 100 TB the
+    pair pipeline should not pay a mandatory extra aggregate-and-
+    collect when nobody reads the audit, and the audit should not
+    force the pair output to materialize early.
+    """
+    _check_banding(num_hashes, bands)
+    rows_per_band = max(1, num_hashes // bands)
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"), F.min(id_col).alias("rep"))
+        .filter(F.col("sz") > max_bucket)
+    )
+
+
 def jaccard_pairs_all(
     df: DataFrame,
     text_col: str,

@@ -595,3 +595,103 @@ def dsir_select(
         keyed.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def doremi_reweight(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lr: float = 100.0,
+    eps: float = 0.3,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """DoReMi-shaped domain-mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429, one multiplicative-weights step): upweight
+    domains with EXCESS LOSS relative to the corpus, smooth with the
+    uniform mixture, and emit per-domain token targets for the next
+    mixing pass — the step that turns "sample by natural proportions"
+    (:func:`sample_temperature_mix`) into "sample by where the model
+    has the most to learn".
+
+    The excess-loss proxy is fully in-engine (the paper uses a proxy
+    model; any per-domain loss signal slots into the same update): the
+    corpus unigram LM's per-domain cross-entropy ``ce_d = mean over
+    domain token occurrences of -ln(c_w / T)`` minus the corpus-wide
+    ``ce``, clipped at 0. The update is the paper's exponentiated
+    gradient step::
+
+        w_d    ∝ ref_d * exp(lr * excess_d)       ref_d = n_d / N
+        share_d = (1 - eps) * w_d / Z + eps / K    (uniform smoothing)
+
+    Determinism: per-token surprisal is rounded to 10dp and summed as
+    DECIMAL(20,10) — exact, associative, overflow-free at any corpus
+    size — so ``ce_d`` is bit-identical on any engine and any
+    partitioning (the pagerank exact-longs regime, applied from day
+    one); ce/excess round 6dp; the share rounds 6dp after the
+    (K-domain, tiny) normalization. ``lr`` is the DoReMi step size —
+    at unigram-CE spreads (~1e-2 nats) a demonstration lr of ~1e2
+    separates domains; a real proxy-loss feed uses the paper's 1.0.
+
+    Scale shape: ONE corpus token explode + broadcast count join (the
+    unigram_logprob plan), ONE hash aggregate to K domain rows, then
+    K-row arithmetic — the corpus never shuffles at document width.
+
+    Output: (domain, n_tokens, ce, excess, doremi_share,
+    target_tokens = floor(round(token_budget * share, 6))).
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(ws_tokens(F.col(text_col))).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    term = (
+        toks.join(F.broadcast(counts), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            F.round(-F.log(F.col("c") / F.col("t")), 10)
+            .cast("decimal(20,10)")
+            .alias("__nll"),
+        )
+    )
+    dom = term.groupBy("domain").agg(
+        F.count("*").alias("n_tokens"), F.sum("__nll").alias("__s")
+    )
+    tot = dom.agg(
+        F.sum("__s").alias("__sum_all"),
+        F.sum("n_tokens").alias("__n_all"),
+        F.count("*").alias("__n_dom"),
+    )
+    ce_d = F.round(F.col("__s").cast("double") / F.col("n_tokens"), 6)
+    ce_all = F.round(
+        F.col("__sum_all").cast("double") / F.col("__n_all"), 6
+    )
+    excess = F.greatest(F.lit(0.0), F.round(ce_d - ce_all, 6))
+    wgt = (F.col("n_tokens") / F.col("__n_all")) * F.exp(
+        F.lit(lr) * excess
+    )
+    pre = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_tokens",
+        ce_d.alias("ce"),
+        excess.alias("excess"),
+        wgt.alias("__w"),
+        "__n_dom",
+    )
+    z = pre.agg(F.sum("__w").alias("__z_norm"))
+    share = (F.lit(1.0 - eps) * F.col("__w") / F.col("__z_norm")) + (
+        F.lit(eps) / F.col("__n_dom")
+    )
+    return pre.crossJoin(F.broadcast(z)).select(
+        "domain",
+        "n_tokens",
+        "ce",
+        "excess",
+        F.round(share, 6).alias("doremi_share"),
+        F.floor(F.round(F.lit(float(token_budget)) * share, 6))
+        .cast("long")
+        .alias("target_tokens"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hummingbirddatapipeline_spark.functions.text import fingerprint, quality_score
 from hummingbirddatapipeline_spark.operators.dedup import (
@@ -266,3 +267,121 @@ def source_gate(
         "left_semi",
     )
     return kept_docs, verdicts
+
+
+def distill_quality_stump(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    teacher_col: str = "teacher",
+    student_col: str = "student",
+    top_frac: float = 0.3,
+) -> DataFrame:
+    """Quality-classifier score distillation (the FineWeb-Edu /
+    DCLM-shape move, reduced to its deterministic core): an expensive
+    TEACHER score labels the corpus (top ``top_frac`` by global
+    percent-rank = positive), and a single cheap STUDENT feature is
+    distilled into the best decision stump — the (threshold,
+    direction) over observed student values maximizing training
+    agreement with the teacher. At 100 TB the teacher (an LLM judge or
+    a big classifier) is run once on a slice; the distilled stump (or
+    its big sibling, a fastText-class model behind the same contract)
+    is what actually gates the corpus.
+
+    Fully exact across engines: teacher labels use percent_rank's
+    integer arithmetic ((rank-1)/(n-1), id tiebreak); candidate
+    thresholds are the distinct student values; per-threshold
+    agreement counts are cumulative-sum integer arithmetic over the
+    sorted distinct values ("predict positive when student >= t" and
+    "when student <= t" both scored); ties break to direction '>='
+    then lowest threshold. No floats enter the argmax.
+
+    Scale shape: one window over teacher scores (global rank — at real
+    scale, per-stratum), one hash aggregate to distinct student
+    values, one window over that (tiny) value table, one broadcast of
+    the single winning stump row back onto the corpus.
+
+    Output: one row per doc — (id, student, teacher_label,
+    student_label, threshold, direction, n_correct, n_docs) where
+    student_label is the stump's verdict and n_correct/n_docs is the
+    training agreement of the chosen stump.
+    """
+    n_p = Window.partitionBy()
+    labeled = scored.select(
+        F.col(id_col),
+        F.col(student_col).alias("student"),
+        (
+            F.percent_rank().over(
+                n_p.orderBy(F.col(teacher_col), F.col(id_col))
+            )
+            >= F.lit(1.0 - top_frac)
+        ).alias("teacher_label"),
+    )
+    per_val = labeled.groupBy("student").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("teacher_label").cast("long")).alias("pos"),
+    )
+    w_cum = n_p.orderBy("student").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "student",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(n_p.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("n_all"),
+        F.sum("pos").over(n_p.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("pos_all"),
+    )
+    # agreement counts for both stump directions at threshold = value
+    ge_correct = (
+        F.col("pos_all") - (F.col("cum_pos") - F.col("pos"))  # pos, s >= t
+        + (F.col("cum_n") - F.col("n"))                       # neg, s < t
+        - (F.col("cum_pos") - F.col("pos"))
+    )
+    le_correct = (
+        F.col("cum_pos")                                      # pos, s <= t
+        + (F.col("n_all") - F.col("pos_all"))                 # neg, s > t
+        - (F.col("cum_n") - F.col("cum_pos"))
+    )
+    cands = cum.select(
+        F.col("student").alias("threshold"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(">=").alias("direction"),
+                    ge_correct.cast("long").alias("n_correct"),
+                ),
+                F.struct(
+                    F.lit("<=").alias("direction"),
+                    le_correct.cast("long").alias("n_correct"),
+                ),
+            )
+        ).alias("c"),
+        F.col("n_all").cast("long").alias("n_docs"),
+    ).select("threshold", "c.direction", "c.n_correct", "n_docs")
+    w_best = n_p.orderBy(
+        F.col("n_correct").desc(),
+        F.col("direction").desc(),  # '>=' sorts after '<=' lexically
+        F.col("threshold"),
+    )
+    best = (
+        cands.withColumn("__rk", F.row_number().over(w_best))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return labeled.crossJoin(F.broadcast(best)).select(
+        id_col,
+        "student",
+        "teacher_label",
+        F.when(F.col("direction") == ">=", F.col("student") >= F.col("threshold"))
+        .otherwise(F.col("student") <= F.col("threshold"))
+        .alias("student_label"),
+        "threshold",
+        "direction",
+        "n_correct",
+        "n_docs",
+    )
