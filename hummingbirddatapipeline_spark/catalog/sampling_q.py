@@ -705,3 +705,60 @@ def _doremi_reweight_sql(
              AS BIGINT) AS target_tokens
     FROM ex CROSS JOIN z
     """
+
+
+def _unimax_sql(token_budget: int, n_epochs: float = 4.0) -> str:
+    """Independent DuckDB formulation of UniMax waterfilling
+    (operators/sampling.unimax_allocation): per-language caps
+    ``floor(n_epochs * n_tokens)``, the ascending-cap window test
+    ``cap_i * (K - i + 1) <= budget - prefix_{i-1}`` (exact BIGINT),
+    and integer-floor equal shares for the uncapped tail."""
+    return f"""
+    WITH per AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT lang, CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(ROUND({float(n_epochs)} * SUM(t), 6)) AS BIGINT)
+               AS cap_tokens
+      FROM per GROUP BY lang
+    ),
+    kk AS (SELECT COUNT(*) AS k FROM base),
+    ranked AS (
+      SELECT base.*, kk.k,
+             ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS i,
+             COALESCE(SUM(cap_tokens) OVER (
+               ORDER BY cap_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS pfx
+      FROM base CROSS JOIN kk
+    ),
+    tagged AS (
+      SELECT *,
+             cap_tokens * (k - i + 1) <= {int(token_budget)} - pfx
+               AS is_capped
+      FROM ranked
+    ),
+    stats AS (
+      SELECT COALESCE(SUM(CASE WHEN is_capped THEN cap_tokens END), 0)
+               AS csum,
+             COALESCE(SUM(CASE WHEN is_capped THEN 1 END), 0) AS ncap
+      FROM tagged
+    ),
+    alloc AS (
+      SELECT lang, n_tokens, cap_tokens, is_capped,
+             CASE WHEN is_capped THEN cap_tokens
+                  WHEN k - ncap > 0 THEN
+                    CAST(FLOOR(CAST({int(token_budget)} - csum AS DOUBLE)
+                               / (k - ncap)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS alloc_tokens
+      FROM tagged CROSS JOIN stats
+    )
+    SELECT lang, n_tokens, cap_tokens, is_capped, alloc_tokens,
+           ROUND(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6)
+             AS epochs_used
+    FROM alloc
+    """

@@ -863,3 +863,163 @@ def similarity_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proj, _comp = pca_power_top1(emb, dim=64, n_iter=_PCA_TOP1_ITERS)
     return proj
+
+
+# --- r12-banked oracle builders (NOT yet registered: the r10 window is
+# full and the r11 bank is ahead in the queue). The differential tests
+# in tests/test_r12_oracles.py import these, so the SQL has a single
+# source of truth and r12 registration is a decorator + window change.
+
+def _hamming_topk_sql(
+    dim: int = 64, n_queries: int = 5, k: int = 10
+) -> str:
+    """Independent DuckDB formulation of binary-code Hamming top-k
+    (operators/similarity.hamming_topk): 8dp per-dim corpus means,
+    sign bits packed into 32-bit words of a BIGINT via explicit
+    shifts (the Spark side folds the same integer with Horner), and
+    exact bit_count(xor) ranking — integers end to end."""
+    n_words = (dim + 31) // 32
+    packs = ",\n             ".join(
+        f"""CAST(list_sum(list_transform(range({32 * w},
+               {min(32 * w + 32, dim)}), d ->
+               CASE WHEN v[d + 1] > m[d + 1]
+                    THEN CAST(1 AS BIGINT) << (d - {32 * w})
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b{w}"""
+        for w in range(n_words)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{w}, q.b{w}))" for w in range(n_words)
+    )
+    return f"""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    mx AS (
+      SELECT list(mu ORDER BY dim) AS m FROM (
+        SELECT CAST(u[2] AS INT) AS dim,
+               ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS mu
+        FROM (SELECT UNNEST(list_zip(v, range(1, len(v) + 1))) AS u
+              FROM allv)
+        GROUP BY 1)
+    ),
+    coded AS (
+      SELECT vec_id,
+             {packs}
+      FROM allv CROSS JOIN mx
+    ),
+    q AS (SELECT * FROM coded WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id,
+             CAST({ham} AS INT) AS hamming
+      FROM coded a CROSS JOIN q
+      WHERE a.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, hamming, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _pq_topk_sql(
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """Independent DuckDB formulation of PQ/ADC top-k
+    (operators/similarity.pq_topk): per subspace, unroll the Lloyd
+    iterations from the first-``k_codes``-vectors seeds exactly as
+    _kmeans_refine_sql does (6dp distances, ties -> lowest cid, 8dp
+    means, COALESCE empty-cluster carry), then encode, build the
+    per-query m x k_codes ADC tables, and rank by the fixed-order
+    6dp-rounded m-term sum."""
+    d_sub = dim // m
+    sq = (
+        "ROUND(list_sum(list_zip(a.v, c.cv)"
+        ".list_transform(p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = ["""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )"""]
+    for s in range(m):
+        lo = s * d_sub
+        parts.append(f""",
+    s{s}_v AS (
+      SELECT vec_id, v[{lo + 1}:{lo + d_sub}] AS v FROM allv
+    ),
+    s{s}_it0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM s{s}_v ORDER BY vec_id LIMIT {k_codes})
+    )""")
+        for it in range(n_iter):
+            parts.append(f""",
+    s{s}_a{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid, {sq} AS d,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq}, c.cid) AS rk
+        FROM s{s}_v a CROSS JOIN s{s}_it{it} c) WHERE rk = 1
+    ),
+    s{s}_m{it} AS (
+      SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+        SELECT cid, CAST(u[2] AS INT) AS dim,
+               ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS mu
+        FROM (SELECT cid, UNNEST(list_zip(v, range(1, len(v) + 1))) AS u
+              FROM s{s}_a{it})
+        GROUP BY cid, dim) GROUP BY cid
+    ),
+    s{s}_it{it + 1} AS (
+      SELECT c0.cid, COALESCE(s{s}_m{it}.cv, c0.cv) AS cv
+      FROM s{s}_it{it} c0 LEFT JOIN s{s}_m{it} USING (cid)
+    )""")
+        parts.append(f""",
+    s{s}_code AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq}, c.cid) AS rk
+        FROM s{s}_v a CROSS JOIN s{s}_it{n_iter} c) WHERE rk = 1
+    ),
+    s{s}_tab AS (
+      SELECT a.vec_id AS query_id, c.cid, {sq} AS d
+      FROM (SELECT vec_id, v FROM s{s}_v WHERE vec_id < {n_queries}) a
+      CROSS JOIN s{s}_it{n_iter} c
+    )""")
+    code_joins = "\n      ".join(
+        f"JOIN s{s}_code c{s} ON c{s}.vec_id = a.vec_id" for s in range(m)
+    )
+    tab_joins = "\n      ".join(
+        f"JOIN s{s}_tab t{s} ON t{s}.query_id = q.query_id"
+        f" AND t{s}.cid = c.c{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(m))
+    parts.append(f""",
+    codes AS (
+      SELECT a.vec_id, {", ".join(f"c{s}.cid AS c{s}" for s in range(m))}
+      FROM allv a
+      {code_joins}
+    ),
+    qids AS (SELECT DISTINCT query_id FROM s0_tab),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({adc}, 6) AS adc_dist
+      FROM codes c CROSS JOIN qids q
+      {tab_joins}
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """)
+    return "".join(parts)

@@ -1135,3 +1135,55 @@ def _winnow_containment_sql(k: int = 4, w: int = 5) -> str:
     FROM shared s JOIN bsz z ON z.doc_id = s.bench_id
     WHERE s.n_shared >= 1
     """
+
+
+def _cdc_chunks_sql(window: int = 8, divisor: int = 8) -> str:
+    """Independent DuckDB formulation of content-defined chunking
+    (functions/text.cdc_chunks): gear = 52-bit md5 per token; cut
+    after 0-based position i (full window required, i <= n-2) when
+    the window SUM of the last ``window`` gears is divisible by
+    ``divisor``; the last token always closes the final chunk; chunk
+    hash = 52-bit md5 of the space-joined chunk tokens. DuckDB list
+    slices are 1-based inclusive and ``range(a, b)`` is half-open —
+    both sides replay the same exact BIGINT arithmetic."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    geared AS (
+      SELECT doc_id, t,
+             list_transform(t,
+               tok -> CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT)) AS g
+      FROM toks
+    ),
+    cut AS (
+      SELECT doc_id, t,
+             list_concat(
+               CASE WHEN len(g) - 2 >= {window - 1} THEN
+                 list_filter(range({window - 1}, len(g) - 1),
+                   i -> list_sum(g[i - {window} + 2 : i + 1])
+                        % {divisor} = 0)
+               ELSE []::BIGINT[] END,
+               [CAST(len(g) - 1 AS BIGINT)]) AS cuts
+      FROM geared WHERE len(g) >= 1
+    ),
+    chunk AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(cuts)), ci -> struct_pack(
+               chunk_seq := CAST(ci AS INT),
+               chunk_hash := CAST('0x' || substr(md5(array_to_string(
+                 t[(CASE WHEN ci = 0 THEN 0
+                         ELSE cuts[ci] + 1 END) + 1 : cuts[ci + 1] + 1],
+                 ' ')), 1, 13) AS BIGINT),
+               n_tokens := CAST(cuts[ci + 1]
+                 - (CASE WHEN ci = 0 THEN 0 ELSE cuts[ci] + 1 END)
+                 + 1 AS INT)))) AS c
+      FROM cut
+    )
+    SELECT doc_id, c.chunk_seq AS chunk_seq, c.chunk_hash AS chunk_hash,
+           c.n_tokens AS n_tokens
+    FROM chunk
+    """

@@ -571,3 +571,91 @@ def winnow_fingerprints(
 
     keys_arr = F.transform(F.array(toks), keys_of)[0]
     return F.transform(F.array(keys_arr), packed)[0]
+
+
+def cdc_chunks(
+    text: Column,
+    window: int = 8,
+    divisor: int = 8,
+) -> Column:
+    """Content-defined chunking over word tokens (the CDC family of
+    Muthitacharoen et al. 2001 / FastCDC, Xia et al. 2016, re-expressed
+    for token streams): cut AFTER token ``i`` whenever the rolling
+    window hash — the SUM of the 52-bit md5 gear values of the last
+    ``window`` tokens — is divisible by ``divisor`` (expected chunk
+    length ~``divisor`` tokens, minimum first-cut position ``window-1``
+    since a full window is required; the last token always closes the
+    final chunk). Because each boundary depends ONLY on the local
+    window content, an insertion or deletion re-chunks just its
+    neighborhood and every chunk fully inside unedited regions is
+    reproduced byte-for-byte — the property that makes chunk-hash
+    grouping find partially-overlapping documents that whole-document
+    hashing misses.
+
+    Two deliberate deviations from FastCDC, both for cross-engine
+    exactness: the gear mix is an order-free window SUM (no positional
+    shift — exact BIGINT arithmetic that ANSI SQL replays verbatim;
+    sum < 2^52 * window so it never overflows), and there is no
+    min/max chunk clamp (the clamp makes each cut depend on the
+    PREVIOUS cut — inherently sequential state, the wrong trade for a
+    zero-exchange per-document plan).
+
+    Pure expressions, no UDF, no shuffle: tokens, gear values, and cut
+    positions are each BOUND to a lambda variable (the winnowing
+    lesson — an inlined computed array re-evaluates per element).
+
+    Returns an array of ``struct<chunk_seq int, chunk_hash bigint,
+    n_tokens int>`` where ``chunk_hash`` is the repo's 52-bit md5 of
+    the space-joined chunk tokens; empty array for an empty document.
+    """
+    toks = ws_tokens(text)
+    empty = F.array().cast(
+        "array<struct<chunk_seq:int,chunk_hash:bigint,n_tokens:int>>"
+    )
+    hash52 = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+    )
+
+    def with_t(t: Column) -> Column:
+        gears = F.transform(t, hash52)
+
+        def with_g(g: Column) -> Column:
+            n = F.size(g)
+            # window sum ending at 0-based position i (slice is 1-based)
+            h = lambda i: F.aggregate(  # noqa: E731
+                F.slice(g, i - window + 2, window),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            interior = F.when(
+                n - 2 >= window - 1,
+                F.filter(
+                    F.sequence(F.lit(window - 1), n - 2),
+                    lambda i: h(i) % divisor == 0,
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+            cuts = F.concat(interior, F.array(n - 1))
+
+            def with_c(cuts_arr: Column) -> Column:
+                def chunk(c: Column, idx: Column) -> Column:
+                    start = F.when(idx == 0, F.lit(0)).otherwise(
+                        F.element_at(cuts_arr, idx) + 1
+                    )
+                    n_tok = c - start + 1
+                    return F.struct(
+                        idx.cast("int").alias("chunk_seq"),
+                        hash52(
+                            F.array_join(F.slice(t, start + 1, n_tok), " ")
+                        ).alias("chunk_hash"),
+                        n_tok.cast("int").alias("n_tokens"),
+                    )
+
+                return F.transform(cuts_arr, chunk)
+
+            return F.when(
+                n >= 1, F.transform(F.array(cuts), with_c)[0]
+            ).otherwise(empty)
+
+        return F.transform(F.array(gears), with_g)[0]
+
+    return F.transform(F.array(toks), with_t)[0]

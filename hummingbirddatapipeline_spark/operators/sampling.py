@@ -695,3 +695,100 @@ def doremi_reweight(
         .cast("long")
         .alias("target_tokens"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    token_budget: int,
+    n_epochs: float = 4.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): spread ``token_budget`` as UNIFORMLY as
+    possible across languages subject to the per-language repeat cap
+    ``cap_l = floor(n_epochs * n_l)`` — low-resource languages get
+    everything they can contribute without exceeding ``n_epochs``
+    passes over their corpus, and the residual budget splits equally
+    among the uncapped high-resource ones. The paper's alternative to
+    temperature sampling (:func:`sample_temperature_mix`): no tuned
+    temperature, and over-repetition of small languages is bounded by
+    construction.
+
+    The closed form is classic waterfilling, computed WITHOUT the
+    sequential scan: with languages sorted by cap ascending (ties ->
+    language name), language i is capped iff
+    ``cap_i * (K - i + 1) <= budget - prefix_cap_{i-1}`` — that test
+    is non-increasing along the sort order (caps ascend), so the
+    per-row window test reproduces the sequential greedy exactly.
+    Every comparison is BIGINT (multiply, never divide) and the
+    uncapped share is integer floor division, so the whole allocation
+    is exact, associative, and engine-portable; at most
+    ``n_uncapped - 1`` tokens of the budget go unallocated (reported
+    via the alloc column sum, never silently over-spent).
+
+    Scale shape: ONE hash aggregate to K language rows (token counts
+    come from :func:`ws_token_count`, no explode), then K-row window
+    arithmetic — the corpus is touched once at (lang, count) width.
+
+    Output: (lang, n_tokens, cap_tokens, is_capped, alloc_tokens,
+    epochs_used = round(alloc / n_tokens, 6)), one row per language.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    langs = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            ws_token_count(F.col(text_col)).cast("long").alias("__t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("__t").alias("n_tokens"))
+        # K rows of model state: materialize so the waterfilling's
+        # self-references (totals, stats) never rescan the corpus —
+        # "touched once" is a plan contract, not a hope
+        .localCheckpoint()
+    )
+    base = langs.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.round(F.lit(float(n_epochs)) * F.col("n_tokens"), 6))
+        .cast("long")
+        .alias("cap_tokens"),
+    )
+    # K-row model state: the single-partition window is over language
+    # rows (bounded), never over the corpus
+    w = Window.orderBy("cap_tokens", "lang")
+    tot = base.agg(F.count("*").alias("__k"))
+    ranked = base.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number().over(w).alias("__i"),
+        (F.sum("cap_tokens").over(w) - F.col("cap_tokens")).alias("__pfx"),
+    )
+    budget = F.lit(int(token_budget)).cast("long")
+    capped = (
+        F.col("cap_tokens") * (F.col("__k") - F.col("__i") + 1)
+        <= budget - F.col("__pfx")
+    )
+    tagged = ranked.select("*", capped.alias("is_capped"))
+    stats = tagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("cap_tokens"))), F.lit(0)
+        ).alias("__csum"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.lit(1))), F.lit(0)
+        ).alias("__ncap"),
+    )
+    n_unc = F.col("__k") - F.col("__ncap")
+    share = F.when(
+        n_unc > 0,
+        F.floor((budget - F.col("__csum")) / n_unc).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    alloc = F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(share)
+    return tagged.crossJoin(F.broadcast(stats)).select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        "is_capped",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs_used"),
+    )

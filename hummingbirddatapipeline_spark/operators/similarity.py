@@ -877,3 +877,208 @@ def pca_power_top1(
         ).alias("pc1_score"),
     )
     return proj, comp
+
+
+def hamming_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+    mean_dp: int = 8,
+) -> DataFrame:
+    """Binary-code ANN: binarize every vector against the corpus
+    per-dimension means (``sign(x_d - mean_d)`` — the zero-rotation
+    special case of ITQ, Gong et al. 2013), pack the bits into
+    BIGINT words, and rank by exact Hamming distance via
+    ``bit_count(xor)`` — the 32x-compressed scan that screens
+    candidates before an exact re-rank at 100 TB (64 floats -> 2
+    longs per vector; the distance is two CPU instructions).
+
+    Everything after the thresholds is INTEGER: bit j of word w is
+    ``v[32w+j] > mean[32w+j]`` (ties -> 0), packed as
+    ``sum bit * 2^j`` (Horner on the Spark side, explicit shifts in
+    the SQL twin — same integer), and Hamming = sum of per-word
+    popcounts of xor. No floats enter the ranking, so the row is
+    hash-exact under any partitioning by construction. The 8dp-rounded
+    means are the corpus statistic (one aggregate row, broadcast —
+    never collected to the driver).
+
+    Scale shape: ONE corpus aggregate for the means, ONE map-side
+    packing pass per side, then the same broadcast-queries cross join
+    as :func:`cosine_topk` at 1/32 the operand width.
+
+    Returns (query_id, vec_id, hamming, rank); ties -> lowest item id.
+    """
+    n_words = (dim + 31) // 32
+    means = F.broadcast(
+        items.agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.col(item_vec)[i]), mean_dp)
+                    for i in range(dim)
+                ]
+            ).alias("__ms")
+        )
+    )
+
+    def words(vec: str) -> list[Column]:
+        out = []
+        for w in range(n_words):
+            word = F.lit(0).cast("long")
+            for j in reversed(range(min(32, dim - 32 * w))):
+                d = 32 * w + j
+                bit = (
+                    F.element_at(F.col(vec), d + 1)
+                    > F.element_at(F.col("__ms"), d + 1)
+                ).cast("long")
+                word = word * 2 + bit
+            out.append(word.alias(f"__b{w}"))
+        return out
+
+    coded_items = items.crossJoin(means).select(item_id, *words(item_vec))
+    coded_queries = queries.crossJoin(means).select(
+        query_id, *[c.alias(f"__q{w}") for w, c in enumerate(words(query_vec))]
+    )
+    pairs = coded_items.crossJoin(F.broadcast(coded_queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(item_id) != F.col(query_id))
+    hamming = sum(
+        (
+            F.bit_count(
+                F.col(f"__b{w}").bitwiseXOR(F.col(f"__q{w}"))
+            ).cast("int")
+            for w in range(n_words)
+        ),
+        F.lit(0),
+    )
+    scored = pairs.select(query_id, item_id, hamming.alias("hamming"))
+    w = Window.partitionBy(query_id).orderBy("hamming", F.col(item_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze, Schmid 2011): split each vector into ``m``
+    subspaces, train a ``k_codes``-entry codebook per subspace with
+    :func:`kmeans_refine` (seeded from the first ``k_codes`` vectors
+    by id — deterministic, engine-derivable), encode every vector as
+    ``m`` small codes, and rank by the ADC approximation
+    ``sum_s ||q_s - codebook_s[code_s(v)]||^2`` — each query probes a
+    precomputed m x k_codes distance table instead of touching raw
+    floats, the standard memory-bound ANN layout at billion scale
+    (m bytes per vector instead of 4*dim).
+
+    Determinism inherits kmeans_refine's quantize regime (6dp
+    distances, ties -> lowest code, 8dp means per Lloyd iteration);
+    encode reuses the exact assignment expression; ADC table entries
+    round 6dp and the m-term sum is one fixed left-to-right addition
+    rounded 6dp, so both engines add the same doubles in the same
+    order.
+
+    Scale shape: training is m short kmeans_refine runs (offline
+    model fitting; each is map-side assignment + k x d_sub bounded
+    model state); encode is ONE map-side pass (codebooks ride the
+    plan as literals); search is the broadcast-queries cross join at
+    ``m`` ints per item with per-query tables BUILT IN THE PLAN
+    (literal codebooks against the query vector — no driver-side
+    data pull). The seed collect is ``k_codes`` rows of model state
+    (the kmeans seed class, documented).
+
+    Returns (query_id, vec_id, adc_dist, rank); ties -> lowest id.
+    """
+    if dim % m != 0:
+        raise ValueError("pq_topk: dim must be divisible by m")
+    d_sub = dim // m
+    sub = lambda vec, s: F.slice(vec, s * d_sub + 1, d_sub)  # noqa: E731
+
+    seed_rows = (
+        items.orderBy(item_id)
+        .limit(k_codes)
+        .select(F.transform(item_vec, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    if len(seed_rows) < k_codes:
+        raise ValueError("pq_topk: fewer than k_codes vectors")
+
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        seeds = [r["v"][s * d_sub : (s + 1) * d_sub] for r in seed_rows]
+        sub_items = items.select(
+            item_id, sub(F.col(item_vec), s).alias(item_vec)
+        )
+        _, cents = kmeans_refine(sub_items, seeds, n_iter=n_iter)
+        codebooks.append(cents)
+
+    def sqdist(vec: Column, c: list[float]) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    def code(vec: Column, s: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sqdist(sub(vec, s), c).alias("d"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(codebooks[s])
+                ]
+            )
+        )["cid"]
+
+    coded = items.select(
+        item_id,
+        *[code(F.col(item_vec), s).alias(f"__c{s}") for s in range(m)],
+    )
+    tables = queries.select(
+        query_id,
+        *[
+            F.array(
+                *[sqdist(sub(F.col(query_vec), s), c) for c in codebooks[s]]
+            ).alias(f"__t{s}")
+            for s in range(m)
+        ],
+    )
+    pairs = coded.crossJoin(F.broadcast(tables))
+    if exclude_self:
+        pairs = pairs.filter(F.col(item_id) != F.col(query_id))
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(F.col(f"__t{s}"), F.col(f"__c{s}") + 1)
+    scored = pairs.select(
+        query_id, item_id, F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(item_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
