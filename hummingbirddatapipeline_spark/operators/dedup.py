@@ -353,6 +353,7 @@ def jaccard_pairs_prefix(
     threshold: float = 0.8,
     shingle_size: int = 1,
     dense_vocab_limit: int = 64,
+    mask_vocab_limit: int = 1024,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via prefix filtering (the
     AllPairs technique of Bayardo, Ma & Srikant, WWW'07).
@@ -377,18 +378,34 @@ def jaccard_pairs_prefix(
     Jaccard is two native ``bit_count`` ops per pair, and the
     unavoidable all-pairs probe runs at codegen speed (the shared
     sf0.1 pair-set build: 31 s -> 6.5 s measured). Identical output —
-    the mask arithmetic is the set arithmetic.
+    the mask arithmetic is the set arithmetic. The all-pairs form is
+    quadratic in N, but the r10 scale probe measured it as STILL the
+    best exact strategy at vocab <= 64 (50k docs / 1.25G probes:
+    396 s dense vs >12 min for prefix candidates, whose posting lists
+    are ~corpus-length at that vocabulary) — on a tiny-vocab corpus
+    the true pair set is itself near-quadratic, so the work is
+    output-bound, not a plan defect.
+
+    Two r10-probe hardenings on the prefix path: candidates carry the
+    PPJoin length filter (J >= t forces min(n)/max(n) >= t; the
+    floor() form under-estimates so float rounding can only ADMIT a
+    candidate, never drop a true pair), and when the vocabulary fits
+    ``mask_vocab_limit`` the verify runs on multi-word int64 bitmasks
+    (ceil(v/64) longs per doc, popcount-AND per word) instead of
+    string-array intersections — same integer counts, same 6dp
+    jaccard, string verify remains the open-vocabulary fallback.
     """
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("__sh")
     ).filter(F.size("__sh") > 0)
 
-    if 0 < dense_vocab_limit <= 64:
+    n_vocab = None
+    if 0 < max(dense_vocab_limit, mask_vocab_limit):
         vocab = (
             sh.select(F.explode("__sh").alias("w")).distinct()
         )
-        n_vocab = vocab.limit(dense_vocab_limit + 1).count()
-        if n_vocab <= dense_vocab_limit:
+        n_vocab = vocab.limit(max(dense_vocab_limit, mask_vocab_limit) + 1).count()
+        if 0 < n_vocab <= min(dense_vocab_limit, 64):
             return _jaccard_pairs_dense_mask(sh, id_col, threshold)
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("n"))
     tok = sh.select(F.col(id_col), F.explode("__sh").alias("w"))
@@ -402,15 +419,33 @@ def jaccard_pairs_prefix(
             F.col("__pos")
             <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1
         )
-        .select(F.col(id_col), "w")
+        .select(F.col(id_col), "w", "n")
     )
+    # PPJoin length filter: J >= t forces min(n)/max(n) >= t, so only
+    # size-compatible docs can pair; floor() under-estimates t*n, so
+    # float rounding can only admit extra candidates, never drop a
+    # true pair. Applied inside the join, BEFORE the distinct shuffle.
+    t = F.lit(float(threshold))
     cands = (
-        pref.select(F.col(id_col).alias("id_a"), "w")
-        .join(pref.select(F.col(id_col).alias("id_b"), "w"), "w")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pref.select(
+            F.col(id_col).alias("id_a"), "w", F.col("n").alias("__na")
+        )
+        .join(
+            pref.select(
+                F.col(id_col).alias("id_b"), "w", F.col("n").alias("__nb")
+            ),
+            "w",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na") >= F.floor(t * F.col("__nb")))
+            & (F.col("__nb") >= F.floor(t * F.col("__na")))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
+    if n_vocab is not None and n_vocab <= mask_vocab_limit:
+        return _jaccard_verify_masks(sh, cands, id_col, threshold)
     # full-set verify on the string shingles (no hashing: the counts —
     # and therefore the rounded jaccard — must equal the all-pairs form
     # bit for bit)
@@ -424,6 +459,78 @@ def jaccard_pairs_prefix(
             "jaccard",
             F.col("inter")
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _jaccard_verify_masks(
+    sh: DataFrame, cands: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Verify prefix candidates on multi-word int64 bitmasks: the
+    (collected, <= mask_vocab_limit-term) vocabulary maps each shingle
+    to one bit of ceil(v/64) longs, intersection is a popcount-AND per
+    word, and the jaccard arithmetic is byte-identical to the
+    string-array form (set counts are set counts). The vocab collect
+    is the dense regime's documented bounded-model-state class, one
+    order larger."""
+    spark = sh.sparkSession
+    terms = sorted(
+        r["w"]
+        for r in sh.select(F.explode("__sh").alias("w")).distinct().collect()
+    )
+    n_words = (len(terms) + 63) // 64
+    idx_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], schema="w string, __idx int"
+        )
+    )
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), __idx % 64)")
+    masked = (
+        sh.select(
+            F.col(id_col),
+            F.size("__sh").alias("__n"),
+            F.explode("__sh").alias("w"),
+        )
+        .join(idx_df, "w")
+        .groupBy(id_col, "__n")
+        .agg(
+            *[
+                F.coalesce(
+                    F.bit_or(
+                        F.when(F.col("__idx") - (F.col("__idx") % 64) == 64 * j, bit)
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias(f"__m{j}")
+                for j in range(n_words)
+            ]
+        )
+    )
+    a = masked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__n").alias("__na"),
+        *[F.col(f"__m{j}").alias(f"__a{j}") for j in range(n_words)],
+    )
+    b = masked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__n").alias("__nb"),
+        *[F.col(f"__m{j}").alias(f"__b{j}") for j in range(n_words)],
+    )
+    inter = sum(
+        (
+            F.bit_count(F.col(f"__a{j}").bitwiseAND(F.col(f"__b{j}")))
+            for j in range(n_words)
+        ),
+        F.lit(0),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("__na") + F.col("__nb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -145,5 +145,15 @@ def test_jaccard_pairs_dense_mask_equals_prefix_path(spark, sf_dir):
             docs, "text", "doc_id", 0.85, 1, dense_vocab_limit=0
         ).collect()
     }
+    # three-way: dense all-pairs == prefix+mask-verify == prefix+string
+    # (dense_vocab_limit=0 now lands on the multi-word mask verify when
+    # the vocab fits; mask_vocab_limit=0 forces the string-array verify)
+    strings = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(
+            docs, "text", "doc_id", 0.85, 1,
+            dense_vocab_limit=0, mask_vocab_limit=0,
+        ).collect()
+    }
     assert len(dense) > 0
-    assert dense == sparse
+    assert dense == sparse == strings

@@ -76,10 +76,16 @@ PROBE = [
     "similarity_ivf_incremental_add",
     "similarity_semantic_dedup",
     "dedup_minhash_pairs",
+    # round-10 registrations
+    "text_winnow_fingerprints",
+    "similarity_kmeans_refine",
+    "similarity_pca_top1",
+    "curation_decontaminate_clusters",
+    "layout_shard_manifest",
 ]
 
 
-def build(spark, out_dir: str, copies: int) -> None:
+def build(spark, out_dir: str, copies: int, doc_mode: str = "neardup") -> None:
     from pyspark.sql import functions as F
 
     from hummingbirddatapipeline_spark.tables import load
@@ -96,12 +102,31 @@ def build(spark, out_dir: str, copies: int) -> None:
             df = base
             for col, off in offsets.items():
                 df = df.withColumn(col, F.col(col) + F.lit(k * off))
-            if t == "documents" and True:
-                # perturb text so replicas are near-dups, not byte-dups
-                df = df.withColumn(
-                    "text",
-                    F.concat(F.col("text"), F.lit(f" probedup{k}")),
-                )
+            if t == "documents":
+                if doc_mode == "neardup":
+                    # perturb text so replicas are near- not byte-dups:
+                    # ADVERSARIAL for dup-sensitive families (every doc
+                    # becomes a `copies`-clique — the boilerplate skew
+                    # regime, pairs grow quadratically in `copies`)
+                    df = df.withColumn(
+                        "text",
+                        F.concat(F.col("text"), F.lit(f" probedup{k}")),
+                    )
+                elif doc_mode == "distinct" and k > 0:
+                    # rewrite every token so copies share NO shingles:
+                    # 10x corpus growth at CONSTANT near-dup density —
+                    # the fair linear-scaling model for dedup /
+                    # decontamination / similarity families
+                    df = df.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.trim("text"), r"\s+"),
+                                lambda tok: F.concat(F.lit(f"c{k}"), tok),
+                            ),
+                            " ",
+                        ),
+                    )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -117,6 +142,15 @@ def main() -> None:
     ap.add_argument("--dir", default="/tmp/sfprobe1")
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument(
+        "--doc-mode",
+        choices=["neardup", "distinct"],
+        default="neardup",
+        help="replica text: near-dup cliques (adversarial skew regime) "
+        "or token-rewritten distinct copies (constant dup density — "
+        "the fair scaling model for dedup/decontamination families); "
+        "use a separate --dir per mode",
+    )
+    ap.add_argument(
         "--queries",
         default=None,
         help="comma-separated subset of PROBE to run (default: all)",
@@ -130,10 +164,14 @@ def main() -> None:
     spark = get_spark("hummingbird-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    marker = os.path.join(args.dir, f".built_{args.copies}x")
+    marker = os.path.join(args.dir, f".built_{args.copies}x_{args.doc_mode}")
+    if args.doc_mode == "neardup" and os.path.exists(
+        os.path.join(args.dir, f".built_{args.copies}x")  # pre-mode marker
+    ):
+        open(marker, "w").write("ok\n")
     if args.rebuild or not os.path.exists(marker):
         t0 = time.perf_counter()
-        build(spark, args.dir, args.copies)
+        build(spark, args.dir, args.copies, args.doc_mode)
         open(marker, "w").write("ok\n")
         print(
             json.dumps(
@@ -147,7 +185,7 @@ def main() -> None:
     try:
         with open(
             os.path.join(os.path.dirname(os.path.dirname(__file__)) or ".",
-                         "BENCH_LOCAL_r09.json")
+                         "BENCH_LOCAL_r10.json")
         ) as f:
             baseline = json.load(f).get("queries_cold", {})
     except OSError:
