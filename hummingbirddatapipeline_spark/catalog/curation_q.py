@@ -647,6 +647,84 @@ def curation_decontaminate_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     return decontaminate_clusters(docs, bench, pairs, n=5)
 
 
+# --- r13-banked oracle builder (NOT yet registered; recipe:
+# PLANS.md "r13 registration recipe").
+
+def _bloom_screen_sql(
+    n: int = 5,
+    n_words: int = 16,
+    n_hashes: int = 3,
+    min_hits: int = 1,
+) -> str:
+    """Independent DuckDB formulation of the Bloom-filter
+    decontamination screen (operators/contamination.bloom_gram_screen):
+    rebuilds the benchmark gram set (docs 0-19, the
+    text_contamination_check fixture), folds the 52-bit-md5 positions
+    into 63-bit BIGINT words with bit_or, and probes every corpus gram
+    with the same shift/AND arithmetic — integers end to end, so the
+    screen labeling is hashed exactly."""
+    m_bits = n_words * 63
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= {n}
+                    THEN list_transform(range(len(t) - {n - 1}),
+                                        i -> array_to_string(
+                                               t[i + 1 : i + {n}], ' '))
+                    ELSE []::VARCHAR[] END
+             ) AS gs
+      FROM toks
+    ),
+    hseq AS (SELECT unnest(range({n_hashes})) AS j),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 20
+    ),
+    bpos AS (
+      SELECT CAST('0x' || substr(md5(g || '#b' || CAST(j AS VARCHAR)),
+                                 1, 13) AS BIGINT) % {m_bits} AS p
+      FROM bench CROSS JOIN hseq
+    ),
+    words AS (
+      SELECT p // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS wd
+      FROM bpos GROUP BY 1
+    ),
+    dg AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 20
+    ),
+    probe AS (
+      SELECT doc_id, g, j,
+             CAST('0x' || substr(md5(g || '#b' || CAST(j AS VARCHAR)),
+                                 1, 13) AS BIGINT) % {m_bits} AS p
+      FROM dg CROSS JOIN hseq
+    ),
+    checks AS (
+      SELECT doc_id, g,
+             MIN(CASE WHEN ((wd >> CAST(p % 63 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS hit
+      FROM probe LEFT JOIN words ON words.w = p // 63
+      GROUP BY doc_id, g
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(g) AS n_grams, SUM(hit) AS n_bloom_hits
+      FROM checks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+           COALESCE(p.n_bloom_hits, 0) >= {min_hits} AS screened
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+    LEFT JOIN perdoc p USING (doc_id)
+    """
+
+
 # --- r11-banked oracle builder (NOT yet registered: the r10 driver
 # window is full; recipe: PLANS.md "r11 registration recipe").
 
@@ -707,4 +785,106 @@ def _distill_stump_sql(top_frac: float = 0.3) -> str:
            CAST(b.n_correct AS BIGINT) AS n_correct,
            CAST(b.n_docs AS BIGINT) AS n_docs
     FROM lab l CROSS JOIN best b
+    """
+
+
+def _logreg_quality_sql(
+    lr: float = 1.0, n_iter: int = 3, top_frac: float = 0.3
+) -> str:
+    """Independent DuckDB formulation of in-engine logistic-regression
+    quality-classifier training (pipelines/curation.
+    logreg_quality_train): re-derives the teacher percentile labels,
+    the 6dp features and exact-decimal standardization stats, then
+    unrolls EVERY gradient-descent iteration as a chained CTE — the
+    rational-sigmoid link and the DECIMAL(38,10) gradient sums make
+    the whole trajectory engine-exact, so the per-doc scores and
+    predictions are hashed bit-for-bit."""
+    k = 3
+    T = _DUCK_TOKS_CASED
+
+    # raw double margin/sigmoid — no intermediate rounding (IEEE ops on
+    # identical inputs are bit-identical; see the operator's docstring)
+    marg = "(p.w0 + p.w1 * z.z0 + p.w2 * z.z1 + p.w3 * z.z2)"
+    sigf = f"(0.5 + 0.5 * {marg} / (1.0 + ABS({marg})))"
+
+    iters = ["i0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    for t in range(1, n_iter + 1):
+        upds = [
+            f"ROUND(p.w0 + {lr} * CAST(SUM(CAST(ROUND(z.yd - {sigf}, 10)"
+            f" AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 8) AS w0"
+        ]
+        for j in range(k):
+            upds.append(
+                f"ROUND(p.w{j + 1} + {lr} * CAST(SUM(CAST("
+                f"ROUND((z.yd - {sigf}) * z.z{j}, 10)"
+                f" AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 8)"
+                f" AS w{j + 1}"
+            )
+        iters.append(
+            f"i{t} AS (SELECT {', '.join(upds)} "
+            f"FROM z CROSS JOIN i{t - 1} p "
+            f"GROUP BY p.w0, p.w1, p.w2, p.w3)"
+        )
+    # the 10dp sigmoid is emitted as-is: re-rounding to 8dp creates
+    # exact decimal ties the engines break differently (see operator)
+    score = sigf
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, {_QUALITY} AS teach,
+             ROUND(CAST(len({T}) AS DOUBLE), 6) AS x0,
+             ROUND(COALESCE(list_sum(list_transform({T},
+                     t -> length(t))) / CAST(NULLIF(len({T}), 0)
+                     AS DOUBLE), 0.0), 6) AS x1,
+             ROUND(CAST(n_chars AS DOUBLE), 6) AS x2
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, x0, x1, x2,
+             PERCENT_RANK() OVER (ORDER BY teach, doc_id)
+               >= {1.0 - top_frac} AS yb,
+             CASE WHEN PERCENT_RANK() OVER (ORDER BY teach, doc_id)
+               >= {1.0 - top_frac} THEN 1.0 ELSE 0.0 END AS yd
+      FROM feat
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x0 AS DECIMAL(26,6))) AS s0,
+             SUM(CAST(x1 AS DECIMAL(26,6))) AS s1,
+             SUM(CAST(x2 AS DECIMAL(26,6))) AS s2,
+             SUM(CAST(ROUND(x0 * x0, 12) AS DECIMAL(38,12))) AS q0,
+             SUM(CAST(ROUND(x1 * x1, 12) AS DECIMAL(38,12))) AS q1,
+             SUM(CAST(ROUND(x2 * x2, 12) AS DECIMAL(38,12))) AS q2
+      FROM lab
+    ),
+    mu AS (
+      SELECT n, q0, q1, q2,
+             ROUND(CAST(s0 AS DOUBLE) / n, 8) AS mu0,
+             ROUND(CAST(s1 AS DOUBLE) / n, 8) AS mu1,
+             ROUND(CAST(s2 AS DOUBLE) / n, 8) AS mu2
+      FROM sums
+    ),
+    st AS (
+      SELECT mu0, mu1, mu2,
+             ROUND(SQRT(GREATEST(ROUND(CAST(q0 AS DOUBLE) / n
+               - mu0 * mu0, 8), 1e-12)), 8) AS sd0,
+             ROUND(SQRT(GREATEST(ROUND(CAST(q1 AS DOUBLE) / n
+               - mu1 * mu1, 8), 1e-12)), 8) AS sd1,
+             ROUND(SQRT(GREATEST(ROUND(CAST(q2 AS DOUBLE) / n
+               - mu2 * mu2, 8), 1e-12)), 8) AS sd2
+      FROM mu
+    ),
+    z AS (
+      SELECT l.doc_id, l.yb, l.yd,
+             ROUND((l.x0 - st.mu0) / st.sd0, 6) AS z0,
+             ROUND((l.x1 - st.mu1) / st.sd1, 6) AS z1,
+             ROUND((l.x2 - st.mu2) / st.sd2, 6) AS z2
+      FROM lab l CROSS JOIN st
+    ),
+    {', '.join(iters)}
+    SELECT z.doc_id,
+           {score} AS score,
+           {score} >= 0.5 AS pred,
+           z.yb AS teacher_label,
+           ({score} >= 0.5) = z.yb AS correct
+    FROM z CROSS JOIN i{n_iter} p
     """

@@ -1187,3 +1187,44 @@ def _cdc_chunks_sql(window: int = 8, divisor: int = 8) -> str:
            c.n_tokens AS n_tokens
     FROM chunk
     """
+
+
+def _chunk_boilerplate_sql(
+    max_docs: int = 2, window: int = 8, divisor: int = 8
+) -> str:
+    """Independent DuckDB formulation of chunk-level boilerplate
+    removal (operators/dedup.strip_boilerplate_chunks): re-derives the
+    CDC chunk stream (:func:`_cdc_chunks_sql` as a nested CTE), marks
+    hashes occurring in more than ``max_docs`` distinct documents, and
+    recounts the per-document keep/drop report — all integer
+    arithmetic, so the report is hashed exactly."""
+    return f"""
+    WITH chunks AS ({_cdc_chunks_sql(window, divisor)}),
+    boiler AS (
+      SELECT chunk_hash FROM chunks
+      GROUP BY chunk_hash
+      HAVING COUNT(DISTINCT doc_id) > {max_docs}
+    ),
+    marked AS (
+      SELECT c.doc_id, c.n_tokens,
+             (b.chunk_hash IS NOT NULL) AS dropped
+      FROM chunks c LEFT JOIN boiler b USING (chunk_hash)
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_chunks_dropped,
+             SUM(n_tokens) AS n_tokens,
+             SUM(CASE WHEN dropped THEN 0 ELSE n_tokens END)
+               AS n_tokens_kept
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.n_chunks_dropped, 0) AS BIGINT)
+             AS n_chunks_dropped,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN perdoc p USING (doc_id)
+    """

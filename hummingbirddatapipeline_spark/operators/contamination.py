@@ -179,6 +179,112 @@ def winnow_containment(
     )
 
 
+def bloom_gram_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    n_words: int = 16,
+    n_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Bloom-filter decontamination SCREEN: the constant-size stand-in
+    for :func:`ngram_contamination`'s broadcast gram table when the
+    benchmark suite is too large to ship as a hash table.
+
+    The benchmark's distinct word ``n``-grams are folded into a Bloom
+    filter of ``n_words`` 63-bit words (``n_hashes`` set positions per
+    gram); the corpus probe then tests each document gram against the
+    filter with pure bit arithmetic — the filter rides the plan as ONE
+    broadcast row of BIGINTs, so the corpus side is a zero-shuffle scan
+    + one per-doc aggregate no matter how many grams the benchmark
+    holds. A 1e8-gram benchmark suite is a ~GB hash table but still
+    only ``n_words*8`` bytes of Bloom words at the same plan shape
+    (size the filter off-line: FP rate ~ (1-e^{-hN/m})^h).
+
+    Guarantee (the screen contract): NO FALSE NEGATIVES — every
+    document :func:`ngram_contamination` flags is flagged here, because
+    all ``n_hashes`` positions of a benchmark gram are set by
+    construction. False positives pass the screen and are cleaned by
+    running the exact check on the (small) screened subset — the
+    screen-then-verify layout, same as the ANN rerank rows.
+
+    Cross-engine exactness choices: positions come from the repo's
+    52-bit md5 idiom (``conv(substr(md5(gram || '#b<j>'),1,13),16,10)``
+    — bit-identical in DuckDB as ``CAST('0x'||... AS BIGINT)``), and
+    words hold 63 usable bits (bit 62 max) because DuckDB raises on
+    ``1 << 63`` where Spark wraps to the sign bit — one dead bit per
+    word buys an engine-exact filter.
+
+    Returns (id_col, n_grams, n_bloom_hits, screened).
+    """
+    m_bits = n_words * 63
+
+    def positions(g: Column) -> list[Column]:
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(g, F.lit(f"#b{j}"))), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for j in range(n_hashes)
+        ]
+
+    # Spark's shiftleft/shiftright only accept literal bit counts from
+    # the DataFrame API — the data-dependent shifts go through F.expr.
+    bench_pos = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
+        )
+        .distinct()
+        .select(F.explode(F.array(*positions(F.col("g")))).alias("p"))
+    )
+    bloom_row = bench_pos.groupBy().agg(
+        *[
+            F.coalesce(
+                F.bit_or(
+                    F.expr(
+                        f"CASE WHEN CAST(p DIV 63 AS INT) = {j} THEN "
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(p % 63 AS INT)) END"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias(f"__bw{j}")
+            for j in range(n_words)
+        ]
+    )
+
+    doc_grams = docs.select(
+        id_col, F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    probed = doc_grams.crossJoin(F.broadcast(bloom_row))
+    for j, p in enumerate(positions(F.col("g"))):
+        probed = probed.withColumn(f"__p{j}", p)
+    arr_sql = "array(" + ", ".join(f"__bw{j}" for j in range(n_words)) + ")"
+    check_sql = " AND ".join(
+        f"(shiftright(element_at({arr_sql}, CAST(__p{j} DIV 63 AS INT) + 1),"
+        f" CAST(__p{j} % 63 AS INT)) & 1) = 1"
+        for j in range(n_hashes)
+    )
+    flagged = probed.withColumn(
+        "__hit",
+        F.coalesce(F.expr(check_sql), F.lit(False)).cast("int"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("g").alias("n_grams"),
+        F.sum("__hit").alias("n_bloom_hits"),
+        (F.sum("__hit") >= min_hits).alias("screened"),
+    )
+
+
 def decontaminate_clusters(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1254,3 +1254,71 @@ def incremental_minhash_dedup(
             "match_jaccard",
         )
     )
+
+
+def strip_boilerplate_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 2,
+    window: int = 8,
+    divisor: int = 8,
+) -> DataFrame:
+    """Chunk-level boilerplate removal — the CCNet paragraph-dedup rule
+    (Wenzek et al. 2020, arXiv:1911.00359 §3: drop paragraphs whose
+    hash repeats across the corpus) re-based on content-defined chunks
+    (functions/text.cdc_chunks), since token-stream corpora have no
+    paragraph marks and CDC boundaries are the insertion-robust
+    equivalent: a chunk is BOILERPLATE when its hash occurs in more
+    than ``max_docs`` distinct documents, and every occurrence is
+    dropped.
+
+    This is the transformation the r12 `text_cdc_chunks` candidate
+    stream exists to feed: whole-doc dedup misses a shared header or
+    license block pasted into thousands of otherwise-distinct pages;
+    chunk-frequency removal excises exactly the shared block.
+
+    Per-document report (the oracled surface)::
+
+        (id, n_chunks, n_chunks_dropped, n_tokens, n_tokens_kept)
+
+    Scale shape: chunking is zero-exchange per doc (pure expressions);
+    the chunk-frequency table needs one hash aggregate, but the
+    BOILERPLATE SET — hashes with > max_docs distinct docs — is small
+    by Zipf (only repeated content survives the filter), so the
+    drop-marking is a broadcast left join and the corpus never
+    shuffles at chunk width. Docs with zero chunks (empty text) report
+    all-zero rows rather than disappearing.
+    """
+    from hummingbirddatapipeline_spark.functions.text import cdc_chunks
+
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            cdc_chunks(F.col(text_col), window=window, divisor=divisor)
+        ).alias("__c"),
+    ).select(
+        id_col,
+        F.col("__c.chunk_hash").alias("__h"),
+        F.col("__c.n_tokens").alias("__nt"),
+    )
+    boiler = (
+        chunks.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__h", F.lit(1).alias("__drop"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "__h", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("__h").alias("n_chunks"),
+        F.coalesce(F.sum(F.col("__drop")), F.lit(0)).cast("long").alias(
+            "n_chunks_dropped"
+        ),
+        F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__drop").isNull(), F.col("__nt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )

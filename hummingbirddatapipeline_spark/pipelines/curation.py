@@ -385,3 +385,182 @@ def distill_quality_stump(
         "n_correct",
         "n_docs",
     )
+
+
+def logreg_quality_train(
+    feats: DataFrame,
+    feature_cols: "list[str]",
+    id_col: str = "doc_id",
+    label_col: str = "teacher_label",
+    lr: float = 1.0,
+    n_iter: int = 3,
+) -> DataFrame:
+    """In-engine quality-classifier TRAINING: full-batch gradient
+    descent on a logistic-regression-shaped model over heuristic
+    quality features, labeled by the teacher percentile (the same
+    FineWeb-Edu / DCLM distillation setting as
+    :func:`distill_quality_stump`, upgraded from a one-feature stump
+    to a trained linear model) — the supervised completion of the
+    repo's in-engine training arc (kmeans_refine, pca_power_top1, PQ
+    codebooks).
+
+    Deterministic cross-engine regime (the kmeans/pagerank playbook):
+
+    - features quantized to 6dp; standardization stats from EXACT
+      decimal sums (mean 8dp, variance 8dp with a 1e-12 floor,
+      stddev = ROUND(SQRT(...), 8)); z-scores 6dp;
+    - the link is the RATIONAL sigmoid s = 0.5 + 0.5*m/(1+|m|)
+      (documented deviation from exp-sigmoid: +,*,/,ABS are IEEE
+      correctly-rounded on BOTH engines, so there is NO exp/ln ULP
+      tie-window at all — same class of deviation as CDC's order-free
+      gear sum); margin and sigmoid are RAW fixed-order double
+      arithmetic with no intermediate rounding — identical inputs give
+      bit-identical doubles, while re-rounding already-quantized
+      values would manufacture decimal .5 ties;
+    - per-iteration gradients are SUMs of 10dp-rounded per-row
+      residual terms accumulated as DECIMAL(38,10) — exact and
+      associative under any partitioning (the pagerank exact-longs
+      regime); weight update ROUND(w + lr*grad/n, 8) computed INSIDE
+      the aggregate expression so the driver never does arithmetic —
+      it only ferries the (k+1)-value weight vector between
+      iterations (the documented bounded-model-state collect class,
+      kmeans_refine:~k*dim).
+
+    Scale shape: ONE localCheckpointed standardized frame; per
+    iteration ONE hash aggregate over it (map-side partial sums, k+1
+    decimal accumulators) — no shuffle of the corpus, no join; n_iter
+    bounded. Identical loop shape to spark.ml's LogisticRegression
+    aggregator, expressed as pure SQL so DuckDB replays the entire
+    trajectory (catalog/curation_q._logreg_quality_sql unrolls every
+    iteration as chained CTEs).
+
+    Returns one row per doc: (id, score, pred, label_col, correct).
+    """
+    k = len(feature_cols)
+    base = feats.select(
+        F.col(id_col),
+        F.col(label_col).cast("boolean").alias("__yb"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(f"__x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    sums = base.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(f"__x{j}").cast("decimal(26,6)")).alias(f"__s{j}")
+            for j in range(k)
+        ],
+        *[
+            F.sum(
+                F.round(F.col(f"__x{j}") * F.col(f"__x{j}"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).alias(f"__q{j}")
+            for j in range(k)
+        ],
+    )
+    mu = sums.select(
+        "__n",
+        *[F.col(f"__q{j}") for j in range(k)],
+        *[
+            F.round(
+                F.col(f"__s{j}").cast("double") / F.col("__n"), 8
+            ).alias(f"__mu{j}")
+            for j in range(k)
+        ],
+    )
+    st = mu.select(
+        *[F.col(f"__mu{j}") for j in range(k)],
+        *[
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.round(
+                            F.col(f"__q{j}").cast("double") / F.col("__n")
+                            - F.col(f"__mu{j}") * F.col(f"__mu{j}"),
+                            8,
+                        ),
+                        F.lit(1e-12),
+                    )
+                ),
+                8,
+            ).alias(f"__sd{j}")
+            for j in range(k)
+        ],
+    )
+    zf = (
+        base.crossJoin(F.broadcast(st))
+        .select(
+            id_col,
+            "__yb",
+            F.when(F.col("__yb"), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+                "__yd"
+            ),
+            *[
+                F.round(
+                    (F.col(f"__x{j}") - F.col(f"__mu{j}"))
+                    / F.col(f"__sd{j}"),
+                    6,
+                ).alias(f"__z{j}")
+                for j in range(k)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # margin and sigmoid carry NO intermediate rounding: +,*,/,ABS on
+    # identical double inputs are IEEE-correctly-rounded and therefore
+    # bit-identical on both engines, while re-rounding already-quantized
+    # values manufactures exact decimal .5 ties (~1%/row) that engine
+    # ROUND implementations break differently — rounding exists ONLY
+    # where summation order varies (the decimal gradient sums below)
+    def margin(w: "list[float]"):
+        m = F.lit(float(w[0]))
+        for j in range(k):
+            m = m + F.lit(float(w[j + 1])) * F.col(f"__z{j}")
+        return m
+
+    def sig(m):
+        return F.lit(0.5) + F.lit(0.5) * m / (F.lit(1.0) + F.abs(m))
+
+    w = [0.0] * (k + 1)
+    for _ in range(n_iter):
+        resid = F.col("__yd") - sig(margin(w))
+        exprs = [
+            F.round(
+                F.lit(float(w[0]))
+                + F.lit(float(lr))
+                * F.sum(F.round(resid, 10).cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                8,
+            ).alias("__w0")
+        ] + [
+            F.round(
+                F.lit(float(w[j + 1]))
+                + F.lit(float(lr))
+                * F.sum(
+                    F.round(resid * F.col(f"__z{j}"), 10).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias(f"__w{j + 1}")
+            for j in range(k)
+        ]
+        row = zf.groupBy().agg(*exprs).collect()[0]
+        w = [float(row[f"__w{j}"]) for j in range(k + 1)]
+
+    # the raw double score is emitted as-is (identical bits on both
+    # engines; the compare harness quantizes floats itself)
+    score = sig(margin(w))
+    return zf.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= 0.5).alias("pred"),
+        F.col("__yb").alias(label_col),
+        ((score >= 0.5) == F.col("__yb")).alias("correct"),
+    )
