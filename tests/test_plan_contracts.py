@@ -318,3 +318,83 @@ def test_kmeans_refine_assignment_is_map_side_only(spark, sf_dir):
     plan = _physical(assigned)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bloom_screen_corpus_never_shuffles_gram_width(spark, sf_dir):
+    """The Bloom screen's 100 TB claim: the filter rides the plan as
+    ONE broadcast row (a single 1xN BroadcastNestedLoopJoin — the
+    documented scalar-broadcast pattern), the corpus side never
+    sort-merge-joins or goes cartesian, and no corpus-sized hash table
+    is built."""
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        bloom_gram_screen,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _physical(
+        bloom_gram_screen(
+            docs.filter(F.col("doc_id") >= 20),
+            docs.filter(F.col("doc_id") < 20),
+            n=5,
+            n_words=256,
+            n_hashes=3,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_chunk_boilerplate_drop_marking_is_broadcast(spark, sf_dir):
+    """Boilerplate-chunk removal must mark drops via a broadcast hash
+    join of the (small-by-Zipf) repeated-hash set — never a
+    sort-merge join at corpus chunk width, never a cartesian."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        strip_boilerplate_chunks,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _physical(strip_boilerplate_chunks(docs, max_docs=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logreg_scoring_pass_is_map_side(spark, sf_dir):
+    """After training, logreg's scoring output must be a pure
+    projection over the localCheckpointed standardized frame — zero
+    exchanges, zero joins (the weights are plan literals, the kmeans
+    assignment contract)."""
+    from hummingbirddatapipeline_spark.pipelines.curation import (
+        logreg_quality_train,
+    )
+    from hummingbirddatapipeline_spark.functions.text import (
+        mean_token_len,
+        quality_score,
+        ws_token_count,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    teach = F.round(quality_score(F.col("text")), 2)
+    feats = docs.select(
+        "doc_id",
+        (
+            F.percent_rank().over(
+                Window.partitionBy().orderBy(teach, F.col("doc_id"))
+            )
+            >= F.lit(0.7)
+        ).alias("teacher_label"),
+        ws_token_count(F.col("text")).cast("double").alias("f_ntok"),
+        F.coalesce(mean_token_len(F.col("text")), F.lit(0.0)).alias("f_mtl"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+    )
+    out = logreg_quality_train(
+        feats, ["f_ntok", "f_mtl", "f_chars"], lr=1.0, n_iter=2
+    )
+    plan = _physical(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
