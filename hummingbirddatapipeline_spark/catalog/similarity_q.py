@@ -1023,3 +1023,57 @@ def _pq_topk_sql(
     ) WHERE rank <= {k}
     """)
     return "".join(parts)
+
+
+def _matryoshka_sql(
+    dims: "tuple[int, ...]" = (16, 64), k: int = 10, n_queries: int = 5
+) -> str:
+    """Independent DuckDB formulation of Matryoshka truncation recall
+    (operators/similarity.matryoshka_recall): re-ranks the full-dim
+    AND each d-truncated exact cosine top-k from the raw embeddings
+    (6dp + id tiebreak, the similarity_cosine_topk arithmetic) and
+    recounts the overlap — integers + one exact division."""
+
+    def dot(d: "int | None") -> str:
+        sl = f"[1:{d}]" if d else ""
+        a, q = f"(a.embedding::DOUBLE[]){sl}", f"(q.embedding::DOUBLE[]){sl}"
+        return (
+            f"list_dot_product({a}, {q})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({q}, {q})))"
+        )
+
+    def ranking(d: "int | None", name: str) -> str:
+        return f"""{name} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        FROM (SELECT q.vec_id AS query_id, a.vec_id,
+                     ROUND({dot(d)}, 6) AS sim
+              FROM embeddings a
+              CROSS JOIN (SELECT * FROM embeddings
+                          WHERE vec_id < {n_queries}) q
+              WHERE a.vec_id <> q.vec_id))
+      WHERE rank <= {k})"""
+
+    ctes = [ranking(None, "fullr")] + [
+        ranking(d, f"trunc{d}") for d in dims
+    ]
+    sels = [
+        f"""SELECT qq.query_id, {d} AS dim,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE)
+                 / CAST({k} AS DOUBLE), 6) AS recall
+    FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+          WHERE vec_id < {n_queries}) qq
+    LEFT JOIN (SELECT f.query_id, COUNT(*) AS n
+               FROM fullr f JOIN trunc{d} t USING (query_id, vec_id)
+               GROUP BY f.query_id) o USING (query_id)"""
+        for d in dims
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(sels)
+    )

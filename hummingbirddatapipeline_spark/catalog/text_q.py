@@ -1228,3 +1228,109 @@ def _chunk_boilerplate_sql(
     FROM (SELECT doc_id FROM documents) d
     LEFT JOIN perdoc p USING (doc_id)
     """
+
+
+def _dup_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
+    """Independent DuckDB formulation of maximal duplicated-span
+    extraction (operators/dedup.dup_span_extract): re-derives every
+    stride-1 k-token window, the corpus occurrence counts, the
+    overlap/touch island merge (LAG + running-sum breaks), and the
+    per-span extents — all integer arithmetic, hashed exactly."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_CASED} AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS wh
+      FROM (SELECT doc_id, t,
+                   unnest(range(CASE WHEN len(t) >= {k}
+                                     THEN len(t) - {k} + 1
+                                     ELSE 0 END)) AS i
+            FROM toks)
+    ),
+    occ AS (
+      SELECT wh FROM wins GROUP BY wh
+      HAVING COUNT(*) >= {min_occurrences}
+    ),
+    dup AS (SELECT w.doc_id, w.start FROM wins w JOIN occ USING (wh)),
+    brks AS (
+      SELECT doc_id, start,
+             CASE WHEN start - LAG(start) OVER (
+                    PARTITION BY doc_id ORDER BY start) <= {k}
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM brks
+    )
+    SELECT doc_id,
+           CAST(g AS BIGINT) AS span_seq,
+           CAST(MIN(start) AS BIGINT) AS start_token,
+           CAST(MAX(start) + {k} - MIN(start) AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+    FROM isl GROUP BY doc_id, g
+    """
+
+
+def _perplexity_buckets_sql(lam: float = 0.9) -> str:
+    """Independent DuckDB formulation of CCNet perplexity bucketing
+    (operators/retrieval.perplexity_buckets): re-derives the
+    interpolated bigram NLL from scratch and assigns per-language
+    thirds with PERCENT_RANK over (mean_nll, doc_id); NULL-NLL docs
+    are bucketed 'none' OUTSIDE the window (Spark ranks NULLS FIRST,
+    DuckDB NULLS LAST — excluding them keeps the rank arithmetic
+    engine-identical)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM occ GROUP BY w),
+    tot AS (SELECT SUM(c) AS t_occ FROM uni),
+    big AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    dtf AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM big GROUP BY doc_id, w1, w2
+    ),
+    bg AS (SELECT w1, w2, SUM(tf) AS cb FROM dtf GROUP BY w1, w2),
+    nllt AS (
+      SELECT b.w1, b.w2,
+             -ln({lam!r} * b.cb / u1.c
+                 + {(1.0 - lam)!r} * u2.c / t.t_occ) AS nll
+      FROM bg b
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN tot t
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(tf * nll) / SUM(tf), 4) AS mean_nll
+      FROM dtf JOIN nllt USING (w1, w2) GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(p.n_bigrams, 0) AS n_bigrams, p.mean_nll
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, PERCENT_RANK() OVER (
+               PARTITION BY lang ORDER BY mean_nll, doc_id) AS pr
+      FROM joined WHERE mean_nll IS NOT NULL
+    )
+    SELECT doc_id, lang, n_bigrams, mean_nll,
+           CASE WHEN pr < (1.0 / 3.0) THEN 'head'
+                WHEN pr < (1.0 / 3.0) * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    UNION ALL
+    SELECT doc_id, lang, n_bigrams, mean_nll, 'none' AS bucket
+    FROM joined WHERE mean_nll IS NULL
+    """

@@ -1322,3 +1322,84 @@ def strip_boilerplate_chunks(
         .cast("long")
         .alias("n_tokens_kept"),
     )
+
+
+def dup_span_extract(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated-span extraction — the actionable completion
+    of the Lee et al. 2022 substring-dedup family: where
+    ``text_substring_dup(_stride1)`` reports per-doc duplication
+    COUNTS, this emits the actual token spans a dedup pass would CUT.
+
+    Every full ``k``-token window (stride 1) is hashed; windows whose
+    hash occurs >= ``min_occurrences`` times corpus-wide are
+    duplicated; per document, duplicated windows whose covered
+    intervals overlap or touch (next_start <= prev_start + k) merge
+    into one maximal span. Output one row per span::
+
+        (id, span_seq, start_token, span_tokens, n_dup_windows)
+
+    with 0-based token offsets, ``span_tokens`` the covered length
+    (max_start + k - start), and ``span_seq`` the 1-based per-doc span
+    ordinal in token order. All arithmetic is integral, so both
+    engines agree bit-for-bit.
+
+    Scale shape: windowing is zero-exchange codegen
+    (functions/text.chunk_token_windows); the occurrence table is one
+    hash aggregate over 8-byte xxhash64 longs; the dup filter is a
+    skinny (hash) join; the island merge is ONE doc-keyed exchange
+    shared by the lag window and the span aggregate. Nothing shuffles
+    at text width.
+    """
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import (
+        chunk_token_windows,
+    )
+
+    wins = (
+        chunk_token_windows(
+            docs, text_col, id_col, chunk_tokens=k, stride=1
+        )
+        .filter(F.col("n_tokens") == k)
+        .select(
+            id_col,
+            F.col("chunk_idx").alias("__start"),
+            F.xxhash64("chunk_text").alias("__wh"),
+        )
+    )
+    occ = (
+        wins.groupBy("__wh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("__wh", F.col("__c").alias("__occ"))
+    )
+    dup = wins.join(occ, "__wh").select(id_col, "__start")
+    w = Window.partitionBy(id_col).orderBy("__start")
+    isl = dup.withColumn(
+        "__brk",
+        F.when(
+            F.col("__start") - F.lag("__start").over(w) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("__start").alias("start_token"),
+        (F.max("__start") + k - F.min("__start")).alias("span_tokens"),
+        F.count("*").alias("n_dup_windows"),
+    ).select(
+        F.col(id_col),
+        F.col("__isl").cast("long").alias("span_seq"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+    )

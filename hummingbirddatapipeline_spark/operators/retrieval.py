@@ -275,3 +275,60 @@ def unigram_logprob(
             "mean_nll",
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lam: float = 0.9,
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the interpolated bigram LM
+    (:func:`bigram_logprob`) and split EACH LANGUAGE into equal
+    perplexity thirds — ``head`` (lowest NLL: fluent/common),
+    ``middle``, ``tail`` (highest: noise/outliers). CCNet keeps head+
+    middle or trains on buckets separately; per-language ranking is
+    what stops a low-resource language from being graded against
+    English fluency.
+
+    Buckets come from percent_rank over (mean_nll, id) within each
+    language — exact integer rank arithmetic with an id tiebreak, so
+    the labeling is engine-deterministic even where 4dp NLLs tie.
+    Docs with < 2 tokens (no bigrams) get bucket ``none``.
+
+    Returns (id, lang, n_bigrams, mean_nll, bucket).
+
+    Scale shape: the LM scoring is bigram_logprob's audited plan (one
+    unigram + one bigram explode, equi-joins only); the bucketing adds
+    ONE language-keyed exchange for the rank window. At 100 TB
+    languages are few and large — percentile-per-group is the same
+    shape as curation_quality_percentile.
+    """
+    from pyspark.sql.window import Window
+
+    nll = bigram_logprob(docs, text_col=text_col, id_col=id_col, lam=lam)
+    lang = docs.select(id_col, lang_col)
+    scored = nll.join(lang, id_col)
+    # NULL-NLL docs must stay OUT of the rank window: Spark orders
+    # NULLS FIRST by default where DuckDB orders NULLS LAST, which
+    # would shift every other doc's percent_rank — bucket them 'none'
+    # in a separate branch instead
+    has_nll = scored.filter(F.col("mean_nll").isNotNull())
+    no_nll = scored.filter(F.col("mean_nll").isNull()).select(
+        id_col, lang_col, "n_bigrams", "mean_nll", F.lit("none").alias("bucket")
+    )
+    w = Window.partitionBy(lang_col).orderBy("mean_nll", id_col)
+    third = F.lit(1.0) / F.lit(3.0)
+    bucketed = has_nll.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "mean_nll",
+        F.when(F.percent_rank().over(w) < third, F.lit("head"))
+        .when(F.percent_rank().over(w) < third * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return bucketed.unionByName(no_nll)

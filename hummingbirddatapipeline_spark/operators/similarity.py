@@ -1082,3 +1082,76 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def matryoshka_recall(
+    items: DataFrame,
+    queries: DataFrame,
+    dims: "tuple[int, ...]" = (16, 64),
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Matryoshka truncation-fidelity evaluation (MRL, Kusupati et al.
+    2022): how much of the full-dimension exact top-k survives when
+    vectors are truncated to their first ``d`` coordinates — the
+    measurement that decides how small the prefix can go before the
+    coarse stage of a coarse-to-fine ANN pipeline (truncated screen ->
+    full-dim rerank) starts losing neighbors.
+
+    For every query and every ``d`` in ``dims``::
+
+        (query_id, dim, n_overlap, recall)
+
+    where ``n_overlap`` counts the full-dim top-k members that also
+    appear in the d-truncated top-k and ``recall = n_overlap / k``.
+    Rankings on both sides are :func:`cosine_topk`'s exact 6dp-rounded
+    cosine with id tiebreaks, so the whole measurement is
+    engine-deterministic.
+
+    Scale shape: one broadcast-queries scored pass per dim (the
+    audited cosine_topk plan — WindowGroupLimit pushes the k-cut
+    map-side) plus a k-rows-per-query overlap join; the corpus is
+    scanned once per dim and never shuffled. Truncated passes read
+    1/d of the vector bytes — at 100 TB the d=16 pass IS the cheap
+    screen this metric certifies.
+    """
+    full = cosine_topk(
+        items, queries, k, item_id, item_vec, query_id, query_vec
+    ).select(query_id, item_id)
+    out = None
+    for d in dims:
+        ti = items.select(
+            item_id, F.slice(F.col(item_vec), 1, d).alias(item_vec)
+        )
+        tq = queries.select(
+            query_id, F.slice(F.col(query_vec), 1, d).alias(query_vec)
+        )
+        td = cosine_topk(
+            ti, tq, k, item_id, item_vec, query_id, query_vec
+        ).select(query_id, item_id)
+        ov = (
+            full.join(td, [query_id, item_id])
+            .groupBy(query_id)
+            .agg(F.count("*").alias("__n"))
+        )
+        res = (
+            queries.select(query_id)
+            .join(ov, query_id, "left")
+            .select(
+                query_id,
+                F.lit(d).alias("dim"),
+                F.coalesce(F.col("__n"), F.lit(0))
+                .cast("long")
+                .alias("n_overlap"),
+                F.round(
+                    F.coalesce(F.col("__n"), F.lit(0)).cast("double")
+                    / F.lit(float(k)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
