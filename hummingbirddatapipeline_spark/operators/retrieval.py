@@ -300,35 +300,48 @@ def perplexity_buckets(
 
     Returns (id, lang, n_bigrams, mean_nll, bucket).
 
+    NULL-NLL docs must stay OUT of the percent_rank population: Spark
+    orders NULLS FIRST by default where DuckDB orders NULLS LAST,
+    which would shift every other doc's rank differently per engine.
+    A filter + union branch per population would make Catalyst
+    re-inline the whole LM subtree under each union arm (2 bigram
+    explodes, 2x corpus work — observed before this shape); instead
+    ONE window ordered nulls-LAST gives non-null docs row_number
+    1..m, and percent_rank is re-derived as (rn-1)/(m-1) with m =
+    count(mean_nll) over the same partition — identical to both
+    engines' (rank-1)/(n-1) definition because the id tiebreak makes
+    rank == row_number, computed in one pass.
+
     Scale shape: the LM scoring is bigram_logprob's audited plan (one
-    unigram + one bigram explode, equi-joins only); the bucketing adds
-    ONE language-keyed exchange for the rank window. At 100 TB
-    languages are few and large — percentile-per-group is the same
-    shape as curation_quality_percentile.
+    unigram + ONE bigram explode, equi-joins only); the bucketing adds
+    ONE language-keyed exchange shared by the rank window and the
+    count window (same partitioning). At 100 TB languages are few and
+    large — percentile-per-group is the same shape as
+    curation_quality_percentile. Plan-contract-pinned in
+    tests/test_plan_contracts.py.
     """
     from pyspark.sql.window import Window
 
     nll = bigram_logprob(docs, text_col=text_col, id_col=id_col, lam=lam)
     lang = docs.select(id_col, lang_col)
     scored = nll.join(lang, id_col)
-    # NULL-NLL docs must stay OUT of the rank window: Spark orders
-    # NULLS FIRST by default where DuckDB orders NULLS LAST, which
-    # would shift every other doc's percent_rank — bucket them 'none'
-    # in a separate branch instead
-    has_nll = scored.filter(F.col("mean_nll").isNotNull())
-    no_nll = scored.filter(F.col("mean_nll").isNull()).select(
-        id_col, lang_col, "n_bigrams", "mean_nll", F.lit("none").alias("bucket")
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("mean_nll").asc_nulls_last(), id_col
     )
-    w = Window.partitionBy(lang_col).orderBy("mean_nll", id_col)
+    wl = Window.partitionBy(lang_col)
+    rn = F.row_number().over(w)
+    m = F.count("mean_nll").over(wl)  # non-null docs in this language
+    pr = (rn - F.lit(1)).cast("double") / (m - F.lit(1)).cast("double")
     third = F.lit(1.0) / F.lit(3.0)
-    bucketed = has_nll.select(
+    return scored.select(
         id_col,
         lang_col,
         "n_bigrams",
         "mean_nll",
-        F.when(F.percent_rank().over(w) < third, F.lit("head"))
-        .when(F.percent_rank().over(w) < third * 2, F.lit("middle"))
+        F.when(F.col("mean_nll").isNull(), F.lit("none"))
+        .when(m == 1, F.lit("head"))  # percent_rank of a lone row is 0
+        .when(pr < third, F.lit("head"))
+        .when(pr < third * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
-    return bucketed.unionByName(no_nll)

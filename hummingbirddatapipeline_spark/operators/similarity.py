@@ -1116,11 +1116,20 @@ def matryoshka_recall(
     map-side) plus a k-rows-per-query overlap join; the corpus is
     scanned once per dim and never shuffled. Truncated passes read
     1/d of the vector bytes — at 100 TB the d=16 pass IS the cheap
-    screen this metric certifies.
+    screen this metric certifies. The full-dim top-k (k rows per
+    query) is localCheckpointed before the per-dim union: without it
+    Catalyst re-inlines the full-width ranking subtree under EVERY
+    union branch, re-scanning the corpus at full vector width once
+    per dim (plan-contract-pinned to exactly len(dims)+1 scoring
+    passes in tests/test_plan_contracts.py).
     """
-    full = cosine_topk(
-        items, queries, k, item_id, item_vec, query_id, query_vec
-    ).select(query_id, item_id)
+    full = (
+        cosine_topk(
+            items, queries, k, item_id, item_vec, query_id, query_vec
+        )
+        .select(query_id, item_id)
+        .localCheckpoint()
+    )
     out = None
     for d in dims:
         ti = items.select(

@@ -398,3 +398,70 @@ def test_logreg_scoring_pass_is_map_side(spark, sf_dir):
     plan = _physical(out)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_dup_span_extract_single_doc_exchange(spark, sf_dir):
+    """Maximal duplicated-span extraction must share ONE doc-keyed
+    exchange between the lag window and the span aggregate, aggregate
+    occurrences over 8-byte window hashes in one exchange, and join
+    the (small) duplicated-hash set without a cartesian — nothing
+    shuffles at text width."""
+    import re
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        dup_span_extract,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _physical(dup_span_extract(docs, k=20))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1
+    # doc-key + window-hash aggregate: two exchanges total
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_perplexity_buckets_one_lang_exchange_one_explode(spark, sf_dir):
+    """CCNet bucketing must add exactly ONE language-keyed exchange
+    (shared by the rank window and the non-null count window) on top
+    of the bigram LM's single bigram explode. The regression this pins
+    out: a has-NLL/none union that re-inlines the LM subtree under
+    each arm (2 bigram explodes = 2x corpus work, the shape this
+    operator had before the nulls-last single-window form)."""
+    import re
+
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        perplexity_buckets,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _physical(perplexity_buckets(docs))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) == 1
+    assert plan.count("Generate explode") == 1
+
+
+def test_matryoshka_full_topk_not_recomputed_per_dim(spark, sf_dir):
+    """Matryoshka recall must score the corpus once per truncated dim
+    and ONCE at full width: the full-dim top-k (k rows per query) is
+    localCheckpointed, so the returned plan holds exactly len(dims)
+    broadcast-queries scoring passes with map-side k-cuts — without
+    the checkpoint Catalyst re-inlines the full-width ranking under
+    every union arm (len(dims)+1 extra full-width corpus scans)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = _physical(matryoshka_recall(emb, queries, dims=(16, 64), k=10))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # len(dims)
+    assert "WindowGroupLimit" in plan  # k-cut pushed map-side
