@@ -762,3 +762,39 @@ def _unimax_sql(token_budget: int, n_epochs: float = 4.0) -> str:
              AS epochs_used
     FROM alloc
     """
+
+
+def _interleave_sql(seed: str = "mix0") -> str:
+    """Independent DuckDB formulation of stride-scheduled interleave
+    ordering (operators/sampling.interleave_order): where the Spark
+    side computes each row's global position in CLOSED FORM (K-term
+    div/mod sum, no global sort), the oracle counts predecessors
+    PAIRWISE — for every row, 1 + the number of rows strictly earlier
+    by exact cross-multiplied virtual time (b.i * a.wt < a.i * b.wt)
+    or tied with a lexically smaller source. O(n^2) integer compares:
+    fine at oracle scale, and genuinely independent of the closed
+    form. Weights = per-source BIGINT n_chars mass, re-derived here."""
+    return f"""
+    WITH w AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS wt
+      FROM documents GROUP BY source
+    ),
+    ordered AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{seed}'), doc_id)
+               AS BIGINT) AS i
+      FROM documents
+    ),
+    j AS (
+      SELECT o.doc_id, o.source, o.i, w.wt
+      FROM ordered o JOIN w USING (source)
+    )
+    SELECT a.doc_id, a.source, a.i AS src_seq,
+           CAST(1 + SUM(CASE WHEN b.i * a.wt < a.i * b.wt
+                              OR (b.i * a.wt = a.i * b.wt
+                                  AND b.source < a.source)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS global_seq
+    FROM j a, j b
+    GROUP BY a.doc_id, a.source, a.i
+    """

@@ -1077,3 +1077,190 @@ def _matryoshka_sql(
         + "\n    "
         + "\n    UNION ALL\n    ".join(sels)
     )
+
+
+# --- r15-banked oracle builders (NOT yet registered; differential
+# tests in tests/test_r15_oracles.py import these so the SQL has a
+# single source of truth and r15 registration is a decorator + window
+# change, exactly like the r11-r14 banks).
+
+def _sq8_fidelity_sql() -> str:
+    """Independent DuckDB formulation of per-dimension uint8 scalar
+    quantization fidelity (operators/similarity.sq8_fidelity):
+    re-derives the per-dim corpus (min, max) grid, the floor(x + 0.5)
+    codes (explicit half-up — engine round() half-rules differ), the
+    affine dequantization, the exact BIGINT code_sum, and the
+    6dp-rounded reconstruction cosine / max abs error."""
+    return """
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    st AS (
+      SELECT list(mnv ORDER BY dim) AS mn, list(mxv ORDER BY dim) AS mx
+      FROM (
+        SELECT CAST(u[2] AS INT) AS dim,
+               MIN(CAST(u[1] AS DOUBLE)) AS mnv,
+               MAX(CAST(u[1] AS DOUBLE)) AS mxv
+        FROM (SELECT UNNEST(list_zip(v, range(1, len(v) + 1))) AS u
+              FROM allv)
+        GROUP BY 1)
+    ),
+    enc AS (
+      SELECT vec_id, v, mn, mx,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN mx[i] = mn[i] THEN 0.0
+                    ELSE floor((v[i] - mn[i]) * 255.0 / (mx[i] - mn[i])
+                               + 0.5) END) AS codes
+      FROM allv CROSS JOIN st
+    ),
+    dec AS (
+      SELECT vec_id, v, codes,
+             list_transform(range(1, len(v) + 1), i ->
+               mn[i] + codes[i] * (mx[i] - mn[i]) / 255.0) AS deq
+      FROM enc
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT)))
+                AS BIGINT) AS code_sum,
+           ROUND(list_sum(list_zip(v, deq)
+                    .list_transform(p -> p[1] * p[2]))
+                 / (sqrt(list_sum(v.list_transform(x -> x * x)))
+                    * sqrt(list_sum(deq.list_transform(x -> x * x)))),
+                 6) AS cos_fidelity,
+           ROUND(list_max(list_zip(v, deq)
+                    .list_transform(p -> abs(p[1] - p[2]))), 6)
+             AS max_abs_err
+    FROM dec
+    """
+
+
+def _ivfpq_topk_sql(
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 4,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """Independent DuckDB formulation of IVF-PQ top-k
+    (operators/similarity.ivfpq_topk): re-derives the frozen-centroid
+    cell assignment (6dp cosine argmax, ties -> lowest cid — the
+    _ivf_frozen_cent_sql arithmetic), each query's n_probe probe list
+    (sim DESC, cid ASC), all m PQ Lloyd trajectories from the
+    first-k_codes seeds (the _pq_topk_sql recurrence), and ranks the
+    ADC sum over ONLY the items whose cell is probed."""
+    d_sub = dim // m
+    sq = (
+        "ROUND(list_sum(list_zip(a.v, c.cv)"
+        ".list_transform(p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = [f"""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT cid, cv.list_transform(x -> CAST(x AS DOUBLE)) AS cv
+      FROM ({_cent_cte_body()})
+    ),
+    csc AS (
+      SELECT a.vec_id, c.cid,
+             ROUND(
+               list_sum(list_zip(a.v, c.cv)
+                 .list_transform(p -> p[1] * p[2]))
+               / (sqrt(list_sum(a.v.list_transform(x -> x * x)))
+                  * sqrt(list_sum(c.cv.list_transform(x -> x * x)))), 6)
+               AS sim
+      FROM allv a CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER
+                 (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        FROM csc) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, CAST(cid AS INT) AS centroid_id FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER
+                 (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        FROM csc WHERE vec_id < {n_queries}) WHERE rk <= {n_probe}
+    )"""]
+    for s in range(m):
+        lo = s * d_sub
+        parts.append(f""",
+    s{s}_v AS (
+      SELECT vec_id, v[{lo + 1}:{lo + d_sub}] AS v FROM allv
+    ),
+    s{s}_it0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM s{s}_v ORDER BY vec_id LIMIT {k_codes})
+    )""")
+        for it in range(n_iter):
+            parts.append(f""",
+    s{s}_a{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid, {sq} AS d,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq}, c.cid) AS rk
+        FROM s{s}_v a CROSS JOIN s{s}_it{it} c) WHERE rk = 1
+    ),
+    s{s}_m{it} AS (
+      SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+        SELECT cid, CAST(u[2] AS INT) AS dim,
+               ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS mu
+        FROM (SELECT cid, UNNEST(list_zip(v, range(1, len(v) + 1))) AS u
+              FROM s{s}_a{it})
+        GROUP BY cid, dim) GROUP BY cid
+    ),
+    s{s}_it{it + 1} AS (
+      SELECT c0.cid, COALESCE(s{s}_m{it}.cv, c0.cv) AS cv
+      FROM s{s}_it{it} c0 LEFT JOIN s{s}_m{it} USING (cid)
+    )""")
+        parts.append(f""",
+    s{s}_code AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq}, c.cid) AS rk
+        FROM s{s}_v a CROSS JOIN s{s}_it{n_iter} c) WHERE rk = 1
+    ),
+    s{s}_tab AS (
+      SELECT a.vec_id AS query_id, c.cid, {sq} AS d
+      FROM (SELECT vec_id, v FROM s{s}_v WHERE vec_id < {n_queries}) a
+      CROSS JOIN s{s}_it{n_iter} c
+    )""")
+    code_joins = "\n      ".join(
+        f"JOIN s{s}_code c{s} ON c{s}.vec_id = a.vec_id" for s in range(m)
+    )
+    tab_joins = "\n      ".join(
+        f"JOIN s{s}_tab t{s} ON t{s}.query_id = p.query_id"
+        f" AND t{s}.cid = c.c{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(m))
+    parts.append(f""",
+    codes AS (
+      SELECT a.vec_id, av.centroid_id,
+             {", ".join(f"c{s}.cid AS c{s}" for s in range(m))}
+      FROM allv a
+      JOIN assigned av ON av.vec_id = a.vec_id
+      {code_joins}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id, ROUND({adc}, 6) AS adc_dist
+      FROM codes c
+      JOIN probes p ON p.centroid_id = c.centroid_id
+      {tab_joins}
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """)
+    return "".join(parts)

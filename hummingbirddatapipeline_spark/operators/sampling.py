@@ -792,3 +792,102 @@ def unimax_allocation(
         alloc.alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs_used"),
     )
+
+
+def interleave_order(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Deterministic stride-scheduled mixture ordering — the
+    reproducible TRAINING-ORDER file. Every data loader that mixes
+    sources by weight needs a total order over the corpus in which
+    source ``s`` appears with long-run frequency proportional to
+    ``weights[s]``; stride scheduling (Waldspurger & Weihl, OSDI '95 —
+    the deterministic counterpart of multinomial sampling) gives it:
+    the ``i``-th document of source ``s`` (1-based, in content-hash
+    shuffled order) gets virtual time ``i / w_s``, and the global
+    order sorts by (virtual time, source, i).
+
+    The scale insight: that global sort NEVER RUNS. Because virtual
+    times are rationals with per-source constant denominators, the
+    global position of (s, i) is a CLOSED FORM over the K sources::
+
+        seq(s, i) = 1 + sum_s' min(n_s', (i*w_s' - 1) div w_s)
+                      + sum_{s' < s} [ i*w_s' mod w_s = 0
+                                       and (i*w_s' div w_s) <= n_s' ]
+
+    (strict predecessors by cross-multiplied exact-integer compare,
+    plus tie predecessors from lexically-smaller sources) — all BIGINT
+    ``div``/``mod``, no floats, no global exchange: ONE source-keyed
+    exchange for the within-source row_number, then a map-side
+    K-term aggregate per row. The (weight, count) table is K rows of
+    bounded model state (the unimax K-languages class).
+
+    Within-source shuffle order is the repo's content-hash uniform
+    (full md5 hex of ``"<id>:<seed>"``, id tiebreak) — rerun- and
+    partitioning-stable, reproducible in ANSI SQL.
+
+    Returns (id, source, src_seq, global_seq): global_seq is a
+    permutation of 1..N (pinned in tests), and any prefix of it is
+    itself weight-proportional — resumable mid-epoch at any step.
+    """
+    if not weights:
+        raise ValueError("interleave_order: weights must be non-empty")
+    for s, w in weights.items():
+        if int(w) <= 0:
+            raise ValueError(
+                f"interleave_order: weight for {s!r} must be a positive "
+                f"integer, got {w!r}"
+            )
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = sorted(set(counts) - set(weights))
+    if missing:
+        raise ValueError(
+            f"interleave_order: no weight for sources {missing}"
+        )
+    entries = ", ".join(
+        f"named_struct('s', '{s}', 'w', CAST({int(weights[s])} AS BIGINT),"
+        f" 'n', CAST({int(counts[s])} AS BIGINT))"
+        for s in sorted(counts)
+    )
+    wo = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))),
+        id_col,
+    )
+    ranked = docs.select(
+        id_col,
+        F.col(source_col).alias("source"),
+        F.row_number().over(wo).cast("long").alias("src_seq"),
+    )
+    wmap = F.create_map(
+        *[
+            c
+            for s in sorted(counts)
+            for c in (F.lit(s), F.lit(int(weights[s])).cast("long"))
+        ]
+    )
+    gseq = F.expr(
+        f"""aggregate(array({entries}), CAST(1 AS BIGINT), (acc, e) ->
+          acc + least(e.n, (src_seq * e.w - 1) div __w)
+              + CASE WHEN e.s < source
+                          AND (src_seq * e.w) % __w = 0
+                          AND (src_seq * e.w) div __w <= e.n
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    )
+    return (
+        ranked.withColumn("__w", F.element_at(wmap, F.col("source")))
+        .select(
+            id_col,
+            "source",
+            "src_seq",
+            gseq.alias("global_seq"),
+        )
+    )

@@ -963,6 +963,83 @@ def hamming_topk(
     )
 
 
+def _pq_sqdist(vec: Column, c: list[float]) -> Column:
+    """6dp-rounded squared L2 distance between a vector column and a
+    literal centroid — the shared PQ arithmetic (training assignment,
+    encoding, and ADC tables must all round identically)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _pq_train(
+    items: DataFrame,
+    dim: int,
+    m: int,
+    k_codes: int,
+    n_iter: int,
+    item_id: str,
+    item_vec: str,
+) -> list[list[list[float]]]:
+    """Train the ``m`` per-subspace PQ codebooks with
+    :func:`kmeans_refine`, seeded from the first ``k_codes`` vectors
+    by id (deterministic, engine-derivable). Shared by :func:`pq_topk`
+    and :func:`ivfpq_topk` so both rank with byte-identical codebooks.
+    The seed collect is ``k_codes`` rows of model state (the kmeans
+    seed class, documented)."""
+    if dim % m != 0:
+        raise ValueError("pq: dim must be divisible by m")
+    d_sub = dim // m
+    seed_rows = (
+        items.orderBy(item_id)
+        .limit(k_codes)
+        .select(F.transform(item_vec, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    if len(seed_rows) < k_codes:
+        raise ValueError("pq: fewer than k_codes vectors")
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        seeds = [r["v"][s * d_sub : (s + 1) * d_sub] for r in seed_rows]
+        sub_items = items.select(
+            item_id, F.slice(F.col(item_vec), s * d_sub + 1, d_sub).alias(item_vec)
+        )
+        _, cents = kmeans_refine(sub_items, seeds, n_iter=n_iter)
+        codebooks.append(cents)
+    return codebooks
+
+
+def _pq_code_builder(codebooks: list[list[list[float]]], d_sub: int):
+    """Encoder expression: nearest codebook entry per subspace
+    (6dp distances, ties -> lowest code id)."""
+
+    def code(vec: Column, s: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_sqdist(
+                            F.slice(vec, s * d_sub + 1, d_sub), c
+                        ).alias("d"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(codebooks[s])
+                ]
+            )
+        )["cid"]
+
+    return code
+
+
 def pq_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -1006,55 +1083,11 @@ def pq_topk(
 
     Returns (query_id, vec_id, adc_dist, rank); ties -> lowest id.
     """
-    if dim % m != 0:
-        raise ValueError("pq_topk: dim must be divisible by m")
+    codebooks = _pq_train(items, dim, m, k_codes, n_iter, item_id, item_vec)
     d_sub = dim // m
     sub = lambda vec, s: F.slice(vec, s * d_sub + 1, d_sub)  # noqa: E731
-
-    seed_rows = (
-        items.orderBy(item_id)
-        .limit(k_codes)
-        .select(F.transform(item_vec, lambda x: x.cast("double")).alias("v"))
-        .collect()
-    )
-    if len(seed_rows) < k_codes:
-        raise ValueError("pq_topk: fewer than k_codes vectors")
-
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        seeds = [r["v"][s * d_sub : (s + 1) * d_sub] for r in seed_rows]
-        sub_items = items.select(
-            item_id, sub(F.col(item_vec), s).alias(item_vec)
-        )
-        _, cents = kmeans_refine(sub_items, seeds, n_iter=n_iter)
-        codebooks.append(cents)
-
-    def sqdist(vec: Column, c: list[float]) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        )
-
-    def code(vec: Column, s: int) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sqdist(sub(vec, s), c).alias("d"),
-                        F.lit(i).alias("cid"),
-                    )
-                    for i, c in enumerate(codebooks[s])
-                ]
-            )
-        )["cid"]
+    sqdist = _pq_sqdist
+    code = _pq_code_builder(codebooks, d_sub)
 
     coded = items.select(
         item_id,
@@ -1164,3 +1197,186 @@ def matryoshka_recall(
         )
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def ivfpq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN layout (Jégou et al.
+    2011 §V; the FAISS ``IVFx,PQy`` index) — a FROZEN coarse quantizer
+    routes each query to its ``n_probe`` nearest cells, and only the
+    items in those cells are ranked, by the PQ/ADC approximation over
+    ``m`` small codes. This row is the composition of the two audited
+    halves: :func:`ivf_incremental_add`'s cell assignment (centroid
+    literals, map-side argmax) and :func:`pq_topk`'s codebook training
+    + ADC tables — where :func:`pq_topk` scans every item per query,
+    this touches ``~n_probe/n_cells`` of the corpus.
+
+    Determinism: cell assignment is the 6dp cosine argmax with ties to
+    the lowest centroid id (exactly ivf_incremental_add); the query
+    probe list is the same 6dp cosine ranked (sim DESC, cid ASC);
+    codebooks, codes, and ADC sums inherit pq_topk's quantize regime
+    via the shared ``_pq_train`` / ``_pq_code_builder`` / ``_pq_sqdist``
+    helpers. Rankings are per-query over the probed candidate set with
+    id tiebreaks — fully SQL-reproducible from the same centroid
+    constants.
+
+    Scale shape: items are assigned + encoded in ONE map-side pass
+    (centroids AND codebooks ride the plan as literals); the candidate
+    cut is an equi-join on centroid_id (never a full cross join — the
+    plan-contract difference from pq_topk); ADC tables are built in
+    the plan per query row. At 100 TB the item side lives
+    partition-by-centroid on disk, so the probe join prunes partitions
+    instead of shuffling — the layout `layout_shard_manifest` writes.
+
+    Returns (query_id, vec_id, adc_dist, rank): rank over probed
+    candidates by (adc_dist ASC, vec_id ASC), rank <= k.
+    """
+    if dim % m != 0:
+        raise ValueError("ivfpq_topk: dim must be divisible by m")
+    d_sub = dim // m
+    codebooks = _pq_train(items, dim, m, k_codes, n_iter, item_id, item_vec)
+    code = _pq_code_builder(codebooks, d_sub)
+    sub = lambda vec, s: F.slice(vec, s * d_sub + 1, d_sub)  # noqa: E731
+
+    assigned = ivf_incremental_add(
+        items.select(item_id, item_vec), centroids, item_id, item_vec
+    )
+    coded = assigned.select(
+        item_id,
+        "centroid_id",
+        *[code(_to_double(item_vec), s).alias(f"__c{s}") for s in range(m)],
+    )
+    # probe list: n_probe cells by (6dp cosine DESC, cid ASC) — the
+    # struct packs (sim, -cid) so one array_sort gives both orders
+    qvec = _to_double(query_vec)
+    cell_sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(qvec, F.array(*[F.lit(float(x)) for x in c])), 6
+                ).alias("sim"),
+                F.lit(-i).alias("neg_cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(cell_sims)), 1, n_probe),
+        lambda s: (-s["neg_cid"]).cast("int"),
+    )
+    tables = queries.select(
+        query_id,
+        F.explode(probe_cells).alias("centroid_id"),
+        *[
+            F.array(
+                *[_pq_sqdist(sub(qvec, s), c) for c in codebooks[s]]
+            ).alias(f"__t{s}")
+            for s in range(m)
+        ],
+    )
+    cand = coded.join(F.broadcast(tables), "centroid_id")
+    if exclude_self:
+        cand = cand.filter(F.col(item_id) != F.col(query_id))
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(F.col(f"__t{s}"), F.col(f"__c{s}") + 1)
+    scored = cand.select(
+        query_id, item_id, F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(item_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def sq8_fidelity(
+    items: DataFrame,
+    dim: int,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization of an embedding column + per-vector
+    reconstruction fidelity — the 4x storage cut (float32 -> uint8)
+    every vector store offers, with the measurement that says whether
+    the corpus can afford it. Per dimension the corpus (min, max)
+    define the affine grid ``code = floor((x - mn) * 255 / (mx - mn)
+    + 0.5)`` (clamped [0, 255]; 0 where the dimension is constant);
+    dequantization is ``mn + code * (mx - mn) / 255``. Every row
+    reports the cosine between its original and reconstructed vector
+    and the largest per-dimension absolute error.
+
+    Exactness regime: min/max are SELECTIONS (no summation — exact
+    under any partitioning, no rounding needed); the encode/decode
+    chain is row-local IEEE +,-,*,/ in a FIXED written order, and
+    half-up snapping uses ``floor(x + 0.5)`` explicitly because the
+    engines' ``round()`` half-rule on doubles differs (Spark HALF_UP
+    vs DuckDB half-even) — the repo rounding rule: row-local double
+    arithmetic needs no quantization, only identical operations.
+    ``code_sum`` (the BIGINT sum of the row's 256-level codes) hashes
+    the entire code vector exactly; the summation-bearing cosine and
+    the exact-op max error round 6dp for display stability.
+
+    Scale shape: ONE corpus aggregate producing the 2 x dim (min, max)
+    statistic broadcast as a single row (never collected), then ONE
+    map-side encode + fidelity pass — the hamming_topk shape. At
+    100 TB the codes write 1/4 the bytes and the fidelity column is
+    the acceptance gate.
+
+    Returns (item_id, code_sum, cos_fidelity, max_abs_err).
+    """
+    vec = _to_double(item_vec)
+    stats = F.broadcast(
+        items.agg(
+            F.array(
+                *[F.min(F.col(item_vec)[i].cast("double")) for i in range(dim)]
+            ).alias("__mn"),
+            F.array(
+                *[F.max(F.col(item_vec)[i].cast("double")) for i in range(dim)]
+            ).alias("__mx"),
+        )
+    )
+    base = items.crossJoin(stats).select(
+        item_id,
+        vec.alias("__v"),
+        F.col("__mn"),
+        F.col("__mx"),
+    )
+    codes = F.expr(
+        "transform(__v, (x, i) -> CASE WHEN __mx[i] = __mn[i] THEN 0.0D"
+        " ELSE floor((x - __mn[i]) * 255.0D / (__mx[i] - __mn[i]) + 0.5D)"
+        " END)"
+    )
+    deq = F.expr(
+        "zip_with(__codes, sequence(0, size(__codes) - 1),"
+        " (c, i) -> __mn[i] + c * (__mx[i] - __mn[i]) / 255.0D)"
+    )
+    code_sum = F.expr(
+        "aggregate(__codes, CAST(0 AS BIGINT),"
+        " (acc, c) -> acc + CAST(c AS BIGINT))"
+    )
+    with_codes = base.withColumn("__codes", codes).withColumn("__deq", deq)
+    err = F.array_max(
+        F.zip_with("__v", "__deq", lambda x, y: F.abs(x - y))
+    )
+    return with_codes.select(
+        item_id,
+        code_sum.alias("code_sum"),
+        F.round(cosine(F.col("__v"), F.col("__deq")), 6).alias(
+            "cos_fidelity"
+        ),
+        F.round(err, 6).alias("max_abs_err"),
+    )

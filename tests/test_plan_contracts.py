@@ -465,3 +465,73 @@ def test_matryoshka_full_topk_not_recomputed_per_dim(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # len(dims)
     assert "WindowGroupLimit" in plan  # k-cut pushed map-side
+
+
+def test_ivfpq_candidate_cut_is_centroid_equi_join(spark, sf_dir):
+    """IVF-PQ's whole point vs pq_topk: the candidate cut must be an
+    equi-join on centroid_id (ONE BroadcastHashJoin of the exploded
+    probe tables), never pq_topk's full broadcast cross join — zero
+    nested-loop joins, zero cartesians, and the only hash exchange is
+    the per-query rank window."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import ivfpq_topk
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = _physical(
+        ivfpq_topk(emb, queries, dim=64, centroids=IVF_CENTROIDS_64D)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # rank window
+
+
+def test_interleave_order_has_no_global_sort(spark, sf_dir):
+    """The stride-schedule total order must be computed in closed form:
+    ONE source-keyed exchange for the within-source row_number and
+    NOTHING else — no range exchange (global sort), no join, no
+    cartesian. This is the contract that makes a 100 TB training-order
+    file writable map-side."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        interleave_order,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    weights = {
+        r["source"]: r["w"]
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    }
+    plan = _physical(interleave_order(docs, weights))
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_sq8_stats_broadcast_encode_map_side(spark, sf_dir):
+    """SQ8 must aggregate the 2 x dim (min, max) statistic into ONE
+    single-partition row broadcast to a map-side encode pass — zero
+    hash exchanges, zero corpus-width shuffles (the hamming_topk
+    shape)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        sq8_fidelity,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    plan = _physical(sq8_fidelity(emb, dim=64))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the stats row
