@@ -888,3 +888,41 @@ def _logreg_quality_sql(
            ({score} >= 0.5) = z.yb AS correct
     FROM z CROSS JOIN i{n_iter} p
     """
+
+
+def _url_traps_sql(max_per_template: int = 20) -> str:
+    """Independent DuckDB formulation of crawler-trap detection by
+    path templating (functions/web.url_template_traps): replays the
+    dirty-URL fixture + the full parse/canonicalize rule set
+    (DUCK_URL_FIXTURE_CTE / DUCK_URL_CANON_CTES — the parts CTE's path
+    already carries the trailing-slash strip), collapses digit runs to
+    'N' (note the explicit 'g' flag: DuckDB regexp_replace is
+    first-match by default where Spark's is global), and counts
+    DISTINCT canonical URLs per (host, template)."""
+    return f"""
+    WITH fixture AS ({DUCK_URL_FIXTURE_CTE}),
+    parts AS ({DUCK_URL_CANON_CTES}),
+    canon AS (
+      SELECT doc_id, host, path,
+             scheme || '://' || host ||
+             CASE WHEN port = '' OR
+                       (scheme = 'https' AND port = '443') OR
+                       (scheme = 'http' AND port = '80')
+                  THEN '' ELSE ':' || port END ||
+             path ||
+             CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM parts
+    ),
+    agg AS (
+      SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+             COUNT(DISTINCT canonical_url) AS n
+      FROM canon GROUP BY 1, 2
+    )
+    SELECT host, template,
+           CAST(n AS BIGINT) AS n_urls,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY host) AS DOUBLE), 6)
+             AS frac_of_host,
+           n > {max_per_template} AS is_trap
+    FROM agg
+    """

@@ -775,3 +775,73 @@ def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_connected_components(labels, new_edges)
+
+
+def _label_prop_sql(
+    threshold: float = 0.85,
+    n_iter: int = 3,
+    seed_hex: str = "1999",
+) -> str:
+    """Independent DuckDB formulation of semi-supervised label
+    propagation over the exact-Jaccard near-dup graph
+    (operators/graph.label_propagation): re-derives the >= threshold
+    pair graph from raw text (the text_jaccard_near_dups arithmetic),
+    the sparse md5-bucket seed set (quality >= 0.9 -> 'good', else
+    'bad' — the 2dp score takes {0.6, 0.8, 1.0} on this corpus, so the
+    cut yields genuinely competing labels), and unrolls every SYNCHRONOUS round as chained CTEs —
+    integer vote counts, argmax ties to the lexically smallest label,
+    seeds clamped."""
+    from hummingbirddatapipeline_spark.catalog.curation_q import _QUALITY
+
+    parts = [f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    jp AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / (sa.n + sb.n - inter) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM jp
+      UNION SELECT id_b, id_a FROM jp
+    ),
+    seeds AS (
+      SELECT doc_id AS node,
+             CASE WHEN {_QUALITY} >= 0.9 THEN 'good' ELSE 'bad' END
+               AS label
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':lp0'), 1, 4)
+            < '{seed_hex}'
+    ),
+    l0 AS (SELECT node, label FROM seeds)"""]
+    for t in range(n_iter):
+        parts.append(f""",
+    v{t} AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l{t} l ON l.node = e.v
+      GROUP BY e.u, l.label
+    ),
+    p{t} AS (
+      SELECT node, label FROM (
+        SELECT node, label, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY c DESC, label) AS rk
+        FROM v{t}) WHERE rk = 1
+    ),
+    l{t + 1} AS (
+      SELECT node, label FROM seeds
+      UNION ALL
+      SELECT node, label FROM p{t}
+      WHERE node NOT IN (SELECT node FROM seeds)
+    )""")
+    parts.append(f"""
+    SELECT l.node, l.label, s.node IS NOT NULL AS is_seed
+    FROM l{n_iter} l LEFT JOIN seeds s ON s.node = l.node
+    """)
+    return "".join(parts)

@@ -1334,3 +1334,70 @@ def _perplexity_buckets_sql(lam: float = 0.9) -> str:
     SELECT doc_id, lang, n_bigrams, mean_nll, 'none' AS bucket
     FROM joined WHERE mean_nll IS NULL
     """
+
+
+def _cut_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
+    """Independent DuckDB formulation of the Lee et al. substring-dedup
+    CUT (operators/dedup.cut_dup_spans): re-derives the stride-1
+    windows, picks the canonical occurrence of every duplicated window
+    hash with a (doc_id, start) rank (the Spark side's struct-min
+    selection), merges the NON-canonical occurrences into islands, and
+    accounts per document — all integer arithmetic."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_CASED} AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS wh
+      FROM (SELECT doc_id, t,
+                   unnest(range(CASE WHEN len(t) >= {k}
+                                     THEN len(t) - {k} + 1
+                                     ELSE 0 END)) AS i
+            FROM toks)
+    ),
+    occ AS (
+      SELECT wh, doc_id AS cdoc, start AS cstart FROM (
+        SELECT wh, doc_id, start,
+               COUNT(*) OVER (PARTITION BY wh) AS c,
+               ROW_NUMBER() OVER (PARTITION BY wh
+                 ORDER BY doc_id, start) AS rk
+        FROM wins) WHERE c >= {min_occurrences} AND rk = 1
+    ),
+    cut AS (
+      SELECT w.doc_id, w.start
+      FROM wins w JOIN occ o USING (wh)
+      WHERE NOT (w.doc_id = o.cdoc AND w.start = o.cstart)
+    ),
+    brks AS (
+      SELECT doc_id, start,
+             CASE WHEN start - LAG(start) OVER (
+                    PARTITION BY doc_id ORDER BY start) <= {k}
+                  THEN 0 ELSE 1 END AS brk
+      FROM cut
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM brks
+    ),
+    spans AS (
+      SELECT doc_id, g, COUNT(*) AS nw,
+             MAX(start) + {k} - MIN(start) AS len
+      FROM isl GROUP BY doc_id, g
+    ),
+    perdoc AS (
+      SELECT doc_id, SUM(nw) AS wc, COUNT(*) AS sc, SUM(len) AS tc
+      FROM spans GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len({_DUCK_TOKS_CASED}) AS n_tokens
+            FROM documents)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.wc, 0) AS BIGINT) AS windows_cut,
+           CAST(COALESCE(p.sc, 0) AS BIGINT) AS spans_cut,
+           CAST(COALESCE(p.tc, 0) AS BIGINT) AS tokens_cut,
+           CAST(t.n_tokens - COALESCE(p.tc, 0) AS BIGINT) AS tokens_kept
+    FROM tot t LEFT JOIN perdoc p USING (doc_id)
+    """

@@ -168,3 +168,65 @@ def host_gate(
             (F.col("n_docs") >= min_docs) & (dup_frac <= max_dup_frac)
         ).alias("gated"),
     )
+
+
+def url_template_traps(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_per_template: int = 20,
+) -> DataFrame:
+    """Crawler-trap detection by path templating — the web-curation
+    screen that catches calendars, paginators, session-id mazes, and
+    faceted-search explosions: collapse every digit run in the URL
+    path to ``N`` and count how many distinct canonical URLs each
+    (host, template) mints. A template whose URL count exceeds
+    ``max_per_template`` is a trap candidate: the crawl is enumerating
+    a generator, not discovering content (the common-crawl seed-list
+    hygiene move).
+
+    Per (host, template)::
+
+        (host, template, n_urls, frac_of_host, is_trap)
+
+    with ``n_urls`` the DISTINCT canonical-URL count under the
+    template, ``frac_of_host`` = n_urls / host total (6dp — one exact
+    division of two counts), and host = the canonical (lowercased,
+    www-stripped) gate key. Deterministic: regex + integer counts.
+
+    Scale shape: one map-side parse/template pass, one (host,
+    template) hash aggregate over skinny keys, one host window sharing
+    the same exchange prefix. At 100 TB this runs on the URL frontier
+    (bytes of key per page, not page content) and its trap verdicts
+    prune the CRAWL, the cheapest place to cut.
+    """
+    from pyspark.sql.window import Window
+
+    u = F.col(url_col)
+    parts = url_parts(u)
+    host = F.regexp_replace(parts["host"], r"^www\.", "")
+    # template over the canonical path (trailing slashes stripped, as
+    # canonicalize_url does) so /docs/3 and /docs/4/ share a template
+    template = F.regexp_replace(
+        F.regexp_replace(parts["path"], "/+$", ""), "[0-9]+", "N"
+    )
+    per_tpl = (
+        urls.select(
+            host.alias("host"),
+            template.alias("template"),
+            canonicalize_url(u).alias("__cu"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count_distinct("__cu").alias("n_urls"))
+    )
+    wh = Window.partitionBy("host")
+    return per_tpl.select(
+        "host",
+        "template",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.round(
+            F.col("n_urls").cast("double")
+            / F.sum("n_urls").over(wh).cast("double"),
+            6,
+        ).alias("frac_of_host"),
+        (F.col("n_urls") > max_per_template).alias("is_trap"),
+    )

@@ -1403,3 +1403,109 @@ def dup_span_extract(
         F.col("span_tokens").cast("long").alias("span_tokens"),
         F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
     )
+
+
+def cut_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Apply the Lee et al. 2022 substring-dedup CUT: keep exactly ONE
+    canonical occurrence of every duplicated k-token window corpus-wide
+    and account for what every other document loses. Where
+    :func:`dup_span_extract` reports every duplicated span, this is
+    the pass a training pipeline actually runs — "remove all but one
+    occurrence" — with the canonical occurrence pinned
+    deterministically to the (min doc id, then min start) host, so
+    both engines agree on who keeps the text.
+
+    Per document (EVERY document, including untouched ones)::
+
+        (id, n_tokens, windows_cut, spans_cut, tokens_cut, tokens_kept)
+
+    where spans are the overlap/touch-merged islands of the CUT
+    windows (the dup_span_extract merge over the non-canonical
+    occurrences only) and tokens_kept = n_tokens - tokens_cut. All
+    integer arithmetic.
+
+    Scale shape: windowing zero-exchange; ONE hash aggregate over
+    8-byte window hashes serves both the occurrence filter and the
+    canonical argmin (min of a (doc, start) struct — a selection, no
+    rounding); the island merge + per-doc rollup share ONE doc-keyed
+    exchange; the final accounting is a left join of doc-level totals
+    against doc-level cuts. Nothing shuffles at text width.
+    """
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import (
+        chunk_token_windows,
+        ws_token_count,
+    )
+
+    wins = (
+        chunk_token_windows(
+            docs, text_col, id_col, chunk_tokens=k, stride=1
+        )
+        .filter(F.col("n_tokens") == k)
+        .select(
+            id_col,
+            F.col("chunk_idx").alias("__start"),
+            F.xxhash64("chunk_text").alias("__wh"),
+        )
+    )
+    # one aggregate serves both: dup filter + canonical (min doc, start)
+    occ = (
+        wins.groupBy("__wh")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("__start"))).alias("__canon"),
+        )
+        .filter(F.col("__c") >= min_occurrences)
+        .select("__wh", "__canon")
+    )
+    cut = (
+        wins.join(occ, "__wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__canon.{id_col}"))
+                & (F.col("__start") == F.col("__canon.__start"))
+            )
+        )
+        .select(id_col, "__start")
+    )
+    w = Window.partitionBy(id_col).orderBy("__start")
+    isl = cut.withColumn(
+        "__brk",
+        F.when(
+            F.col("__start") - F.lag("__start").over(w) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy(id_col, "__isl").agg(
+        F.count("*").alias("__nw"),
+        (F.max("__start") + k - F.min("__start")).alias("__len"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("__nw").alias("windows_cut"),
+        F.count("*").alias("spans_cut"),
+        F.sum("__len").alias("tokens_cut"),
+    )
+    totals = docs.select(
+        id_col, ws_token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce("windows_cut", F.lit(0)).cast("long").alias("windows_cut"),
+        F.coalesce("spans_cut", F.lit(0)).cast("long").alias("spans_cut"),
+        F.coalesce("tokens_cut", F.lit(0)).cast("long").alias("tokens_cut"),
+        (F.col("n_tokens") - F.coalesce("tokens_cut", F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )

@@ -429,3 +429,80 @@ def incremental_connected_components(
     return untouched.select("node", "cluster_id").unionByName(
         updated.select("node", "cluster_id")
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan 2007, made deterministic) over an undirected pair list —
+    the curation move that stretches a small trusted label set (spam
+    verdicts, license flags, human quality ratings) across the
+    near-dup / same-host / link graph: a page sharing most of its
+    shingles with known spam is spam.
+
+    Exactly ``n_iter`` SYNCHRONOUS rounds. Each round every non-seed
+    node with at least one labeled neighbor takes the most frequent
+    label among its neighbors' current labels — ties broken to the
+    lexically smallest label, so the update is integer counts + a
+    deterministic argmax, bit-reproducible in ANSI SQL. Seeds are
+    CLAMPED (trusted labels never flip — the semi-supervised
+    convention). The labeled set grows monotonically (a labeled
+    neighbor never unlabels), so n_iter bounds the propagation RADIUS
+    from the seed set; labels may still flip as fronts collide.
+
+    Scale shape: edges symmetrized + deduped once (localCheckpoint);
+    per round ONE edge-join shuffle + one (node, label) hash aggregate
+    + one per-node argmax window over skinny state — the pagerank
+    iteration pattern, cost n_iter bounded rounds regardless of
+    diameter. Seeds re-clamp with a broadcast-size union, and lineage
+    is cut per round.
+
+    Returns (node, label, is_seed) for every node labeled after
+    ``n_iter`` rounds (unreached nodes are absent — at 100 TB the
+    unlabeled complement is the corpus, not a column).
+    """
+    from pyspark.sql.window import Window
+
+    base = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
+    edges = (
+        base.union(base.select(F.col("v"), F.col("u")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    ).localCheckpoint()
+    state = seed
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label")
+    )
+    for _ in range(n_iter):
+        votes = (
+            edges.join(state.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        prop = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+            .join(seed.select("node"), "node", "left_anti")
+        )
+        state = seed.unionByName(prop).localCheckpoint()
+    return state.join(
+        F.broadcast(seed.select("node", F.lit(True).alias("is_seed"))),
+        "node",
+        "left",
+    ).select(
+        "node", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    )

@@ -535,3 +535,64 @@ def test_sq8_stats_broadcast_encode_map_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the stats row
+
+
+def test_cut_spans_single_doc_exchange(spark, sf_dir):
+    """The substring-dedup CUT must keep the dup_span_extract plan
+    budget: one 8-byte window-hash aggregate (serving both the dup
+    filter and the canonical argmin), ONE doc-keyed exchange shared by
+    the island window and the rollup, and broadcast joins for the
+    skinny dup-hash set and the per-doc totals — nothing shuffles at
+    text width."""
+    import re
+
+    from hummingbirddatapipeline_spark.operators.dedup import cut_dup_spans
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _physical(cut_dup_spans(docs, k=20))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_label_propagation_iterates_over_checkpoints(spark, sf_dir):
+    """Label propagation must follow the pagerank iteration pattern:
+    per-round state is localCheckpointed (the returned plan reads
+    materialized RDD scans, not an n_iter-deep lineage) and no round
+    introduces a cartesian. Guards the O(rounds) plan-depth contract
+    that keeps 30-round graphs plannable."""
+    from hummingbirddatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(0, "good")], "node long, label string")
+    plan = _physical(label_propagation(edges, seeds, n_iter=3))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # state + seed checkpoints
+    # the seed-flag join broadcasts the (small by definition) trusted
+    # label set — the final plan never shuffles the labeled state
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_url_traps_shuffles_skinny_keys_only(spark, sf_dir):
+    """Trap detection must parse and template map-side and shuffle only
+    skinny key tuples (host/template/canonical-url for the distinct
+    count, host for the window) — never a cartesian, never more than
+    the three key exchanges."""
+    from hummingbirddatapipeline_spark.functions.web import (
+        synth_dirty_urls,
+        url_template_traps,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    urls = synth_dirty_urls(load(spark, sf_dir, "documents"))
+    plan = _physical(url_template_traps(urls, max_per_template=10))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
