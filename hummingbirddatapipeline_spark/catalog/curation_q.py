@@ -926,3 +926,73 @@ def _url_traps_sql(max_per_template: int = 20) -> str:
            n > {max_per_template} AS is_trap
     FROM agg
     """
+
+
+def _auc_by_source_sql() -> str:
+    """Independent DuckDB formulation of exact tie-aware ROC-AUC per
+    source (operators/evaluation.auc_by_group) over the distillation
+    setting: score = the 6dp chars-per-token student, label = 2dp
+    quality >= 0.9. The oracle carries average ranks as the exact
+    integer rank_min + rank_max (ascending and descending RANK), sums
+    them as HUGEINT, and divides once at the end — pure integer
+    arithmetic until the final 6dp division."""
+    return f"""
+    WITH scored AS (
+      SELECT source,
+             ROUND(n_chars / NULLIF(len({_DUCK_TOKS_CASED}), 0), 6)
+               AS score,
+             {_QUALITY} >= 0.9 AS y
+      FROM documents
+    ),
+    ok AS (SELECT * FROM scored WHERE score IS NOT NULL),
+    ranked AS (
+      SELECT source, y,
+             RANK() OVER (PARTITION BY source ORDER BY score ASC)
+             + (COUNT(*) OVER (PARTITION BY source)
+                - RANK() OVER (PARTITION BY source ORDER BY score DESC)
+                + 1) AS r2
+      FROM ok
+    ),
+    agg AS (
+      SELECT source AS "group",
+             CAST(COUNT(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) FILTER (WHERE NOT y) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN y THEN r2 ELSE 0 END) AS s2
+      FROM ranked GROUP BY source
+    )
+    SELECT "group", n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             ROUND(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2.0 * n_pos * n_neg), 6)
+           END AS auc
+    FROM agg
+    """
+
+
+def _calibration_bins_sql(
+    lr: float = 1.0,
+    n_iter: int = 3,
+    top_frac: float = 0.3,
+    n_bins: int = 10,
+) -> str:
+    """Independent DuckDB formulation of reliability binning
+    (operators/evaluation.calibration_bins) over the in-engine
+    logistic model: nests the FULL unrolled training trajectory
+    (_logreg_quality_sql — every GD iteration as chained CTEs), bins
+    the raw rational-sigmoid scores with floor(p * n_bins), and
+    aggregates 10dp-rounded score terms as DECIMAL(20,10) before the
+    6dp mean division (the r13 rounding rule)."""
+    return f"""
+    SELECT CAST(LEAST({n_bins - 1},
+                      CAST(FLOOR(score * {n_bins}) AS INT)) AS INT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE teacher_label) AS BIGINT)
+             AS n_pos,
+           ROUND(CAST(SUM(CAST(ROUND(score, 10) AS DECIMAL(20,10)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_prob,
+           ROUND(CAST(COUNT(*) FILTER (WHERE teacher_label) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_pos
+    FROM ({_logreg_quality_sql(lr, n_iter, top_frac)}) lg
+    GROUP BY 1
+    """

@@ -328,3 +328,34 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return target_encode(ord_, "m", "y", alpha=20.0)
+
+
+def _hash_ngrams_sql(n_features: int = 256, use_bigrams: bool = True) -> str:
+    """Independent DuckDB formulation of the hashing-trick n-gram
+    featurizer (operators/evaluation.hash_ngram_features): re-derives
+    the namespaced unigram/bigram stream from raw text and buckets
+    with the repo's 52-bit-md5 content hash mod n_features — integer
+    counts, engine-exact."""
+    toks = (
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " t -> t <> '')"
+    )
+    big = f"""
+      UNION ALL
+      SELECT doc_id, '2:' || t[i + 1] || ' ' || t[i + 2] AS g
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)""" if use_bigrams else ""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, '1:' || unnest(t) AS g FROM toks
+      {big}
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(md5(g), 1, 13) AS BIGINT)
+             % {n_features} AS feature_idx,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM grams GROUP BY 1, 2
+    """

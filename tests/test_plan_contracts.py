@@ -596,3 +596,159 @@ def test_url_traps_shuffles_skinny_keys_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_auc_single_group_exchange(spark, sf_dir):
+    """Exact AUC must compute both tie-aware rank windows AND the
+    final aggregate on ONE group-keyed exchange (the descending rank
+    re-sorts in place; aliasing the group column mid-plan would plan a
+    second exchange — the regression this pins out). No joins, no
+    cartesian, skinny (group, score, label) state."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        auc_by_group,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = ws_token_count(F.col("text"))
+    scored = docs.select(
+        "source",
+        F.round(
+            F.col("n_chars") / F.when(cnt == 0, F.lit(None)).otherwise(cnt),
+            6,
+        ).alias("score"),
+        (F.round(quality_score(F.col("text")), 2) >= 0.9).alias("y"),
+    ).filter(F.col("score").isNotNull())
+    plan = _physical(auc_by_group(scored, "score", "y", "source"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hash_ngrams_one_aggregate(spark, sf_dir):
+    """The hashing-trick featurizer must be explode -> map-side hash ->
+    ONE (id, feature) aggregate: no join, no second exchange, exactly
+    the unigram + bigram explodes."""
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        hash_ngram_features,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _physical(hash_ngram_features(docs, n_features=256))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate explode") == 2
+
+
+def test_epoch_plan_inherits_interleave_contract(spark, sf_dir):
+    """The budget -> order composition must keep the no-global-sort
+    guarantee: after UniMax's bounded model-state collect, the
+    returned plan is interleave_order's — ONE language-keyed exchange,
+    zero range exchanges, zero joins."""
+    from hummingbirddatapipeline_spark.operators.sampling import epoch_plan
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _physical(epoch_plan(docs, token_budget=100_000))
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_snapshot_delta_joins_fingerprints_not_text(spark, sf_dir):
+    """The recrawl diff must reduce each side to (id, fingerprint) at
+    the scan and full-outer-join the two skinny frames — exactly two
+    id exchanges, no cartesian, and raw text absent from every
+    exchange key."""
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        snapshot_delta,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    new = docs.filter(d % 11 != 0)
+    plan = _physical(snapshot_delta(docs, new))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("SortMergeJoin") == 1
+
+
+def test_cell_drift_one_rollup_no_assemble_joins(spark, sf_dir):
+    """Drift monitoring must be: two map-side assignments, ONE id-keyed
+    join, one contribution explode, ONE cell aggregate — the K-row
+    assemble-join shape (4 extra joins) is the regression this pins
+    out."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        ivf_cell_drift,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    new = emb.filter(F.col("vec_id") % 17 != 0)
+    plan = _physical(ivf_cell_drift(emb, new, IVF_CENTROIDS_64D))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Generate explode") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_trigram_heldout_four_explodes(spark, sf_dir):
+    """The held-out trigram LM must explode exactly four times (three
+    train-side count tables + one held-out scoring pass), equi-join
+    the skinny count tables, and ride the corpus total on a single-row
+    broadcast — never a cartesian."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        trigram_logprob_heldout,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _physical(trigram_logprob_heldout(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 4
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar total
+
+
+def test_rendezvous_is_pure_map_side(spark, sf_dir):
+    """Rendezvous placement must be expressions only: ZERO exchanges of
+    any kind, zero joins — the entire shard function rides in the
+    hash, which is the operator's reason to exist."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        rendezvous_shards,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    plan = _physical(rendezvous_shards(docs, "doc_id", 8, 9))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_event_sequences_single_user_exchange(spark, sf_dir):
+    """Sequence-example emission must share ONE user-keyed exchange
+    between the history frame, the full-history guard, and the
+    example ordinal — event payloads never shuffle."""
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        event_sequence_examples,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    plan = _physical(event_sequence_examples(ev, history=4))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
