@@ -378,3 +378,38 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
     )
     return apply_cdc(ch, ["k"], "ts", "op", "tb")
+
+
+# DuckDB replay of the deterministic recrawl fixture consumed by the
+# r18-banked snapshot_delta: drop doc_id % 11 == 0, append ' rev2' to
+# doc_id % 7 == 3, add brand-new keys at doc_id + 900000 for
+# doc_id % 13 == 0. Shared with tests/test_r18_oracles.py.
+DUCK_RECRAWL_CTE = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 900000 AS doc_id,
+             'new doc ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _snapshot_delta_sql() -> str:
+    """Independent DuckDB formulation of the corpus snapshot diff
+    (operators/incremental.snapshot_delta): replays the recrawl
+    fixture, re-derives both sides' normalized md5 fingerprints, and
+    classifies every key with one full outer join."""
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH newsnap AS ({DUCK_RECRAWL_CTE}),
+    o AS (SELECT doc_id, {fp} AS fa FROM documents),
+    n AS (SELECT doc_id, {fp} AS fb FROM newsnap)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'new'
+                WHEN n.doc_id IS NULL THEN 'vanished'
+                WHEN fa = fb THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """

@@ -798,3 +798,39 @@ def _interleave_sql(seed: str = "mix0") -> str:
     FROM j a, j b
     GROUP BY a.doc_id, a.source, a.i
     """
+
+
+def _epoch_plan_sql(
+    token_budget: int, n_epochs: float = 4.0, seed: str = "ep0"
+) -> str:
+    """Independent DuckDB formulation of the budget -> order
+    composition (operators/sampling.epoch_plan): nests the FULL UniMax
+    waterfilling (_unimax_sql) to derive per-language stride weights
+    (zero-allocation languages drop out of the epoch), then counts
+    predecessors pairwise with exact cross-multiplied integer compares
+    — independent of the Spark side's closed form."""
+    return f"""
+    WITH w AS (
+      SELECT lang, alloc_tokens AS wt
+      FROM ({_unimax_sql(token_budget, n_epochs)}) ua
+      WHERE alloc_tokens > 0
+    ),
+    ordered AS (
+      SELECT d.doc_id, d.lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':{seed}'),
+                        d.doc_id) AS BIGINT) AS i
+      FROM documents d JOIN w ON w.lang = d.lang
+    ),
+    j AS (
+      SELECT o.doc_id, o.lang, o.i, w.wt
+      FROM ordered o JOIN w USING (lang)
+    )
+    SELECT a.doc_id, a.lang, a.i AS lang_seq,
+           CAST(1 + SUM(CASE WHEN b.i * a.wt < a.i * b.wt
+                              OR (b.i * a.wt = a.i * b.wt
+                                  AND b.lang < a.lang)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS global_seq
+    FROM j a, j b
+    GROUP BY a.doc_id, a.lang, a.i
+    """

@@ -1264,3 +1264,71 @@ def _ivfpq_topk_sql(
     ) WHERE rank <= {k}
     """)
     return "".join(parts)
+
+
+def _cell_drift_sql() -> str:
+    """Independent DuckDB formulation of the frozen-quantizer drift
+    monitor (operators/similarity.ivf_cell_drift): replays the
+    deterministic embedding recrawl (drop vec_id % 17 == 0, shift the
+    first coordinate by +0.25 for vec_id % 5 == 0), re-derives BOTH
+    snapshots' 6dp cosine argmax cell assignments from the frozen
+    centroid constants, and recounts arrivals/departures per cell —
+    pure integer counts."""
+
+    def assign(src: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT vec_id, CAST(cid AS INT) AS c FROM (
+        SELECT a.vec_id, c.cid, ROW_NUMBER() OVER
+                 (PARTITION BY a.vec_id ORDER BY
+                  ROUND(list_sum(list_zip(a.v, c.cv)
+                          .list_transform(p -> p[1] * p[2]))
+                    / (sqrt(list_sum(a.v.list_transform(x -> x * x)))
+                       * sqrt(list_sum(c.cv.list_transform(x -> x * x)))),
+                    6) DESC, c.cid) AS rk
+        FROM {src} a CROSS JOIN cents c) WHERE rk = 1)"""
+
+    return f"""
+    WITH cents AS (
+      SELECT cid, cv.list_transform(x -> CAST(x AS DOUBLE)) AS cv
+      FROM ({_cent_cte_body()})
+    ),
+    oldv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    newv AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 = 0
+                  THEN list_value(v[1] + 0.25) || v[2:]
+                  ELSE v END AS v
+      FROM oldv WHERE vec_id % 17 <> 0
+    ),
+    {assign('oldv', 'aa')},
+    {assign('newv', 'ab')},
+    j AS (
+      SELECT COALESCE(aa.vec_id, ab.vec_id) AS vec_id,
+             aa.c AS ca, ab.c AS cb
+      FROM aa FULL OUTER JOIN ab ON aa.vec_id = ab.vec_id
+    ),
+    na AS (SELECT ca AS centroid_id, COUNT(*) AS n_old
+           FROM j WHERE ca IS NOT NULL GROUP BY 1),
+    nb AS (SELECT cb AS centroid_id, COUNT(*) AS n_new
+           FROM j WHERE cb IS NOT NULL GROUP BY 1),
+    arr AS (SELECT cb AS centroid_id, COUNT(*) AS n_arrivals
+            FROM j WHERE cb IS NOT NULL
+              AND (ca IS NULL OR ca <> cb) GROUP BY 1),
+    dep AS (SELECT ca AS centroid_id, COUNT(*) AS n_departures
+            FROM j WHERE ca IS NOT NULL
+              AND (cb IS NULL OR cb <> ca) GROUP BY 1)
+    SELECT COALESCE(na.centroid_id, nb.centroid_id, arr.centroid_id,
+                    dep.centroid_id) AS centroid_id,
+           CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(n_arrivals, 0) AS BIGINT) AS n_arrivals,
+           CAST(COALESCE(n_departures, 0) AS BIGINT) AS n_departures
+    FROM na
+    FULL OUTER JOIN nb USING (centroid_id)
+    FULL OUTER JOIN arr USING (centroid_id)
+    FULL OUTER JOIN dep USING (centroid_id)
+    """

@@ -91,3 +91,44 @@ def decayed_activity(
         F.max(ts_col).alias("last_ts"),
         F.round(F.sum(w), 6).alias("decayed_score"),
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the ingestion-maintenance primitive
+    behind every recrawl: classify each document key as ``new``
+    (appears only in the new snapshot), ``vanished`` (only in the
+    old), ``changed`` (both, content fingerprint differs), or
+    ``unchanged``. Downstream, only new+changed rows re-enter the
+    dedup/quality pipeline and vanished keys tombstone — reprocessing
+    cost tracks the DELTA, not the corpus.
+
+    Content identity is the repo's normalized md5 fingerprint
+    (functions/text.fingerprint — whitespace/case-normalized), so
+    cosmetic rewraps do not count as changes. Deterministic: string
+    equality on hashes.
+
+    Returns (id, status). Scale shape: each side reduces to (id,
+    fingerprint) at the scan, then ONE id-keyed full outer join of
+    two skinny frames; text never rides the shuffle.
+    """
+    from hummingbirddatapipeline_spark.functions.text import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fa")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fb")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__fa").isNull(), F.lit("new"))
+        .when(F.col("__fb").isNull(), F.lit("vanished"))
+        .when(F.col("__fa") == F.col("__fb"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -891,3 +891,55 @@ def interleave_order(
             gseq.alias("global_seq"),
         )
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    token_budget: int,
+    n_epochs: float = 4.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "ep0",
+) -> DataFrame:
+    """The BUDGET -> ORDER composition: UniMax waterfilling decides
+    how many tokens each language contributes to the epoch
+    (:func:`unimax_allocation`), and stride scheduling turns those
+    allocations into the deterministic global training order
+    (:func:`interleave_order` with the allocations as weights) — the
+    complete epoch manifest a data loader replays byte-for-byte.
+    Languages whose allocation is zero are simply not in this epoch
+    (stride weight must be positive), which is exactly UniMax's
+    verdict for them.
+
+    Because interleave prefixes are weight-proportional, ANY prefix of
+    the plan respects the UniMax mixture — a run stopped at 40% of the
+    budget consumed ~40% of every language's allocation, the property
+    that makes mid-epoch checkpoint/resume safe.
+
+    Returns (id, lang, lang_seq, global_seq). Scale shape: UniMax's
+    one corpus aggregate to K language rows, the K-row allocation
+    collect (bounded model state, the unimax class), then
+    interleave_order's ONE language-keyed exchange + closed-form
+    map-side position arithmetic — no global sort, end to end.
+    """
+    alloc = unimax_allocation(
+        docs, token_budget, n_epochs, lang_col=lang_col, text_col=text_col
+    )
+    weights = {
+        r["lang"]: int(r["alloc_tokens"])
+        for r in alloc.select("lang", "alloc_tokens").collect()
+        if int(r["alloc_tokens"]) > 0
+    }
+    if not weights:
+        raise ValueError("epoch_plan: budget funds no language")
+    sub = docs.filter(F.col(lang_col).isin(list(weights)))
+    out = interleave_order(
+        sub, weights, source_col=lang_col, id_col=id_col, seed=seed
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("source").alias("lang"),
+        F.col("src_seq").alias("lang_seq"),
+        "global_seq",
+    )

@@ -1380,3 +1380,78 @@ def sq8_fidelity(
         ),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def ivf_cell_drift(
+    old: DataFrame,
+    new: DataFrame,
+    centroids: list[list[float]],
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift monitor over the FROZEN IVF
+    quantizer — the embedding-space sibling of the PSI feature-drift
+    row: assign BOTH snapshots to the same frozen cells
+    (:func:`ivf_incremental_add`, centroid literals, map-side) and
+    report per cell how the population moved. A cell whose count
+    doubles or drains between crawls means the embedding distribution
+    shifted and the quantizer (and every IVF-routed ANN decision
+    downstream) is stale — the re-cluster trigger, measured in-engine.
+
+    Per cell::
+
+        (centroid_id, n_old, n_new, n_arrivals, n_departures)
+
+    arrivals = vectors whose NEW cell is this one but whose old cell
+    was different or absent; departures symmetric. Pure integer
+    counts over the deterministic assignment — engine-exact.
+
+    Scale shape: two map-side assignment passes (no join, no shuffle —
+    the ivf_incremental_add contract), ONE id-keyed join of the two
+    skinny (id, cell) frames, then each joined row explodes into its
+    <= 2 per-cell contributions (old-side row + new-side row, with
+    arrival/departure flags decided row-locally) and ONE hash
+    aggregate over <= n_cells keys rolls everything up — no K-row
+    assemble joins.
+    """
+    a = ivf_incremental_add(
+        old.select(item_id, item_vec), centroids, item_id, item_vec
+    ).select(item_id, F.col("centroid_id").alias("__ca"))
+    b = ivf_incremental_add(
+        new.select(item_id, item_vec), centroids, item_id, item_vec
+    ).select(item_id, F.col("centroid_id").alias("__cb"))
+    j = a.join(b, item_id, "full_outer")
+    ca, cb = F.col("__ca"), F.col("__cb")
+    one, zero = F.lit(1), F.lit(0)
+    contrib = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    ca.alias("cell"),
+                    one.alias("o"),
+                    zero.alias("nn"),
+                    zero.alias("arr"),
+                    F.when(cb.isNull() | (cb != ca), one)
+                    .otherwise(zero)
+                    .alias("dep"),
+                ),
+                F.struct(
+                    cb.alias("cell"),
+                    zero.alias("o"),
+                    one.alias("nn"),
+                    F.when(ca.isNull() | (ca != cb), one)
+                    .otherwise(zero)
+                    .alias("arr"),
+                    zero.alias("dep"),
+                ),
+            )
+        ).alias("__c")
+    ).filter(F.col("__c.cell").isNotNull())
+    return contrib.groupBy(
+        F.col("__c.cell").alias("centroid_id")
+    ).agg(
+        F.sum("__c.o").cast("long").alias("n_old"),
+        F.sum("__c.nn").cast("long").alias("n_new"),
+        F.sum("__c.arr").cast("long").alias("n_arrivals"),
+        F.sum("__c.dep").cast("long").alias("n_departures"),
+    )

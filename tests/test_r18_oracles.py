@@ -1,0 +1,188 @@
+"""Differential (DuckDB) checks for the operators banked for round-18
+catalog registration — the budget -> order epoch plan (UniMax
+waterfilling composed into stride scheduling), the corpus snapshot
+diff (recrawl delta by key + content fingerprint), and the
+frozen-quantizer embedding-drift monitor. Each DuckDB side is an
+independent formulation: the epoch oracle nests the full waterfilling
+and counts predecessors pairwise; the delta oracle replays the
+recrawl fixture and re-fingerprints both sides; the drift oracle
+re-derives both snapshots' cell assignments from the frozen centroid
+constants."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(*tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF, t + '.parquet')}')"
+        )
+    return con
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                v.hex() if isinstance(v, float) and not math.isnan(v) else v
+                for v in r
+            )
+        )
+    return sorted(out, key=repr)
+
+
+def _docs(spark):
+    from hummingbirddatapipeline_spark.tables import load
+
+    return load(spark, SF, "documents")
+
+
+def test_epoch_plan_matches_duckdb(spark):
+    from hummingbirddatapipeline_spark.catalog.sampling_q import (
+        _epoch_plan_sql,
+    )
+    from hummingbirddatapipeline_spark.operators.sampling import epoch_plan
+
+    docs = _docs(spark)
+    got = [
+        tuple(r)
+        for r in epoch_plan(docs, token_budget=100_000, n_epochs=4.0).collect()
+    ]
+    con = _duck("documents")
+    exp = con.sql(_epoch_plan_sql(100_000, 4.0, "ep0")).fetchall()
+    con.close()
+    assert len(got) == len(exp) > 0
+    assert _norm(got) == _norm(exp)
+    # the plan is a total order over the funded corpus
+    seqs = sorted(r[3] for r in got)
+    assert seqs == list(range(1, len(got) + 1))
+    # within each language the plan consumes docs in order: lang_seq
+    # is 1..n_lang, and global_seq is strictly increasing along it
+    per_lang = {}
+    for _id, lang, ls, gs in got:
+        per_lang.setdefault(lang, []).append((ls, gs))
+    for lang, rows in per_lang.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        gseqs = [r[1] for r in rows]
+        assert gseqs == sorted(gseqs)
+
+
+def test_snapshot_delta_matches_duckdb(spark):
+    from hummingbirddatapipeline_spark.catalog.entity_q import (
+        _snapshot_delta_sql,
+    )
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        snapshot_delta,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    d = F.col("doc_id")
+    mutated = docs.filter(d % 11 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 3, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(d % 13 == 0).select(
+        (d + 900000).alias("doc_id"),
+        F.concat(F.lit("new doc "), d.cast("string")).alias("text"),
+    )
+    new = mutated.unionByName(added)
+    got = [tuple(r) for r in snapshot_delta(docs, new).collect()]
+    con = _duck("documents")
+    exp = con.sql(_snapshot_delta_sql()).fetchall()
+    con.close()
+    assert len(got) == len(exp) > 0
+    assert _norm(got) == _norm(exp)
+    from collections import Counter
+
+    c = Counter(r[1] for r in got)
+    assert set(c) == {"new", "vanished", "changed", "unchanged"}
+    # fixture arithmetic: every status count is derivable exactly
+    n_docs = docs.count()
+    assert c["vanished"] == docs.filter(d % 11 == 0).count()
+    assert c["new"] == docs.filter(d % 13 == 0).count()
+    assert c["changed"] == docs.filter((d % 11 != 0) & (d % 7 == 3)).count()
+    assert sum(c.values()) == n_docs + c["new"]
+
+
+def test_snapshot_delta_whitespace_invariant(spark):
+    """Cosmetic rewraps must NOT count as changes: the fingerprint is
+    whitespace/case-normalized, so a re-spaced uppercased copy is
+    'unchanged'."""
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "Hello  world foo"), (2, "keep me")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "hello WORLD   foo"), (2, "changed me")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed"}
+
+
+def test_ivf_cell_drift_matches_duckdb(spark):
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.catalog.similarity_q import (
+        _cell_drift_sql,
+    )
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        ivf_cell_drift,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    v = F.col("vec_id")
+    new = emb.filter(v % 17 != 0).select(
+        "vec_id",
+        F.when(
+            v % 5 == 0,
+            F.expr(
+                "concat(array(embedding[0] + 0.25D),"
+                " slice(embedding, 2, size(embedding) - 1))"
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    got = [
+        tuple(r) for r in ivf_cell_drift(emb, new, IVF_CENTROIDS_64D).collect()
+    ]
+    con = _duck("embeddings")
+    exp = con.sql(_cell_drift_sql()).fetchall()
+    con.close()
+    assert len(got) == len(exp) > 0
+    assert _norm(got) == _norm(exp)
+    # conservation: totals reconcile with the fixture — n_old sums to
+    # the corpus, n_new to the recrawl, and global arrivals equal the
+    # vectors that actually changed cells (departures additionally
+    # count the dropped ones)
+    n_old_total = sum(r[1] for r in got)
+    n_new_total = sum(r[2] for r in got)
+    assert n_old_total == emb.count()
+    assert n_new_total == new.count()
+    dropped = emb.count() - new.count()
+    moved = sum(r[3] for r in got)
+    assert sum(r[4] for r in got) == moved + dropped
+    assert moved > 0  # the +0.25 shift moved somebody
