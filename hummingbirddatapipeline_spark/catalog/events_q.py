@@ -736,3 +736,31 @@ def events_rolling_window_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_window_stats(
         ev, "user_id", "ts_ms", _HOUR_MS, "value"
     ).select("event_id", "user_id", "ts_ms", "n_in_window", "sum_in_window")
+
+
+def _event_seq_sql(history: int = 4) -> str:
+    """Independent DuckDB formulation of next-event training examples
+    (operators/temporal.event_sequence_examples): window-ordered
+    list() over the same (ts, event_id) frame, '|'-joined, with the
+    full-history guard and the per-user example ordinal."""
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id,
+             array_to_string(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {history} PRECEDING AND 1 PRECEDING), '|')
+               AS input_types,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {history} PRECEDING AND 1 PRECEDING)
+               AS hist
+      FROM events
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS example_seq,
+           input_types,
+           event_type AS target_type
+    FROM base WHERE hist = {history}
+    """

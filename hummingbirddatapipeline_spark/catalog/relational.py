@@ -1001,3 +1001,30 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     return key_skew_report(orders, "o_custkey", top_k=5)
+
+
+def _rendezvous_sql(
+    n_shards: int, n_shards_new: int, seed: str = "hrw0"
+) -> str:
+    """Independent DuckDB formulation of rendezvous shard assignment
+    (operators/scale.rendezvous_shards): re-derives both fleets'
+    argmax-md5 placements as struct list_max (hex compares
+    lexicographically == numerically at fixed length; ties to the
+    lowest shard via the negated-id field) and the moved flag."""
+
+    def argmax(n: int) -> str:
+        structs = ", ".join(
+            "{'h': md5(CAST(doc_id AS VARCHAR) || "
+            f"':{s}:{seed}'), 'neg_s': {-s}}}"
+            for s in range(n)
+        )
+        return f"CAST(-list_max([{structs}])['neg_s'] AS INT)"
+
+    return f"""
+    SELECT doc_id, shard, shard_new, shard <> shard_new AS moved
+    FROM (
+      SELECT doc_id,
+             {argmax(n_shards)} AS shard,
+             {argmax(n_shards_new)} AS shard_new
+      FROM documents)
+    """

@@ -1401,3 +1401,71 @@ def _cut_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
            CAST(t.n_tokens - COALESCE(p.tc, 0) AS BIGINT) AS tokens_kept
     FROM tot t LEFT JOIN perdoc p USING (doc_id)
     """
+
+
+def _trigram_heldout_sql(
+    alpha: float = 0.4, holdout_hex: str = "3333", seed: str = "lm0"
+) -> str:
+    """Independent DuckDB formulation of held-out Stupid-Backoff
+    trigram surprisal (operators/retrieval.trigram_logprob_heldout):
+    re-derives the md5 train/held split, all three train-side count
+    tables, the per-position backoff cascade (same multiplication
+    order as the Spark side), and the 4dp per-doc mean."""
+    a = repr(float(alpha))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 4)
+               < '{holdout_hex}' AS held
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks WHERE NOT held) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c1) AS t_occ FROM uni),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM (
+        SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        FROM (SELECT t, unnest(range(len(t) - 1)) AS i
+              FROM toks WHERE NOT held AND len(t) >= 2))
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS c3 FROM (
+        SELECT t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+        FROM (SELECT t, unnest(range(len(t) - 2)) AS i
+              FROM toks WHERE NOT held AND len(t) >= 3))
+      GROUP BY 1, 2, 3
+    ),
+    pos AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+            FROM toks WHERE held AND len(t) >= 3)
+    ),
+    sc AS (
+      SELECT p.doc_id,
+             CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / bi.c2
+                  WHEN b2.c2 IS NOT NULL THEN {a} * b2.c2 / u2.c1
+                  WHEN u3.c1 IS NOT NULL
+                    THEN ({a} * {a}) * u3.c1 / tot.t_occ
+                  ELSE ({a} * {a}) * 1.0 / tot.t_occ END AS s
+      FROM pos p
+      LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+      LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+      LEFT JOIN bi b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+      LEFT JOIN uni u2 ON u2.w = p.w2
+      LEFT JOIN uni u3 ON u3.w = p.w3
+      CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             ROUND(AVG(-ln(s)), 4) AS mean_nll
+      FROM sc GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           p.mean_nll
+    FROM (SELECT doc_id FROM toks WHERE held) h
+    LEFT JOIN perdoc p USING (doc_id)
+    """

@@ -345,3 +345,154 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def trigram_logprob_heldout(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    holdout_hex: str = "3333",
+    seed: str = "lm0",
+) -> DataFrame:
+    """Held-out trigram surprisal under Stupid Backoff (Brants et al.
+    2007) — the LM-fidelity step above :func:`bigram_logprob` and the
+    methodologically honest one: the corpus splits by content hash
+    into TRAIN (~80%) and HELD-OUT; the trigram/bigram/unigram count
+    tables come from train only, and only held-out docs are scored —
+    so unseen n-grams actually occur and every backoff tier fires
+    (scoring a corpus under its own counts never backs off; that
+    degenerate regime is what this operator exists to avoid).
+
+    Stupid Backoff score for position (w1, w2, w3)::
+
+        S = c3(w1w2w3) / c2(w1w2)            if c3 > 0
+          = alpha * c2b(w2w3) / c1(w2)       elif c2b > 0
+          = alpha^2 * c1(w3) / T             elif c1 > 0
+          = alpha^2 * 1 / T                  otherwise (OOV floor — a
+                                             documented deviation so
+                                             -ln stays finite)
+
+    (unnormalized, as published). ``mean_nll`` = mean of -ln S over
+    the doc's trigram positions, rounded 4dp (the bigram_logprob
+    regime); docs with < 3 tokens report n_trigrams = 0 and NULL.
+
+    Returns (id, n_trigrams, mean_nll) for HELD-OUT docs only.
+
+    Scale shape: three train-side explodes (uni/bi/tri) each
+    immediately hash-aggregated to count tables; the held-out side
+    explodes once into trigram positions and equi-joins the three
+    skinny tables (left joins — misses ARE the signal); the corpus
+    total rides a single-row crossJoin. Nothing quadratic.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        ws_tokens(F.lower(F.col(text_col))).alias("t"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(":" + seed)
+                    )
+                ),
+                1,
+                4,
+            )
+            < holdout_hex
+        ).alias("__held"),
+    )
+    train = toks.filter(~F.col("__held"))
+    held = toks.filter(F.col("__held"))
+
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c1"))
+        .localCheckpoint()
+    )
+    total = uni.agg(F.sum("c1").alias("t_occ"))
+    bi = (
+        train.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").cast("double").alias("c2"))
+    )
+    tri = (
+        train.filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2,"
+                    " t[i + 2] AS w3))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2", "p.w3")
+        .agg(F.count("*").cast("double").alias("c3"))
+    )
+    pos = (
+        held.filter(F.size("t") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2,"
+                    " t[i + 2] AS w3))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2", "p.w3")
+    )
+    j = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi.select("w1", "w2", "c2"), ["w1", "w2"], "left")
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2b"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1m")), "w2", "left")
+        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1l")), "w3", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2"))
+        .when(
+            F.col("c2b").isNotNull(), a * F.col("c2b") / F.col("c1m")
+        )
+        .when(
+            F.col("c1l").isNotNull(),
+            a * a * F.col("c1l") / F.col("t_occ"),
+        )
+        .otherwise(a * a * F.lit(1.0) / F.col("t_occ"))
+    )
+    per_doc = j.select(id_col, (-F.log(score)).alias("__nll")).groupBy(
+        id_col
+    ).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(F.avg("__nll"), 4).alias("mean_nll"),
+    )
+    counted = held.select(
+        id_col, F.size("t").alias("__nt")
+    ).join(per_doc, id_col, "left")
+    return counted.select(
+        F.col(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        F.col("mean_nll"),
+    )

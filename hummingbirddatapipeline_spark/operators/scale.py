@@ -519,3 +519,69 @@ def shard_manifest(
             F.expr("bit_xor(__h)").alias("fingerprint"),
         )
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    n_shards_new: int | None = None,
+    seed: str = "hrw0",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — Thaler &
+    Ravishankar 1996, the consistent-placement alternative to
+    ``hash mod n``: each key scores every shard with
+    ``md5("<key>:<shard>:<seed>")`` and lands on the argmax. The
+    property mod-sharding lacks: growing the fleet moves ONLY the keys
+    whose new argmax IS the new shard (~1/(n+1) of them) — a 100 TB
+    partition-by-shard layout resizes by copying one shard's worth of
+    data instead of reshuffling everything.
+
+    Fixed-length lowercase-hex md5 compares lexicographically exactly
+    as it compares numerically, so the argmax is a pure string max —
+    deterministic and identical in ANSI SQL; ties (never observed at
+    128 bits, handled anyway) break to the LOWEST shard id via a
+    (hash, -shard) struct max.
+
+    With ``n_shards_new`` set, emits the before/after comparison::
+
+        (key, shard, shard_new, moved)
+
+    and the HRW contract — ``moved`` implies ``shard_new`` is one of
+    the ADDED shards — is pinned constructively in tests. Without it,
+    just (key, shard).
+
+    Scale shape: pure map-side expressions — n_shards md5 calls per
+    row, no shuffle, no state; the shard table is implicit in the
+    hash, which is the whole point (nothing to rebalance, broadcast,
+    or version).
+    """
+
+    def argmax(n: int) -> Column:
+        return (
+            -F.array_max(
+                F.array(
+                    *[
+                        F.struct(
+                            F.md5(
+                                F.concat(
+                                    F.col(key_col).cast("string"),
+                                    F.lit(f":{s}:{seed}"),
+                                )
+                            ).alias("h"),
+                            F.lit(-s).alias("neg_s"),
+                        )
+                        for s in range(n)
+                    ]
+                )
+            )["neg_s"]
+        ).cast("int")
+
+    out = df.select(F.col(key_col), argmax(n_shards).alias("shard"))
+    if n_shards_new is None:
+        return out
+    return df.select(
+        F.col(key_col),
+        argmax(n_shards).alias("shard"),
+        argmax(n_shards_new).alias("shard_new"),
+    ).withColumn("moved", F.col("shard") != F.col("shard_new"))

@@ -448,3 +448,56 @@ def touch_attribution(
             F.when(F.col("last_touch_id").isNotNull(), half),
         )
     return out
+
+
+def event_sequence_examples(
+    events: DataFrame,
+    history: int = 4,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Next-event-prediction training examples from an event log — the
+    behavioral-model sibling of the text pipeline's packing rows:
+    every event with at least ``history`` predecessors in its user's
+    timeline becomes one supervised example (the last ``history``
+    event types as input, the current type as target).
+
+    Ordering is (ts, event_id) within each user — the id tiebreak
+    makes simultaneous events deterministic. The input context is
+    emitted as a '|'-joined STRING, not an array: window-ordered
+    ``collect_list`` is frame-deterministic, and a string column
+    hashes identically on both engines where array hashing is
+    engine-specific (the winnowing lesson applied at design time).
+
+    Returns (user, example_seq, input_types, target_type) with
+    example_seq the 1-based per-user ordinal of the example.
+
+    Scale shape: ONE user-keyed exchange shared by the history-frame
+    window, the count guard, and the ordinal — event payloads never
+    ride it (only the type column). At 100 TB this is the standard
+    sessionized-features shape: sort within user partitions, emit
+    fixed-width examples map-side.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    frame = w.rowsBetween(-history, -1)
+    base = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.array_join(
+            F.collect_list(type_col).over(frame), "|"
+        ).alias("input_types"),
+        F.count("*").over(frame).alias("__hist"),
+    ).filter(F.col("__hist") == history)
+    wo = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    return base.select(
+        F.col(user_col),
+        F.row_number().over(wo).cast("long").alias("example_seq"),
+        "input_types",
+        F.col(type_col).alias("target_type"),
+    )
