@@ -845,3 +845,57 @@ def _label_prop_sql(
     FROM l{n_iter} l LEFT JOIN seeds s ON s.node = l.node
     """)
     return "".join(parts)
+
+
+def _cluster_histogram_sql(threshold: float = 0.85) -> str:
+    """Independent DuckDB formulation of the duplicate-cluster size
+    histogram (operators/graph.cluster_size_histogram): re-derives the
+    exact-Jaccard pair graph from raw text, closes it with the
+    recursive min-label CTE, histograms component sizes, and accounts
+    the untouched corpus as the size-1 row."""
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    jp AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / (sa.n + sb.n - inter) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM jp
+      UNION SELECT id_b, id_a FROM jp
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    csz AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM cc GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM csz GROUP BY cluster_size
+      UNION ALL
+      SELECT CAST(1 AS BIGINT),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM cc)
+      WHERE (SELECT COUNT(*) FROM documents)
+            > (SELECT COUNT(*) FROM cc)
+    )
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM hist
+    """

@@ -1469,3 +1469,74 @@ def _trigram_heldout_sql(
     FROM (SELECT doc_id FROM toks WHERE held) h
     LEFT JOIN perdoc p USING (doc_id)
     """
+
+
+def _leaderboard_sql(
+    k: int = 20, min_occurrences: int = 2, top: int = 20
+) -> str:
+    """Independent DuckDB formulation of the boilerplate leaderboard
+    (operators/dedup.boilerplate_leaderboard): re-derives the stride-1
+    windows, per-hash occurrence/document counts, the (min doc, min
+    start) representative carrying the window text, and the top cut
+    under the engine-neutral (occurrences DESC, rep_doc, rep_start)
+    order."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_CASED} AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS start,
+             array_to_string(t[i + 1 : i + {k}], ' ') AS wtext,
+             md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS wh
+      FROM (SELECT doc_id, t,
+                   unnest(range(CASE WHEN len(t) >= {k}
+                                     THEN len(t) - {k} + 1
+                                     ELSE 0 END)) AS i
+            FROM toks)
+    ),
+    agg AS (
+      SELECT wh,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             MIN(ROW(doc_id, start, wtext)) AS rep
+      FROM wins GROUP BY wh
+      HAVING COUNT(*) >= {min_occurrences}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY n_occurrences DESC, rep[1], rep[2]) AS BIGINT)
+             AS rank,
+           n_occurrences, n_docs,
+           rep[1] AS rep_doc,
+           CAST(rep[2] AS BIGINT) AS rep_start,
+           rep[3] AS window_text
+    FROM agg
+    ORDER BY n_occurrences DESC, rep[1], rep[2]
+    LIMIT {top}
+    """
+
+
+def _bpe_fertility_sql() -> str:
+    """Independent DuckDB formulation of the per-language tokenizer
+    fertility report (operators/tokenization.bpe_fertility_by_lang):
+    nests the full frozen-merge replay (_bpe_frozen_oracle) and
+    aggregates exact BIGINT sums per language; both ratios are single
+    6dp divisions."""
+    return f"""
+    WITH seg AS ({_bpe_frozen_oracle()}),
+    base AS (
+      SELECT d.lang, s.n_bpe_tokens,
+             len({_DUCK_TOKS}) AS n_words, d.n_chars
+      FROM documents d JOIN seg s USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(n_bpe_tokens) AS DOUBLE)
+                 / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / CAST(SUM(n_bpe_tokens) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM base GROUP BY lang
+    """

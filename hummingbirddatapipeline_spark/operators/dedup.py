@@ -1509,3 +1509,85 @@ def cut_dup_spans(
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+def boilerplate_leaderboard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_occurrences: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """The WORST-boilerplate leaderboard: the ``top`` most-duplicated
+    k-token windows corpus-wide, each with its occurrence count,
+    distinct-document reach, and the canonical (min doc, min start)
+    representative INCLUDING the window text — the triage view a
+    curation owner reads before deciding cut policies (cookie
+    banners, license headers, nav bars surface here first).
+
+    Ordering is (occurrences DESC, rep_doc ASC, rep_start ASC) — the
+    representative tiebreak is engine-neutral where a hash-value
+    tiebreak would not be (Spark buckets by xxhash64, the oracle by
+    md5; equal TEXT gives equal counts either way, so only the
+    deterministic representative may break ties).
+
+    Returns (rank, n_occurrences, n_docs, rep_doc, rep_start,
+    window_text), rank 1-based.
+
+    Scale shape: zero-exchange windowing; ONE hash aggregate over
+    8-byte window hashes (count + distinct-doc + struct-min
+    representative, text riding only inside the min); the top cut is
+    orderBy().limit() — TakeOrderedAndProject, a per-partition
+    partial top-k, never a global sort — and the rank window runs
+    over <= top rows.
+    """
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import (
+        chunk_token_windows,
+    )
+
+    wins = (
+        chunk_token_windows(
+            docs, text_col, id_col, chunk_tokens=k, stride=1
+        )
+        .filter(F.col("n_tokens") == k)
+        .select(
+            id_col,
+            F.col("chunk_idx").alias("__start"),
+            F.col("chunk_text"),
+            F.xxhash64("chunk_text").alias("__wh"),
+        )
+    )
+    agg = (
+        wins.groupBy("__wh")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"),
+                    F.col("__start").alias("s"),
+                    F.col("chunk_text").alias("t"),
+                )
+            ).alias("__rep"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+    cut = agg.orderBy(
+        F.col("n_occurrences").desc(),
+        F.col("__rep.d"),
+        F.col("__rep.s"),
+    ).limit(top)
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("__rep.d"), F.col("__rep.s")
+    )
+    return cut.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "n_occurrences",
+        "n_docs",
+        F.col("__rep.d").alias("rep_doc"),
+        F.col("__rep.s").cast("long").alias("rep_start"),
+        F.col("__rep.t").alias("window_text"),
+    )

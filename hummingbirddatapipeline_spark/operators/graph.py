@@ -506,3 +506,56 @@ def label_propagation(
     ).select(
         "node", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
     )
+
+
+def cluster_size_histogram(
+    pairs: DataFrame,
+    universe: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    universe_id: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster OBSERVABILITY: the size histogram of the
+    near-dup graph's connected components — the one chart every dedup
+    run gets judged by (how much is unique, how long is the tail, is
+    there a boilerplate mega-cluster). Pass ``universe`` (the full
+    corpus keys) to also account singletons — docs untouched by any
+    pair — as the size-1 row.
+
+    Returns (cluster_size, n_clusters, n_docs) with n_docs =
+    cluster_size * n_clusters (emitted for direct reading; exact
+    integers).
+
+    Scale shape: the closure is :func:`connected_components`
+    (O(log n) pointer-jumping rounds); the histogram is two hash
+    aggregates over skinny (node, cluster) then (size) keys; the
+    singleton count is one anti-join of key columns. Output is at
+    most |distinct sizes| rows — the observability query costs what
+    the dedup itself already paid.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    if universe is not None:
+        clustered = cc.select(F.col("node").alias(universe_id))
+        n_single = (
+            universe.select(universe_id)
+            .join(clustered, universe_id, "left_anti")
+            .count()
+        )
+        if n_single:
+            single = hist.sparkSession.createDataFrame(
+                [(1, n_single)], "cluster_size long, n_clusters long"
+            )
+            hist = hist.unionByName(single)
+    return hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    )

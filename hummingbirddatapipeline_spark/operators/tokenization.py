@@ -196,3 +196,65 @@ def bpe_segment(
         .withColumn("n_bpe_tokens", F.lit(0))
     )
     return assembled.unionByName(empty)
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fertility report per language under a frozen BPE
+    merge list — the vocabulary-equity metric every multilingual
+    tokenizer ships with (a language whose fertility is 2x pays 2x
+    the sequence length for the same words; chars-per-token is the
+    compression the storage/serving stack sees). One row per
+    language::
+
+        (lang, n_docs, n_bpe_tokens, n_words, n_chars,
+         fertility = bpe_tokens / words, chars_per_token)
+
+    Both ratios are single divisions of exact BIGINT sums, rounded
+    6dp — engine-portable by the count-division rule.
+
+    Scale shape: :func:`bpe_segment`'s dictionary-replay plan (merge
+    chain once per unique WORD, broadcast back), one id join to carry
+    lang, ONE language aggregate.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    seg = bpe_segment(
+        docs.select(id_col, text_col), text_col, merges, id_cols=[id_col]
+    ).select(id_col, "n_bpe_tokens")
+    base = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.size(ws_tokens(F.lower(F.col(text_col))))
+        .cast("long")
+        .alias("__nw"),
+        F.col("n_chars").cast("long").alias("__nc"),
+    ).join(seg, id_col)
+    agg = base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("__nw").cast("long").alias("n_words"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_bpe_tokens",
+        "n_words",
+        "n_chars",
+        F.round(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -752,3 +752,38 @@ def test_event_sequences_single_user_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_leaderboard_top_cut_is_partial_topk(spark, sf_dir):
+    """The boilerplate leaderboard's top cut must be
+    TakeOrderedAndProject (per-partition partial top-k), never a
+    range-exchange global sort; the rank window then runs over <= top
+    rows. One window-hash aggregate, no cartesian."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        boilerplate_leaderboard,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _physical(boilerplate_leaderboard(docs, k=20, top=20))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bpe_fertility_inherits_dictionary_replay(spark, sf_dir):
+    """The fertility report must ride bpe_segment's dictionary-replay
+    plan (merge chain once per unique word, broadcast back) plus ONE
+    language aggregate — no cartesian, broadcast joins only for the
+    vocab attach."""
+    from hummingbirddatapipeline_spark.artifacts import BPE_MERGES
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        bpe_fertility_by_lang,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _physical(bpe_fertility_by_lang(docs, BPE_MERGES))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 5

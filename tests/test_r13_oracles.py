@@ -18,7 +18,10 @@ import os
 import duckdb
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.001"
+# BANK_SF_DIR lets the registration dry-run re-check every banked
+# differential at the driver gate's scale (sf0.01) without
+# duplicating the Spark-side builders
+SF = os.environ.get("BANK_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _duck(*tables: str):
