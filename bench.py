@@ -164,6 +164,41 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Machine calibration: two FIXED, repo-independent workloads whose
+    # cost tracks only the VM (CPU speed + scheduler/shuffle overhead),
+    # never the catalog code. Round-over-round, the ratio of these
+    # numbers is the machine factor — the r10 close-out measured a
+    # uniform ~1.55x VM drift on byte-identical code (PLANS.md), which
+    # without this probe is indistinguishable from a broad regression.
+    # tools/bench_compare.py divides it out when both artifacts have it.
+    def _calibrate() -> dict[str, float]:
+        cpu, shuf = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # id bounded BEFORE the multiply: 1000003 * 2654435761
+            # ~ 2.7e15 stays far under Long.MAX with ANSI overflow
+            # checks on (an unbounded id * constant overflows at
+            # id ~ 3.5e9 and ANSI mode makes that an ERROR).
+            spark.range(0, 4_800_000_000, 1, 32).selectExpr(
+                "sum((id % 1000003) * 2654435761 % 1000000007) AS s"
+            ).collect()
+            cpu.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 16_000_000, 1, 32)
+                .selectExpr("id % 65536 AS k", "id AS v")
+                .groupBy("k")
+                .sum("v")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            shuf.append(time.perf_counter() - t0)
+        return {
+            "calib_cpu_sec": round(min(cpu), 3),
+            "calib_shuffle_sec": round(min(shuf), 3),
+        }
+
     # Three passes per query: the first pays one-time expression codegen
     # (3-4 s on the big compiled scoring trees — a per-JVM constant,
     # irrelevant at cluster scale); the headline value is the per-query
@@ -193,6 +228,10 @@ def main() -> None:
         "queries": warm,
         "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # keep calibration LAST: the driver's BENCH_rN.json records
+        # only a 2000-char stdout tail (the END of this line), so a
+        # trailing position survives truncation for every suite size.
+        "calibration": _calibrate(),
     }
     print(json.dumps(payload))
     _write_local_artifact(payload)

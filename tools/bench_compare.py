@@ -50,10 +50,53 @@ def load(path: str, cold: bool = False) -> dict[str, float]:
         return doc[key]
     tail = doc.get("tail", text) if isinstance(doc, dict) else text
     pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
-    out = {k: float(v) for k, v in pairs if k not in ("value", "sf", "n", "rc", "cpus")}
+    out = {
+        k: float(v)
+        for k, v in pairs
+        if k not in ("value", "sf", "n", "rc", "cpus")
+        and not k.startswith("calib_")
+    }
     if not out:
         raise SystemExit(f"no per-query timings found in {path}")
     return out
+
+
+def load_calibration(path: str) -> float | None:
+    """Geomean of the fixed-workload calibration probes (bench.py
+    emits them since r10), or None for pre-calibration artifacts.
+    Resolves driver artifacts to the sibling BENCH_LOCAL file first,
+    then falls back to scavenging the stdout tail (the probes sit at
+    the END of the JSON line precisely so the 2000-char tail keeps
+    them)."""
+    import os
+    import re
+
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        local = os.path.join(
+            os.path.dirname(path) or ".", f"BENCH_LOCAL_r{int(m.group(1)):02d}.json"
+        )
+        if os.path.exists(local):
+            path = local
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict) and isinstance(doc.get("calibration"), dict):
+        vals = [float(v) for v in doc["calibration"].values()]
+    else:
+        # driver artifact: regex the (unescaped) embedded stdout tail
+        tail = doc.get("tail", text) if isinstance(doc, dict) else text
+        vals = [
+            float(v) for v in re.findall(r'"calib_[a-z_]+":\s*([0-9.]+)', tail)
+        ]
+    if not vals:
+        return None
+    prod = 1.0
+    for v in vals:
+        prod *= v
+    return prod ** (1.0 / len(vals))
 
 
 def main() -> int:
@@ -64,6 +107,17 @@ def main() -> int:
         return 2
     old, new = load(args[0], cold), load(args[1], cold)
     ratio = float(args[2]) if len(args) > 2 else 1.5
+    # Machine-factor normalization: when BOTH artifacts carry the
+    # fixed-workload calibration, divide the new timings by the VM
+    # drift so the flags below reflect code, not the box. Raw numbers
+    # stay in the printout (evidence, not adjudication — see header).
+    mf = None
+    cal_old, cal_new = load_calibration(args[0]), load_calibration(args[1])
+    if cal_old and cal_new:
+        mf = cal_new / cal_old
+        print(f"machine factor (fixed-workload calibration): {mf:.2f}x "
+              f"— per-query ratios below are divided by it")
+        new = {k: v / mf for k, v in new.items()}
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     rows = []
@@ -83,8 +137,13 @@ def main() -> int:
         print("removed:", ", ".join(removed))
     tot_old = sum(old[n] for n in set(old) & set(new))
     tot_new = sum(new[n] for n in set(old) & set(new))
-    print(f"shared-query total: {tot_old:.1f} -> {tot_new:.1f} s "
+    norm = " (machine-normalized)" if mf else ""
+    print(f"shared-query total{norm}: {tot_old:.1f} -> {tot_new:.1f} s "
           f"({tot_new / tot_old:.2f}x) over {len(set(old) & set(new))} queries")
+    if mf:
+        raw = tot_new * mf
+        print(f"shared-query total (raw):  {tot_old:.1f} -> {raw:.1f} s "
+              f"({raw / tot_old:.2f}x)")
     return 0
 
 
