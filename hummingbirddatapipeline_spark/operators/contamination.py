@@ -315,11 +315,16 @@ def decontaminate_clusters(
     n_hit_grams, doc_contaminated, cluster_contaminated, kept) with
     ``kept`` = NOT cluster_contaminated.
 
-    Scale shape: the per-doc check is the broadcast gram join (corpus
-    never shuffles); the cluster closure is the shared CC labeling;
-    the escalation is one hash aggregate over (cluster_id) plus one
-    skinny join back — nothing new shuffles at corpus width.
+    Scale shape: the per-doc check is the broadcast gram join — the
+    corpus text is scanned and exploded EXACTLY ONCE (the cluster
+    escalation is a window max over ``cluster_id``, not a
+    groupBy-and-join-back, which would reference — and so recompute —
+    the gram subtree a second time: Catalyst inlines repeated
+    DataFrame references, it does not share them); the cluster
+    closure is the shared CC labeling; the only post-gram exchange is
+    the skinny (id, cluster, counts) rows keyed by cluster_id.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from hummingbirddatapipeline_spark.operators.graph import (
@@ -342,36 +347,29 @@ def decontaminate_clusters(
     labeled = docs.select(id_col).join(labels, id_col, "left").select(
         id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
     )
-    is_bench = labeled.join(
+    # one corpus-width frame: every doc, its cluster, its benchmark
+    # membership, and (train docs only — bench rows have no cont row,
+    # ngram_contamination emits one row per TRAIN doc) the gram counts
+    full = labeled.join(
         bench_ids.withColumn("__b", F.lit(1)), id_col, "left"
+    ).join(cont, id_col, "left")
+    wc = Window.partitionBy("cluster_id")
+    flagged = full.withColumn(
+        "cluster_contaminated",
+        (F.max(F.coalesce(F.col("__b"), F.lit(0))).over(wc) == 1)
+        | (
+            F.max(
+                F.coalesce(F.col("contaminated").cast("int"), F.lit(0))
+            ).over(wc)
+            == 1
+        ),
     )
-    cluster_flag = (
-        is_bench.join(
-            cont.select(id_col, "contaminated"), id_col, "left"
-        )
-        .groupBy("cluster_id")
-        .agg(
-            (
-                (F.max(F.coalesce(F.col("__b"), F.lit(0))) == 1)
-                | (
-                    F.max(
-                        F.coalesce(F.col("contaminated").cast("int"), F.lit(0))
-                    )
-                    == 1
-                )
-            ).alias("cluster_contaminated")
-        )
-    )
-    return (
-        labeled.join(cont, id_col)
-        .join(cluster_flag, "cluster_id")
-        .select(
-            id_col,
-            "cluster_id",
-            "n_grams",
-            "n_hit_grams",
-            F.col("contaminated").alias("doc_contaminated"),
-            "cluster_contaminated",
-            (~F.col("cluster_contaminated")).alias("kept"),
-        )
+    return flagged.filter(F.col("__b").isNull()).select(
+        id_col,
+        "cluster_id",
+        "n_grams",
+        "n_hit_grams",
+        F.col("contaminated").alias("doc_contaminated"),
+        "cluster_contaminated",
+        (~F.col("cluster_contaminated")).alias("kept"),
     )

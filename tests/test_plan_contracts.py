@@ -787,3 +787,35 @@ def test_bpe_fertility_inherits_dictionary_replay(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_decontaminate_scans_corpus_text_once(spark, sf_dir):
+    """The cluster escalation must be a window over cluster_id, not a
+    groupBy-and-join-back: the latter references the gram subtree
+    twice and Catalyst INLINES repeated DataFrame references, so the
+    corpus text gets scanned + exploded twice (this was the shape
+    before the r10 rewrite — 4 text scans; now 2: one train gram
+    explode + one benchmark gram build, each needed exactly once)."""
+    import re
+
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        decontaminate_clusters,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    pairs = docs.alias("a").join(
+        docs.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).limit(50)
+    df = decontaminate_clusters(docs, bench, pairs, n=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    text_scans = re.findall(r"ReadSchema: [^\n]*text:string", plan)
+    assert len(text_scans) == 2, plan[:2000]
+    assert "CartesianProduct" not in plan
