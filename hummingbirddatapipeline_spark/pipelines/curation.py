@@ -72,79 +72,154 @@ def curate_corpus(
     survive — which is exactly the semi-join applied here. The caller
     must ensure the precomputed set used the same threshold and
     shingling as this funnel's near-dup stage.
+
+    Plan shape (the r10 rewrite): every per-doc gate is a COLUMN over
+    ONE corpus scan — a skinny localCheckpointed flags frame
+    (doc_id, gate booleans, fingerprint) — and the per-stage funnel
+    counts are conditional sums over that frame in a single
+    aggregate. The previous shape derived each stage DataFrame from
+    the last and counted each one, so Catalyst re-inlined the whole
+    gate lineage per stage count: the gated funnel's physical plan
+    held 27 corpus text scans; this one holds the irreducible few
+    (the flags scan, the two the corpus-LM nll gate needs, and — only
+    when pairs are not precomputed — the pair generator's). The
+    near-dup stage and the clean-corpus output run on ids-only frames
+    against the checkpoint, never on text.
     """
-    total = docs.select(F.count("*").alias("n")).withColumn("stage", F.lit("input"))
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
 
-    lang_kept = docs.filter(F.col("lang").isin(list(langs)))
-    quality_kept = lang_kept.filter(
-        F.round(quality_score(F.col("text")), 2) >= min_quality
-    )
-
-    gated = quality_kept
-    rep_stage: list[tuple[str, DataFrame]] = []
+    cols = [
+        F.col("doc_id"),
+        F.col("lang").isin(list(langs)).alias("__lang_ok"),
+        (F.round(quality_score(F.col("text")), 2) >= min_quality).alias(
+            "__q_ok"
+        ),
+        fingerprint(F.col("text")).alias("__fp"),
+    ]
     if max_top_gram_char_frac is not None:
         from hummingbirddatapipeline_spark.functions.text import (
-            repetition_stats,
+            gram_run_stats,
+            word_gram_array,
         )
 
-        keep = repetition_stats(quality_kept, "text", "doc_id").filter(
-            F.col("top_gram_char_frac") <= max_top_gram_char_frac
-        )
-        gated = quality_kept.join(keep.select("doc_id"), "doc_id", "left_semi")
-        rep_stage = [("repetition_kept", gated)]
+        cols += [
+            F.length(F.col("text")).alias("__chars"),
+            word_gram_array(F.col("text"), 2).alias("__g"),
+        ]
+    flags = docs.select(*cols)
 
-    nll_stage: list[tuple[str, DataFrame]] = []
+    stages = ["lang_kept", "quality_kept"]
+    gate = F.col("__lang_ok") & F.col("__q_ok")
+    flags = flags.withColumn("__s_quality_kept", gate).withColumn(
+        "__s_lang_kept", F.col("__lang_ok")
+    )
+    if max_top_gram_char_frac is not None:
+        # same arithmetic as functions.text.repetition_stats
+        # (top_gram_char_frac, 6dp floor-quantized, gram-less docs 0.0)
+        s = gram_run_stats("__g")
+        flags = flags.withColumn("__rs", s)
+        topchars = F.col("__rs")["top"]["c"] * F.col("__rs")["top"]["l"]
+        frac = F.coalesce(
+            q6(topchars / F.nullif(F.col("__chars"), F.lit(0))), F.lit(0.0)
+        )
+        flags = flags.withColumn(
+            "__s_repetition_kept", gate & (frac <= max_top_gram_char_frac)
+        ).drop("__g", "__rs", "__chars")
+        # rebind to the materialized column: the frac expression
+        # references __rs/__chars, which are dropped above
+        gate = F.col("__s_repetition_kept")
+        stages.append("repetition_kept")
     if nll_band is not None:
         from hummingbirddatapipeline_spark.operators.retrieval import (
             unigram_logprob,
         )
 
         lo, hi = nll_band
-        nll_keep = unigram_logprob(docs).filter(
-            F.col("mean_nll").between(F.lit(lo), F.lit(hi))
-        )
-        gated = gated.join(nll_keep.select("doc_id"), "doc_id", "left_semi")
-        nll_stage = [("nll_kept", gated)]
+        nll = unigram_logprob(docs).select("doc_id", "mean_nll")
+        flags = flags.join(nll, "doc_id", "left")
+        flags = flags.withColumn(
+            "__s_nll_kept",
+            gate
+            & F.coalesce(
+                F.col("mean_nll").between(F.lit(lo), F.lit(hi)), F.lit(False)
+            ),
+        ).drop("mean_nll")
+        gate = F.col("__s_nll_kept")
+        stages.append("nll_kept")
 
-    fp = gated.withColumn("__fp", fingerprint(F.col("text")))
-    keeper = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = fp.join(keeper, ["__fp", "doc_id"], "left_semi").drop("__fp")
+    # exact dedup: among fully-gated docs, keep the min id per
+    # fingerprint — a window min over the fp partition (min skips the
+    # NULLs the when() assigns to gate-failing rows)
+    win = Window.partitionBy("__fp")
+    flags = flags.withColumn("__pass", gate).withColumn(
+        "__s_exact_deduped",
+        F.col("__pass")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("__pass"), F.col("doc_id"))).over(win)
+        ),
+    )
+    stages.append("exact_deduped")
+    # one materialization of the skinny flags (id + booleans + fp):
+    # the stats aggregate, the near-dup id set, and the clean-corpus
+    # semi-join all reuse it instead of re-running the corpus scan
+    flags = flags.localCheckpoint(eager=True)
 
+    exact_ids = flags.filter(F.col("__s_exact_deduped")).select("doc_id")
     if precomputed_pairs is not None:
-        ids = exact_kept.select("doc_id")
         pairs = (
             precomputed_pairs.join(
-                ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
-            ).join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+                exact_ids.withColumnRenamed("doc_id", "id_a"),
+                "id_a",
+                "left_semi",
+            ).join(
+                exact_ids.withColumnRenamed("doc_id", "id_b"),
+                "id_b",
+                "left_semi",
+            )
         )
     else:
         pair_fn = near_dup_pairs_minhash if use_lsh else jaccard_pairs_prefix
         pairs = pair_fn(
-            exact_kept, "text", "doc_id",
-            threshold=jaccard_threshold, shingle_size=1,
+            docs.join(exact_ids, "doc_id", "left_semi"),
+            "text",
+            "doc_id",
+            threshold=jaccard_threshold,
+            shingle_size=1,
         )
     if use_clusters:
         from hummingbirddatapipeline_spark.operators.graph import (
-            dedup_representatives,
+            connected_components,
         )
 
-        clean = dedup_representatives(exact_kept, pairs, id_col="doc_id")
+        losers = (
+            connected_components(pairs)
+            .filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc_id"))
+        )
     else:
         drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        clean = exact_kept.join(drops, "doc_id", "left_anti")
+        losers = drops
+    clean_ids = exact_ids.join(losers, "doc_id", "left_anti")
+    clean = docs.join(clean_ids, "doc_id", "left_semi")
 
-    stats = total
-    for stage, df in (
-        ("lang_kept", lang_kept),
-        ("quality_kept", quality_kept),
-        *rep_stage,
-        *nll_stage,
-        ("exact_deduped", exact_kept),
-        ("near_deduped", clean),
-    ):
-        stats = stats.unionByName(
-            df.select(F.count("*").alias("n")).withColumn("stage", F.lit(stage))
-        )
+    counts = flags.agg(
+        F.count("*").alias("input"),
+        *[
+            F.sum(F.col(f"__s_{s}").cast("int")).cast("long").alias(s)
+            for s in stages
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{s}', {s}" for s in ["input", *stages]
+    )
+    stats = counts.selectExpr(
+        f"stack({len(stages) + 1}, {stack_args}) AS (stage, n)"
+    ).unionByName(
+        clean_ids.select(F.count("*").alias("n")).withColumn(
+            "stage", F.lit("near_deduped")
+        ).select("stage", "n")
+    )
     return clean, stats.select("stage", "n")
 
 
