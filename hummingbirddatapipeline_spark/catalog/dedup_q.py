@@ -203,19 +203,52 @@ def dedup_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-specific)."""
     from hummingbirddatapipeline_spark.functions.text import fingerprint
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.select(
-        (F.col("doc_id") + _SIMHASH_TWIN_OFFSET).alias("doc_id"),
-        F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
+    # ONE corpus scan: the whitespace twin and the byte-reversed far
+    # probe are explode branches of the original row, not separate
+    # re-reads (union branches / a separate far frame each re-scan the
+    # parquet — 3 scans for one logical pass; the hashing work is
+    # identical either way)
+    far_off = 2 * _SIMHASH_TWIN_OFFSET
+    exploded = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("text").alias("text"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") + _SIMHASH_TWIN_OFFSET).alias(
+                            "doc_id"
+                        ),
+                        F.replace(
+                            F.col("text"), F.lit(" "), F.lit("  ")
+                        ).alias("text"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") + far_off).alias("doc_id"),
+                        F.reverse(F.col("text")).alias("text"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.when(
+                F.col("r.doc_id") < far_off, fingerprint(F.col("r.text"))
+            ).alias("f"),
+            simhash64(F.col("r.text"), shingle_size=1).alias("sh"),
+        )
+        # skinny (id, f, sh); h and far below are two references, and
+        # without this each would re-run the scan + simhash pass
+        .localCheckpoint(eager=False)
     )
-    h = docs.unionByName(twins).select(
-        "doc_id",
-        fingerprint(F.col("text")).alias("f"),
-        simhash64(F.col("text"), shingle_size=1).alias("sh"),
-    )
-    far = docs.select(
-        F.col("doc_id").alias("rep_doc_id"),
-        simhash64(F.reverse(F.col("text")), shingle_size=1).alias("sh_far"),
+    h = exploded.filter(F.col("doc_id") < far_off)
+    far = exploded.filter(F.col("doc_id") >= far_off).select(
+        (F.col("doc_id") - far_off).alias("rep_doc_id"),
+        F.col("sh").alias("sh_far"),
     )
     groups = (
         h.groupBy("f")

@@ -149,8 +149,17 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _PHASH_FAR_OFFSET).alias("media_id"),
         F.encode(F.repeat(F.lit("z"), 720), "utf-8").alias("content"),
     )
-    pg = phash_groups(
-        media.unionByName(twins).unionByName(fars), max_distance=6, bands=8
+    # the cluster map is skinny (media_id, cluster) but its lineage
+    # holds the two corpus text scans (media + twins); the three
+    # roster filters below would re-inline it 3x without this
+    pg = (
+        phash_groups(
+            media.unionByName(twins).unionByName(fars),
+            max_distance=6,
+            bands=8,
+        )
+        .select("media_id", "phash_cluster")
+        .localCheckpoint(eager=False)
     )
     orig = pg.filter(F.col("media_id") < _PHASH_TWIN_OFFSET).select(
         "media_id", F.col("phash_cluster").alias("__c_orig")

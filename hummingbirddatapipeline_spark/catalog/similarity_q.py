@@ -227,10 +227,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ivf = ivf_topk(emb, queries, k=_K, n_centroids=16, n_probe=14).select(
-        "query_id", "vec_id"
+    # both result sets are N_QUERIES*K skinny id pairs referenced
+    # twice below (hits + per_q); checkpoint so the corpus-scanning
+    # IVF/brute lineages run once instead of per reference
+    ivf = (
+        ivf_topk(emb, queries, k=_K, n_centroids=16, n_probe=14)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
-    exact = cosine_topk(emb, queries, k=_K).select("query_id", "vec_id")
+    exact = (
+        cosine_topk(emb, queries, k=_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     hits = exact.join(ivf, ["query_id", "vec_id"], "left_semi")
     per_q = (
         exact.groupBy("query_id")

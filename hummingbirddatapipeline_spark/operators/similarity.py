@@ -459,15 +459,23 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = items.select(
-        item_id, array_to_vector(_to_double(item_vec)).alias("features")
+    feats = items.withColumn(
+        "__features", array_to_vector(_to_double(item_vec))
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    model = (
+        KMeans(k=n_centroids, seed=seed, maxIter=max_iter)
+        .setFeaturesCol("__features")
+        .fit(feats)
+    )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # carry the item columns THROUGH the transform (it only appends the
+    # prediction column) instead of joining the assignment back by id —
+    # the join shape scanned the corpus twice and shuffled it once for
+    # a column the same scan already produces
     assigned = model.transform(feats).select(
-        item_id, F.col("prediction").alias("centroid_id")
+        *items.columns, F.col("prediction").alias("centroid_id")
     )
-    return items.join(assigned, item_id), centroids
+    return assigned, centroids
 
 
 def _to_double(vec_col: str):
