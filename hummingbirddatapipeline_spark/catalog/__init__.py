@@ -150,10 +150,17 @@ def _load_modules() -> None:
 #     pre-aggregate-below-join rewrite landed after its r8 sample);
 # (c) the full r7-stale back-fill: all 36 rows whose last driver
 #     sample is r7 (events/text/sketch/feature/multimodal families);
-# (d) 7 of the oldest r8 rows — the heavyweight contracts
-#     (corpus_stats_report, curation_funnel_gated,
-#     dedup_simhash_consistency, multimodal_phash_groups, the two big
-#     scoring specs, BPE segment).
+# (d) 5 of the oldest r8 rows — the heavyweight contracts the r9
+#     VERDICT named (corpus_stats_report, curation_funnel_gated,
+#     dedup_simhash_consistency, multimodal_phash_groups,
+#     scoring_ipeds_model);
+# (e) 2 r9 rows whose plans changed in the close-out scan-dedup pass
+#     (dedup_minhash_near_dups, dedup_incremental_batch — skinny
+#     checkpoints on multiply-referenced pair sets / the store index)
+#     — the changed-this-round rule outranks staleness rotation, so
+#     they displaced the two (d) slots that were repo additions
+#     beyond the VERDICT's named five (scoring_990_model,
+#     text_bpe_segment — both stay r8-green, re-sampled in r11).
 # Everything outside the window is last-sample-green (r8/r9), which
 # tests/test_catalog_smoke.test_driver_window_rotation_policy
 # enforces against the CORRECTNESS_r*.json history. After r10 nothing
@@ -205,14 +212,15 @@ DRIVER_WINDOW: list[str] = [
     "text_substring_dup",
     "text_token_stats",
     "topk_orders_by_price",
-    # (d) oldest r8 heavyweights
+    # (d) oldest r8 heavyweights (the VERDICT-named five)
     "corpus_stats_report",
     "curation_funnel_gated",
     "dedup_simhash_consistency",
     "multimodal_phash_groups",
     "scoring_ipeds_model",
-    "scoring_990_model",
-    "text_bpe_segment",
+    # (e) changed-this-round re-samples (close-out scan-dedup pass)
+    "dedup_minhash_near_dups",
+    "dedup_incremental_batch",
 ]
 
 

@@ -106,12 +106,30 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # 1-word shingles + low threshold: testdata docs are word soup from a
     # tiny vocabulary, so token-level overlap is the meaningful signal.
-    cand = near_dup_pairs_minhash(
-        docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8, shingle_size=1
-    ).select("id_a", "id_b")
-    exact = jaccard_pairs_prefix(
-        docs, "text", "doc_id", threshold=0.85, shingle_size=1
-    ).select("id_a", "id_b")
+    # Both pair sets are skinny (id_a, id_b) referenced twice below
+    # (hits semi-join + the counts); without the checkpoints each
+    # reference re-runs the full LSH / exact pair lineage — this row
+    # held 7 corpus text scans (tools/scan_audit.py)
+    cand = (
+        near_dup_pairs_minhash(
+            docs,
+            "text",
+            "doc_id",
+            threshold=0.85,
+            num_hashes=32,
+            bands=8,
+            shingle_size=1,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        jaccard_pairs_prefix(
+            docs, "text", "doc_id", threshold=0.85, shingle_size=1
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
     ex_n = exact.agg(F.count("*").alias("n_exact_pairs"))
     hit_n = hits.agg(F.count("*").alias("n_hit"))
@@ -563,10 +581,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
+    # materialize the store once: in production this frame IS the
+    # persisted index read back from storage; deriving it inline made
+    # every downstream reference (df stats, dense-regime probe,
+    # verify) re-scan the corpus text (4 scans, tools/scan_audit.py)
     store = build_jaccard_store(
         docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
         shingle_size=1,
-    )
+    ).localCheckpoint(eager=False)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_jaccard_dedup(
         batch, store, "text", "doc_id", threshold=0.85, shingle_size=1

@@ -64,21 +64,28 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — advisory tool
             print(f"{name}: ERROR {str(e)[:100]}")
             continue
-        sigs, loc = [], "?"
-        for s in re.findall(r"Location:[^\n]*|ReadSchema: [^\n]*", plan):
+        # signature = (location, pushed filters, schema): two scans of
+        # the same file with DIFFERENT pushed filters are different
+        # passes (e.g. an even/odd corpus split), not a duplicate
+        sigs, loc, pf = [], "?", ""
+        for s in re.findall(
+            r"Location:[^\n]*|PushedFilters: [^\n]*|ReadSchema: [^\n]*", plan
+        ):
             if s.startswith("Location"):
-                loc = s
+                loc, pf = s, ""
+            elif s.startswith("PushedFilters"):
+                pf = s
             else:
-                sigs.append((loc, s))
+                sigs.append((loc, pf, s))
         dups = {
             k: v
             for k, v in collections.Counter(sigs).items()
-            if v >= 2 and any(m in k[1] for m in EXPENSIVE)
+            if v >= 2 and any(m in k[2] for m in EXPENSIVE)
         }
         if dups:
             n_flagged += 1
             detail = ", ".join(
-                f"{v}x {k[1][:70]}" for k, v in sorted(dups.items())
+                f"{v}x {k[2][:70]}" for k, v in sorted(dups.items())
             )
             print(f"{name}: {detail}")
     print(f"-- {n_flagged} queries with repeated expensive scans")
