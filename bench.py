@@ -114,6 +114,14 @@ HEADLINE = [
     "curation_decontaminate_clusters",
     "layout_shard_manifest",
     "text_winnow_fingerprints",
+    # round-11 operators (r11 + r12 banked tiers, registered together)
+    "text_winnow_containment",
+    "sample_doremi_reweight",
+    "curation_score_distill",
+    "text_cdc_chunks",
+    "sample_unimax_budget",
+    "similarity_hamming_topk",
+    "similarity_pq_topk",
 ]
 
 

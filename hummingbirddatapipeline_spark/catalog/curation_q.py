@@ -788,6 +788,45 @@ def _distill_stump_sql(top_frac: float = 0.3) -> str:
     """
 
 
+@query("curation_score_distill", oracle=_distill_stump_sql(0.3))
+def curation_score_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier score distillation under the full oracle
+    gate (pipelines/curation.distill_quality_stump): teacher
+    percentile labels (top 30% of the 2dp heuristic quality score)
+    distilled into the best single-feature decision stump over the
+    observed student values (chars-per-token, 6dp) — the
+    FineWeb-Edu / DCLM teacher-to-cheap-student setting reduced to its
+    deterministic core. Both stump directions are scored from ONE
+    cumulative-sum pass of pure integer agreement counts; ties break
+    to '>=' then the LOWEST threshold — no floats enter the argmax.
+    DuckDB re-derives the teacher percentiles, the cumulative counts,
+    and the argmax independently; internal consistency (reported
+    n_correct == recounted agreement of the applied stump) and the
+    perfect-separator recovery are pinned in tests/test_r11_oracles.py.
+
+    Scale shape: one teacher window (per-stratum at real scale), one
+    aggregate to distinct student values, one tiny window over those,
+    one broadcast of the winning stump row back onto the docs."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+    from hummingbirddatapipeline_spark.pipelines.curation import (
+        distill_quality_stump,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 2).alias("teacher"),
+        F.round(
+            F.col("n_chars") / ws_token_count(F.col("text")).cast("double"),
+            6,
+        ).alias("student"),
+    )
+    return distill_quality_stump(scored, top_frac=0.3)
+
+
 def _logreg_quality_sql(
     lr: float = 1.0, n_iter: int = 3, top_frac: float = 0.3
 ) -> str:

@@ -707,6 +707,36 @@ def _doremi_reweight_sql(
     """
 
 
+@query(
+    "sample_doremi_reweight",
+    oracle=_doremi_reweight_sql(100.0, 0.3, 1_000_000),
+)
+def sample_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi one-step domain reweighting (Xie et al., NeurIPS 2023)
+    under the full oracle gate (operators/sampling.doremi_reweight):
+    per-domain excess loss (corpus unigram CE vs corpus-wide CE,
+    clipped at 0) drives the exponentiated-gradient update
+    w_d ∝ ref_d * exp(lr * excess_d), smoothed
+    (1-eps)*w/Z + eps/K, emitting per-domain token targets for the
+    next mixture. DuckDB rebuilds the unigram LM, the exact decimal CE
+    sums, and the EG update from the raw documents table. Determinism:
+    per-token surprisal ROUND(-ln, 10) summed as DECIMAL(20,10) —
+    exact, associative, overflow-free at any corpus size (the pagerank
+    exact-longs regime applied from day one); lr=0 reduces to the
+    smoothed natural mixture and raising lr strictly upweights the
+    max-excess domain (both pinned in tests/test_r11_oracles.py).
+
+    Scale shape: one token explode + broadcast count join (the
+    unigram_logprob plan), one hash aggregate to K domain rows, then
+    K-row arithmetic — nothing corpus-to-corpus."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return doremi_reweight(docs, lr=100.0, eps=0.3, token_budget=1_000_000)
+
+
 def _unimax_sql(token_budget: int, n_epochs: float = 4.0) -> str:
     """Independent DuckDB formulation of UniMax waterfilling
     (operators/sampling.unimax_allocation): per-language caps
@@ -762,6 +792,33 @@ def _unimax_sql(token_budget: int, n_epochs: float = 4.0) -> str:
              AS epochs_used
     FROM alloc
     """
+
+
+@query("sample_unimax_budget", oracle=_unimax_sql(100_000, 4.0))
+def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget waterfilling (Chung et al. 2023,
+    arXiv:2304.09151) under the full oracle gate
+    (operators/sampling.unimax_allocation): per-language caps
+    floor(n_epochs * n_tokens); the ascending-cap window test
+    cap_i * (K - i + 1) <= budget - prefix_{i-1} replaces the
+    sequential greedy EXACTLY (the test is monotone along the sort —
+    proof in the operator docstring); the uncapped tail gets
+    integer-floor equal shares. All compares are BIGINT (multiply,
+    never divide), so the allocation is hash-exact under any
+    partitioning. Three regimes pinned in tests/test_r12_oracles.py:
+    mixed (this fixture), tiny budget -> pure equal split, huge
+    budget -> everyone capped at exactly n_epochs.
+
+    Scale shape: ONE aggregate to K language rows (ws_token_count per
+    doc, no explode), then K-row window arithmetic over checkpointed
+    bounded model state — the corpus never appears in the final plan
+    (plan-contract-pinned: no FileScan)."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return unimax_allocation(docs, token_budget=100_000, n_epochs=4.0)
 
 
 def _interleave_sql(seed: str = "mix0") -> str:

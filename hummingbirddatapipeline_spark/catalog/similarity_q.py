@@ -1034,6 +1034,73 @@ def _pq_topk_sql(
     return "".join(parts)
 
 
+@query(
+    "similarity_hamming_topk",
+    oracle=_hamming_topk_sql(64, _N_QUERIES, _K),
+)
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code Hamming ANN under the full oracle gate
+    (operators/similarity.hamming_topk): binarize every vector against
+    the 8dp per-dim corpus means (the zero-rotation ITQ special case),
+    pack sign bits into BIGINT words (Horner fold on Spark, explicit
+    shifts in the oracle — same integer), rank by exact
+    bit_count(xor). Integers end to end after the threshold compare,
+    so the ranking is hash-exact under ANY partitioning by
+    construction; a planted exact-copy twin ranks first at Hamming 0
+    (pinned in tests/test_r12_oracles.py).
+
+    Scale shape: one corpus aggregate (means — broadcast, never
+    collected), one map-side packing pass per side, then the
+    cosine_topk broadcast-queries join at 1/32 the operand width — the
+    SCREEN half of screen-then-rerank (plan contract: broadcast
+    cross + exactly one query-key exchange for the top-k window)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        hamming_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return hamming_topk(emb, queries, dim=64, k=_K)
+
+
+@query(
+    "similarity_pq_topk",
+    oracle=_pq_topk_sql(64, 4, 8, 2, _N_QUERIES, _K),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou, Douze & Schmid, TPAMI
+    2011) under the full oracle gate (operators/similarity.pq_topk):
+    m=4 subspaces, per-subspace codebooks trained with the
+    kmeans_refine Lloyd loop (seeded from the first k_codes vectors by
+    id — engine-derivable), items encoded as m small codes, queries
+    ranked by the per-query m x k_codes ADC table sum (6dp entries,
+    fixed-order 6dp-rounded m-term add). The oracle unrolls ALL FOUR
+    Lloyd trajectories as chained CTEs plus encode + tables + ADC —
+    the deepest oracle in the repo — and hashes exactly.
+
+    Scale shape: training = m short kmeans runs (bounded model state);
+    encode = ONE map-side pass (codebooks are plan literals); search =
+    broadcast-queries join over m INTs per item with the ADC tables
+    built in the plan from literal codebooks — no driver-side data
+    pull beyond the documented k_codes-row seed collect. Plan
+    contract: broadcast cross + exactly one query-key exchange."""
+    from hummingbirddatapipeline_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_topk(emb, queries, dim=64, m=4, k_codes=8, n_iter=2, k=_K)
+
+
 def _matryoshka_sql(
     dims: "tuple[int, ...]" = (16, 64), k: int = 10, n_queries: int = 5
 ) -> str:

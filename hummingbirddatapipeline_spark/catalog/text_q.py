@@ -1137,6 +1137,50 @@ def _winnow_containment_sql(k: int = 4, w: int = 5) -> str:
     """
 
 
+_CONTAIN_TWIN_OFFSET = 70_000
+
+
+@query(
+    "text_winnow_containment",
+    oracle=_winnow_containment_sql(_WINNOW_K, _WINNOW_W),
+)
+def text_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus containment via winnowing fingerprints
+    (operators/contamination.winnow_containment) under the full oracle
+    gate — the decontamination COMPLETION: for every (train, bench)
+    pair sharing fingerprint hashes (position bits stripped with exact
+    shiftright), containment = shared / bench fingerprints, grading HOW
+    MUCH of a benchmark document is embedded rather than whether one
+    n-gram collides. Fixture: bench = docs 0-19; train = docs >= 20
+    PLUS deterministic embed-twins (doc_id + 70000 carries the first 12
+    tokens of its bench doc — a shared substring >= w + k - 1 = 8
+    tokens, so the winnowing guarantee forces at least one shared
+    fingerprint; every twin pair is caught, pinned in
+    tests/test_r11_oracles.py). DuckDB replays the winnowing integer
+    arithmetic and the twin construction from the same expressions.
+
+    Scale shape: fingerprinting is ZERO-exchange per doc; each side
+    reduces to an exploded (id, hash) stream at ~1/w k-gram density;
+    the benchmark side broadcasts, so the corpus never shuffles —
+    ngram_contamination's geometry at 1/w the probe volume."""
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        winnow_containment,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    twins = bench.select(
+        (F.col("doc_id") + _CONTAIN_TWIN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 12), " "),
+            F.lit(" containment probe suffix block"),
+        ).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") >= 20).unionByName(twins)
+    return winnow_containment(train, bench, k=_WINNOW_K, w=_WINNOW_W)
+
+
 def _cdc_chunks_sql(window: int = 8, divisor: int = 8) -> str:
     """Independent DuckDB formulation of content-defined chunking
     (functions/text.cdc_chunks): gear = 52-bit md5 per token; cut
@@ -1187,6 +1231,35 @@ def _cdc_chunks_sql(window: int = 8, divisor: int = 8) -> str:
            c.n_tokens AS n_tokens
     FROM chunk
     """
+
+
+@query("text_cdc_chunks", oracle=_cdc_chunks_sql())
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over word tokens (Muthitacharoen et al.
+    SOSP 2001 / FastCDC, USENIX ATC 2016 — re-expressed for token
+    streams) under the full oracle gate: gear = 52-bit md5 per token;
+    cut after position i when the window SUM of the last 8 gear values
+    divides by 8; chunk hash = 52-bit md5 of the chunk text. The
+    exploded (doc_id, chunk_seq, chunk_hash, n_tokens) stream is the
+    chunk-level dedup candidate feed (strip_boilerplate_chunks
+    consumes it). Two documented deviations from FastCDC, both for
+    cross-engine exactness: order-free window sum (exact BIGINT on
+    both engines) and no min/max clamp (the clamp makes cut i depend
+    on cut i-1 — sequential state, the wrong trade for a zero-exchange
+    plan). Insertion-robustness is pinned constructively in
+    tests/test_r12_oracles.py: prepend tokens to a real corpus doc and
+    every chunk after the first interior cut reproduces hash-for-hash.
+
+    Scale shape: pure per-row expressions (tokens, gears, cuts each
+    BOUND to a lambda variable per the winnowing HOF lesson) — ZERO
+    exchanges; chunking 100 TB is embarrassingly parallel
+    (plan-contract-pinned: no Exchange in the physical plan)."""
+    from hummingbirddatapipeline_spark.functions.text import cdc_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(cdc_chunks(F.col("text"))).alias("c")
+    ).select("doc_id", "c.*")
 
 
 def _chunk_boilerplate_sql(

@@ -1,16 +1,18 @@
-"""Differential (DuckDB) checks for the operators banked for round-11
-catalog registration — cross-corpus containment via winnowing
-fingerprints (the decontamination completion), DoReMi-shaped
-domain-mixture reweighting, and quality-classifier score distillation
-(teacher percentile -> student threshold) — run on the real testdata
-exactly the way the catalog oracle gate would, so next round's
-registration is a window change, not new work. Each DuckDB side is an
-independent formulation per the repo's differential rule: the
-containment oracle replays the winnowing integer arithmetic and the
-embed-twin fixture; the DoReMi oracle rebuilds the unigram LM, the
-exact decimal CE sums, and the exponentiated-gradient update; the
-distillation oracle re-derives the teacher percentile labels, the
-cumulative agreement counts, and the stump argmax."""
+"""Differential (DuckDB) checks for the round-11-registered operators
+— cross-corpus containment via winnowing fingerprints (the
+decontamination completion), DoReMi-shaped domain-mixture reweighting,
+and quality-classifier score distillation (teacher percentile ->
+student threshold). Since r11 these are registered catalog rows, so
+each differential drives the CATALOG entry against its REGISTERED
+oracle (one source of truth for both sides) and then asserts the
+structural properties the driver's value hash alone would not surface.
+Each DuckDB side is an independent formulation per the repo's
+differential rule: the containment oracle replays the winnowing
+integer arithmetic and the embed-twin fixture; the DoReMi oracle
+rebuilds the unigram LM, the exact decimal CE sums, and the
+exponentiated-gradient update; the distillation oracle re-derives the
+teacher percentile labels, the cumulative agreement counts, and the
+stump argmax."""
 
 from __future__ import annotations
 
@@ -18,11 +20,9 @@ import math
 import os
 
 import duckdb
-from pyspark.sql import functions as F
 
-# BANK_SF_DIR lets the registration dry-run re-check every banked
-# differential at the driver gate's scale (sf0.01) without
-# duplicating the Spark-side builders
+# BANK_SF_DIR lets the re-check run at the driver gate's scale
+# (sf0.01) without duplicating the Spark-side builders
 SF = os.environ.get("BANK_SF_DIR", "/root/testdata/sf0.001")
 
 _TWIN_OFFSET = 70_000
@@ -49,44 +49,19 @@ def _norm(rows):
     return sorted(out, key=repr)
 
 
-def _containment_fixture(spark):
-    """bench = docs 0-19; train = docs >= 20 plus embed-twins: doc_id +
-    70000 carries the first 12 tokens of its bench doc (a shared
-    substring >= w + k - 1 = 8 tokens, so the winnowing guarantee
-    forces at least one shared fingerprint). Both engines derive the
-    twins from the same expressions."""
-    from hummingbirddatapipeline_spark.tables import load
+def _run_pair(spark, name):
+    """(spark rows, oracle rows) for a registered catalog query."""
+    from hummingbirddatapipeline_spark.catalog import ORACLES, QUERIES
 
-    docs = load(spark, SF, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") < 20)
-    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
-    twins = bench.select(
-        (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"),
-        F.concat(
-            F.array_join(F.slice(toks, 1, 12), " "),
-            F.lit(" containment probe suffix block"),
-        ).alias("text"),
-    )
-    train = docs.filter(F.col("doc_id") >= 20).unionByName(twins)
-    return train, bench
+    got = [tuple(r) for r in QUERIES[name](spark, SF).collect()]
+    con = _duck()
+    exp = con.sql(ORACLES[name]).fetchall()
+    con.close()
+    return got, exp
 
 
 def test_winnow_containment_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _winnow_containment_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.contamination import (
-        winnow_containment,
-    )
-
-    train, bench = _containment_fixture(spark)
-    got = [
-        tuple(r)
-        for r in winnow_containment(train, bench, k=4, w=5).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_winnow_containment_sql(4, 5)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_winnow_containment")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
@@ -132,24 +107,7 @@ def test_winnow_containment_full_embedding_scores_one(spark):
 
 
 def test_doremi_reweight_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.sampling_q import (
-        _doremi_reweight_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.sampling import (
-        doremi_reweight,
-    )
-    from hummingbirddatapipeline_spark.tables import load
-
-    docs = load(spark, SF, "documents")
-    got = [
-        tuple(r)
-        for r in doremi_reweight(
-            docs, lr=100.0, eps=0.3, token_budget=1_000_000
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_doremi_reweight_sql(100.0, 0.3, 1_000_000)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "sample_doremi_reweight")
     assert len(got) == len(exp) > 1
     assert _norm(got) == _norm(exp)
 
@@ -195,35 +153,7 @@ def test_doremi_lr_monotone_on_excess(spark):
 
 
 def test_distill_stump_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _distill_stump_sql,
-    )
-    from hummingbirddatapipeline_spark.functions.text import (
-        quality_score,
-        ws_token_count,
-    )
-    from hummingbirddatapipeline_spark.pipelines.curation import (
-        distill_quality_stump,
-    )
-    from hummingbirddatapipeline_spark.tables import load
-
-    docs = load(spark, SF, "documents")
-    scored = docs.select(
-        "doc_id",
-        F.round(quality_score(F.col("text")), 2).alias("teacher"),
-        F.round(
-            F.col("n_chars")
-            / ws_token_count(F.col("text")).cast("double"),
-            6,
-        ).alias("student"),
-    )
-    got = [
-        tuple(r)
-        for r in distill_quality_stump(scored, top_frac=0.3).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_distill_stump_sql(0.3)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "curation_score_distill")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 

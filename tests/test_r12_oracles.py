@@ -1,15 +1,17 @@
-"""Differential (DuckDB) checks for the operators banked for round-12
-catalog registration — content-defined chunking (chunk-level dedup for
+"""Differential (DuckDB) checks for the round-11-registered r12-tier
+operators — content-defined chunking (chunk-level dedup for
 partially-overlapping documents), UniMax language-budget waterfilling,
-binary-code Hamming ANN, and product-quantization ADC ANN — run on the
-real testdata exactly the way the catalog oracle gate would, so r12
-registration is a window change, not new work. Each DuckDB side is an
-independent formulation per the repo's differential rule: the CDC
-oracle replays the gear-sum boundary arithmetic with DuckDB list
-slices; the UniMax oracle rebuilds the ascending-cap window test; the
-Hamming oracle packs sign bits with explicit shifts against Spark's
-Horner fold; the PQ oracle unrolls all m per-subspace Lloyd
-trajectories as chained CTEs."""
+binary-code Hamming ANN, and product-quantization ADC ANN. Registered
+in r11 (the doubled bank drain the r10 VERDICT asked for), so each
+differential drives the CATALOG entry against its REGISTERED oracle
+(one source of truth for both sides) and then asserts the structural
+properties the driver's value hash alone would not surface. Each
+DuckDB side is an independent formulation per the repo's differential
+rule: the CDC oracle replays the gear-sum boundary arithmetic with
+DuckDB list slices; the UniMax oracle rebuilds the ascending-cap
+window test; the Hamming oracle packs sign bits with explicit shifts
+against Spark's Horner fold; the PQ oracle unrolls all m per-subspace
+Lloyd trajectories as chained CTEs."""
 
 from __future__ import annotations
 
@@ -71,21 +73,22 @@ def _queries(emb, n=5):
     )
 
 
+def _run_pair(spark, name, *tables):
+    """(spark rows, oracle rows) for a registered catalog query."""
+    from hummingbirddatapipeline_spark.catalog import ORACLES, QUERIES
+
+    got = [tuple(r) for r in QUERIES[name](spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(ORACLES[name]).fetchall()
+    con.close()
+    return got, exp
+
+
 def test_cdc_chunks_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import _cdc_chunks_sql
-    from hummingbirddatapipeline_spark.functions.text import (
-        cdc_chunks,
-        ws_token_count,
-    )
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
 
     docs = _docs(spark)
-    got_df = docs.select(
-        "doc_id", F.explode(cdc_chunks(F.col("text"))).alias("c")
-    ).select("doc_id", "c.*")
-    got = [tuple(r) for r in got_df.collect()]
-    con = _duck("documents")
-    exp = con.sql(_cdc_chunks_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_cdc_chunks", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
@@ -133,21 +136,7 @@ def test_cdc_chunks_shared_suffix_rechunks_identically(spark):
 
 
 def test_unimax_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.sampling_q import _unimax_sql
-    from hummingbirddatapipeline_spark.operators.sampling import (
-        unimax_allocation,
-    )
-
-    docs = _docs(spark)
-    got = [
-        tuple(r)
-        for r in unimax_allocation(
-            docs, token_budget=100_000, n_epochs=4.0
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_unimax_sql(100_000, 4.0)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "sample_unimax_budget", "documents")
     assert len(got) == len(exp) > 1
     assert _norm(got) == _norm(exp)
 
@@ -189,21 +178,7 @@ def test_unimax_budget_regimes(spark):
 
 
 def test_hamming_topk_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _hamming_topk_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        hamming_topk,
-    )
-
-    emb = _emb(spark)
-    got = [
-        tuple(r)
-        for r in hamming_topk(emb, _queries(emb), dim=64, k=10).collect()
-    ]
-    con = _duck("embeddings")
-    exp = con.sql(_hamming_topk_sql(64, 5, 10)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "similarity_hamming_topk", "embeddings")
     assert len(got) == len(exp) == 50
     assert _norm(got) == _norm(exp)
 
@@ -240,21 +215,7 @@ def test_hamming_identical_vector_is_rank_one(spark):
 
 
 def test_pq_topk_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _pq_topk_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import pq_topk
-
-    emb = _emb(spark)
-    got = [
-        tuple(r)
-        for r in pq_topk(
-            emb, _queries(emb), dim=64, m=4, k_codes=8, n_iter=2, k=10
-        ).collect()
-    ]
-    con = _duck("embeddings")
-    exp = con.sql(_pq_topk_sql(64, 4, 8, 2, 5, 10)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "similarity_pq_topk", "embeddings")
     assert len(got) == len(exp) == 50
     assert _norm(got) == _norm(exp)
 
