@@ -173,6 +173,12 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Twin offset for the simhash contract fixture; far above any doc_id
+# CONTRACT (r11 ADVICE): the exploded twin/far frames below route rows
+# by id range (doc_id < far_off), so every original doc_id must sit
+# BELOW this offset or a twin would collide with the far range and
+# corrupt both partitions. Asserted for every supported SF in
+# tests/test_catalog_smoke.py::test_twin_offsets_clear_all_doc_ids
+# (same latent assumption as multimodal_q's phash offsets).
 _SIMHASH_TWIN_OFFSET = 20_000_000
 
 

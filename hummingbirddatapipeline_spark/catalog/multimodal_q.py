@@ -69,7 +69,10 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000)
 
 
-# Twin offsets for the phash contract fixture; far above any doc_id
+# Twin offsets for the phash contract fixture; far above any doc_id.
+# CONTRACT (r11 ADVICE): range-routing below assumes max(doc_id) <
+# _PHASH_TWIN_OFFSET at every supported SF — asserted in
+# tests/test_catalog_smoke.py::test_twin_offsets_clear_all_doc_ids
 _PHASH_TWIN_OFFSET = 10_000_000
 _PHASH_FAR_OFFSET = 30_000_000
 

@@ -450,14 +450,19 @@ def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     not exceed the naive split's leakage, and the driver hashes every
     field of both report rows (doc counts, gram counts, overlap
     fraction), so a regression in the splitter, the CC closure, or the
-    gram pipeline moves a number and goes red."""
+    gram pipeline moves a number and goes red.
+
+    r11 plan fix: both splitters now ride ONE corpus gram explode
+    (split_ngram_overlap_multi — the pre-r11 per-splitter calls cost
+    two explodes, flagged by tools/scan_audit.py); values verified
+    identical to the per-splitter form."""
     from hummingbirddatapipeline_spark.catalog.dedup_q import (
         shared_jaccard_pairs,
     )
     from hummingbirddatapipeline_spark.operators.sampling import (
         _bucket_hex,
         split_leakfree,
-        split_ngram_overlap,
+        split_ngram_overlap_multi,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -473,13 +478,9 @@ def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
-    r_lf = split_ngram_overlap(docs, lf).select(
-        F.lit("leakfree_cluster").alias("split_method"), "*"
+    return split_ngram_overlap_multi(
+        docs, [("leakfree_cluster", lf), ("naive_doc_hash", naive)]
     )
-    r_nv = split_ngram_overlap(docs, naive).select(
-        F.lit("naive_doc_hash").alias("split_method"), "*"
-    )
-    return r_lf.unionByName(r_nv)
 
 
 @query(

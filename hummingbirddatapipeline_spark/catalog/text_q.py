@@ -1168,7 +1168,11 @@ def text_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") < 20)
+    # the 20-row bench slice feeds THREE branches (bench fingerprints,
+    # bench sizes, the twin construction) — checkpoint it so each does
+    # not re-read the parquet (r11 scan audit; at scale the benchmark
+    # is small by construction, so this is a constant-size pin)
+    bench = docs.filter(F.col("doc_id") < 20).localCheckpoint(eager=False)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     twins = bench.select(
         (F.col("doc_id") + _CONTAIN_TWIN_OFFSET).alias("doc_id"),

@@ -157,7 +157,13 @@ def winnow_containment(
             F.shiftright(F.col("__fp"), 11).alias("__h"),
         ).distinct()
 
-    bench_h = hashes(benchmark, bench_text_col, "bench_id")
+    # the bench fingerprint set is consumed by the shared-hash join AND
+    # the per-doc size table; it is small by construction (benchmark
+    # side), so checkpoint it rather than re-running the fingerprint
+    # explode per reference (r11 scan audit)
+    bench_h = hashes(benchmark, bench_text_col, "bench_id").localCheckpoint(
+        eager=False
+    )
     bench_sz = bench_h.groupBy("bench_id").agg(
         F.count("*").alias("bench_fps")
     )

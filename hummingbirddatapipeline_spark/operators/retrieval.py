@@ -55,25 +55,62 @@ def bm25_topk(
 
     Returns (id, score, rank); score rounded to 6dp BEFORE ranking and
     ties broken by id, so the cut is deterministic and cross-engine
-    stable. Plan: one explode, (doc, term) tf aggregation restricted to
-    the literal query terms, a term-level df aggregation (broadcast
-    back — at most |query| rows), corpus scalars via single-row
-    crossJoin, one per-doc sum.
+    stable. Plan (r11 single-scan shape): ONE corpus text scan feeds
+    one explode + one per-doc hash aggregate computing dl AND every
+    per-term tf together (map-side combined — ~1 skinny row per doc on
+    the wire); the checkpointed per-doc frame then serves the corpus
+    stats, the long-form tf stream, and the term-level df aggregation
+    (broadcast back — at most |query| rows); corpus scalars ride the
+    single-row crossJoin; one per-doc sum scores.
     """
     terms = sorted(set(t.lower() for t in query_terms))
-    toks = _doc_tokens(docs, text_col, id_col)
-    dl = docs.select(
+    # ONE corpus text scan: explode_outer keeps zero-token docs (they
+    # count toward n_docs/avgdl with dl = 0), and a single per-doc hash
+    # aggregate produces BOTH the doc length and the per-term tfs —
+    # partial aggregation ships ~1 skinny row per doc regardless of
+    # token volume. The pre-r11 shape built toks, dl, and stats as
+    # three separate lineages, which Catalyst re-inlined into THREE
+    # corpus text scans (flagged by tools/scan_audit.py; fix move per
+    # PLANS.md "Deferred to r11").
+    occ = docs.select(
         F.col(id_col),
-        F.size(ws_tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"),
+        F.explode_outer(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
     )
-    stats = dl.agg(
+    per_doc = occ.groupBy(id_col).agg(
+        F.count("w").cast("double").alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0))
+            .cast("double")
+            .alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # skinny (id, dl, tf...) frame consumed by the corpus stats, the
+    # long-form tf stream, AND (through it) the df table — checkpoint
+    # so the scan+explode+aggregate lineage runs once, not per consumer
+    per_doc = per_doc.localCheckpoint(eager=False)
+    stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     tf = (
-        toks.filter(F.col("w").isin(terms))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").cast("double").alias("tf"))
+        per_doc.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("w"),
+                            F.col(f"__tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "dl", "p.w", "p.tf")
+        .filter(F.col("tf") > 0)
     )
     df_t = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
@@ -86,7 +123,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(df_t), "w")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), 6).alias("score"))

@@ -361,6 +361,123 @@ def split_ngram_overlap(
     )
 
 
+def split_ngram_overlap_multi(
+    docs: DataFrame,
+    assigns: "list[tuple[str, DataFrame]]",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`split_ngram_overlap` for SEVERAL splitters over ONE gram
+    explode — the side-by-side audit (leak-free cluster split vs naive
+    doc-hash split) without re-exploding the corpus per splitter.
+
+    ``assigns`` is ``[(method_name, assignment_df), ...]``; each
+    assignment maps ``id_col`` to 'train' | 'val'. Returns one row per
+    method: (split_method, n_train_docs, n_val_docs, n_val_grams,
+    n_overlap_grams, overlap_frac) — identical values to running
+    :func:`split_ngram_overlap` per assignment (pinned in
+    tests/test_sampling.py).
+
+    Plan: every assignment joins onto the corpus ONCE (skinny id ->
+    split maps — broadcast at scale), the n-gram explode runs ONCE
+    with all K split labels riding each gram row, one hash aggregate
+    computes per-gram train/val membership for every method, and a
+    scalar aggregate + per-method struct explode emits the K report
+    rows. The doc-count pass re-reads only the id/split columns
+    (column-pruned scan — no second pass over text). The pre-r11
+    catalog row ran the single-splitter audit twice = 2 corpus gram
+    explodes (flagged by tools/scan_audit.py; fix move per PLANS.md
+    "Deferred to r11")."""
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        word_ngrams,
+    )
+
+    if not assigns:
+        raise ValueError("assigns must name at least one splitter")
+    names = [m for m, _ in assigns]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split method names: {names}")
+
+    tagged = docs.select(id_col, text_col)
+    for m, a in assigns:
+        tagged = tagged.join(
+            a.select(F.col(id_col), F.col(split_col).alias(f"__s_{m}")),
+            id_col,
+        )
+    flags = (
+        tagged.select(
+            *[F.col(f"__s_{m}") for m in names],
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .select(*[f"__s_{m}" for m in names], F.xxhash64("g").alias("gh"))
+        .groupBy("gh")
+        .agg(
+            *[
+                agg
+                for m in names
+                for agg in (
+                    F.max(
+                        F.when(F.col(f"__s_{m}") == "train", 1).otherwise(0)
+                    ).alias(f"__tr_{m}"),
+                    F.max(
+                        F.when(F.col(f"__s_{m}") == "val", 1).otherwise(0)
+                    ).alias(f"__va_{m}"),
+                )
+            ]
+        )
+    )
+    gram_row = flags.agg(
+        *[
+            agg
+            for m in names
+            for agg in (
+                F.sum(f"__va_{m}").cast("long").alias(f"__vg_{m}"),
+                F.sum(F.col(f"__va_{m}") * F.col(f"__tr_{m}"))
+                .cast("long")
+                .alias(f"__og_{m}"),
+            )
+        ]
+    )
+    doc_row = tagged.agg(
+        *[
+            agg
+            for m in names
+            for agg in (
+                F.sum(F.when(F.col(f"__s_{m}") == "train", 1).otherwise(0))
+                .cast("long")
+                .alias(f"__td_{m}"),
+                F.sum(F.when(F.col(f"__s_{m}") == "val", 1).otherwise(0))
+                .cast("long")
+                .alias(f"__vd_{m}"),
+            )
+        ]
+    )
+    per_method = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("split_method"),
+                F.col(f"__td_{m}").alias("n_train_docs"),
+                F.col(f"__vd_{m}").alias("n_val_docs"),
+                F.col(f"__vg_{m}").alias("n_val_grams"),
+                F.col(f"__og_{m}").alias("n_overlap_grams"),
+                F.round(
+                    F.col(f"__og_{m}").cast("double")
+                    / F.col(f"__vg_{m}").cast("double"),
+                    6,
+                ).alias("overlap_frac"),
+            )
+            for m in names
+        ]
+    )
+    return (
+        doc_row.crossJoin(F.broadcast(gram_row))
+        .select(F.explode(per_method).alias("r"))
+        .select("r.*")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     key_col: str,
@@ -645,7 +762,14 @@ def doremi_reweight(
         F.col(domain_col).alias("domain"),
         F.explode(ws_tokens(F.col(text_col))).alias("w"),
     )
-    counts = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    # vocabulary-sized count table consumed by the scoring join AND the
+    # corpus total — checkpoint so each reference does not re-inline
+    # the corpus explode (the bigram_logprob move)
+    counts = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("c").alias("t"))
     term = (
         toks.join(F.broadcast(counts), "w")
@@ -657,9 +781,15 @@ def doremi_reweight(
             .alias("__nll"),
         )
     )
+    # K rows of bounded model state consumed by the corpus-total
+    # aggregate AND the per-domain arithmetic: without a checkpoint
+    # each downstream reference re-inlined the WHOLE corpus lineage —
+    # the executed plan held 12 corpus text scans (r11 scan audit,
+    # caught at registration); now 2 (count table + scoring pass, the
+    # documented two-pass LM shape)
     dom = term.groupBy("domain").agg(
         F.count("*").alias("n_tokens"), F.sum("__nll").alias("__s")
-    )
+    ).localCheckpoint(eager=False)
     tot = dom.agg(
         F.sum("__s").alias("__sum_all"),
         F.sum("n_tokens").alias("__n_all"),

@@ -459,12 +459,24 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # reserved working columns (r10 ADVICE): the carry-through select
+    # below projects *items.columns plus the prediction column, so a
+    # caller frame already holding one of these names would make that
+    # select ambiguous or silently wrong — fail loudly instead
+    reserved = {"__features", "__centroid_pred", "centroid_id"}
+    clash = reserved & set(items.columns)
+    if clash:
+        raise ValueError(
+            f"ivf_index: input columns {sorted(clash)} collide with "
+            "reserved working columns — rename them first"
+        )
     feats = items.withColumn(
         "__features", array_to_vector(_to_double(item_vec))
     )
     model = (
         KMeans(k=n_centroids, seed=seed, maxIter=max_iter)
         .setFeaturesCol("__features")
+        .setPredictionCol("__centroid_pred")
         .fit(feats)
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
@@ -473,7 +485,7 @@ def ivf_index(
     # the join shape scanned the corpus twice and shuffled it once for
     # a column the same scan already produces
     assigned = model.transform(feats).select(
-        *items.columns, F.col("prediction").alias("centroid_id")
+        *items.columns, F.col("__centroid_pred").alias("centroid_id")
     )
     return assigned, centroids
 
@@ -918,7 +930,11 @@ def hamming_topk(
 
     Scale shape: ONE corpus aggregate for the means, ONE map-side
     packing pass per side, then the same broadcast-queries cross join
-    as :func:`cosine_topk` at 1/32 the operand width.
+    as :func:`cosine_topk` at 1/32 the operand width. The plan scans
+    the item table TWICE (means pass + packing pass) — the
+    stats-then-transform two-pass every normalize/quantize operator
+    pays (sq8, PCA means); re-reading beats materializing a
+    corpus-width copy, so the r11 scan-audit flag is BY DESIGN.
 
     Returns (query_id, vec_id, hamming, rank); ties -> lowest item id.
     """

@@ -162,7 +162,13 @@ def curate_corpus(
     stages.append("exact_deduped")
     # one materialization of the skinny flags (id + booleans + fp):
     # the stats aggregate, the near-dup id set, and the clean-corpus
-    # semi-join all reuse it instead of re-running the corpus scan
+    # semi-join all reuse it instead of re-running the corpus scan.
+    # eager=True is deliberate (r10 ADVICE weighed and DECLINED): the
+    # scan-audit receipts inspect the PLAN without executing, and a
+    # lazy checkpoint leaves the full corpus lineage inlined under
+    # every consumer until the first action — the executed-plan "0
+    # text scans" contract depends on materialize-at-build. The cost
+    # lands once per (session, sf_dir) via the catalog plan cache.
     flags = flags.localCheckpoint(eager=True)
 
     exact_ids = flags.filter(F.col("__s_exact_deduped")).select("doc_id")
@@ -205,8 +211,12 @@ def curate_corpus(
 
     counts = flags.agg(
         F.count("*").alias("input"),
+        # coalesce: SUM over zero rows is NULL — an EMPTY input corpus
+        # must still report every stage as 0, not NULL (r10 ADVICE)
         *[
-            F.sum(F.col(f"__s_{s}").cast("int")).cast("long").alias(s)
+            F.coalesce(F.sum(F.col(f"__s_{s}").cast("int")), F.lit(0))
+            .cast("long")
+            .alias(s)
             for s in stages
         ],
     )
@@ -391,6 +401,10 @@ def distill_quality_stump(
             >= F.lit(1.0 - top_frac)
         ).alias("teacher_label"),
     )
+    # skinny (id, student, teacher_label) consumed by the candidate
+    # build AND the final apply — checkpoint so the corpus scan +
+    # teacher window run once, not per reference (r11 scan audit)
+    labeled = labeled.localCheckpoint(eager=False)
     per_val = labeled.groupBy("student").agg(
         F.count("*").alias("n"),
         F.sum(F.col("teacher_label").cast("long")).alias("pos"),

@@ -71,6 +71,44 @@ def test_driver_window_rotation_policy():
     )
 
 
+def test_twin_offsets_clear_all_doc_ids():
+    """Range-routed twin fixtures (simhash consistency, phash groups)
+    shift synthetic ids by a fixed offset and route rows back by id
+    range — an original doc_id at or above the smallest offset would
+    collide with a twin range and corrupt both partitions. The
+    invariant is implicit in the operators (r11 ADVICE), so pin it
+    against the ACTUAL testdata at every supported SF with a direct
+    parquet read (no Spark session needed)."""
+    import glob
+    import os
+
+    import duckdb
+
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        _SIMHASH_TWIN_OFFSET,
+    )
+    from hummingbirddatapipeline_spark.catalog.multimodal_q import (
+        _PHASH_TWIN_OFFSET,
+    )
+    from hummingbirddatapipeline_spark.catalog.text_q import (
+        _CONTAIN_TWIN_OFFSET,
+    )
+
+    # winnow-containment twins ride doc_id + 70000 and the bench side
+    # filters doc_id < 20: any original colliding with a twin id would
+    # double-count fingerprints, so hold it to the same standard
+    floor_off = min(
+        _SIMHASH_TWIN_OFFSET, _PHASH_TWIN_OFFSET, _CONTAIN_TWIN_OFFSET
+    )
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths, "no testdata found"
+    con = duckdb.connect()
+    for p in paths:
+        mx = con.sql(f"SELECT MAX(doc_id) FROM read_parquet('{p}')").fetchone()[0]
+        assert mx < floor_off, (p, mx, floor_off)
+    con.close()
+
+
 def test_entry_returns_rows(spark):
     import __spark_entry__ as e
 

@@ -225,6 +225,69 @@ def test_split_ngram_overlap_disjoint_is_zero(spark):
     assert row["n_overlap_grams"] == 0 and row["overlap_frac"] == 0.0
 
 
+def test_split_ngram_overlap_multi_equals_per_splitter(spark):
+    """The r11 single-explode multi-splitter audit must reproduce the
+    per-splitter results field for field (the catalog row's rewrite is
+    a plan change only), and its plan must hold exactly ONE generate
+    over the corpus grams."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        split_ngram_overlap,
+        split_ngram_overlap_multi,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),
+            (2, "a b c d e f g h"),
+            (3, "p q r s t u v w"),
+            (4, "a b c d e f g h i j k"),
+        ],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "val"), (4, "train")],
+        "doc_id long, split string",
+    )
+    s2 = spark.createDataFrame(
+        [(1, "val"), (2, "train"), (3, "train"), (4, "val")],
+        "doc_id long, split string",
+    )
+    multi = {
+        r["split_method"]: r
+        for r in split_ngram_overlap_multi(
+            docs, [("m1", s1), ("m2", s2)], n=8
+        ).collect()
+    }
+    for name, s in (("m1", s1), ("m2", s2)):
+        single = split_ngram_overlap(docs, s, n=8).collect()[0]
+        got = multi[name]
+        for c in (
+            "n_train_docs",
+            "n_val_docs",
+            "n_val_grams",
+            "n_overlap_grams",
+            "overlap_frac",
+        ):
+            assert got[c] == single[c], (name, c)
+
+    # one gram explode total (the point of the rewrite)
+    plan = (
+        split_ngram_overlap_multi(docs, [("m1", s1), ("m2", s2)], n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate explode") == 2  # gram explode + report rows
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        split_ngram_overlap_multi(docs, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        split_ngram_overlap_multi(docs, [("m", s1), ("m", s2)])
+
+
 def test_weighted_sample_matches_python_replica(spark):
     """The A-ES arithmetic is content-hash deterministic, so a Python
     replica (hashlib md5, same 52-bit uniform, same rank key) must
