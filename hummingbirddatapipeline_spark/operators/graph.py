@@ -467,6 +467,20 @@ def label_propagation(
     Returns (node, label, is_seed) for every node labeled after
     ``n_iter`` rounds (unreached nodes are absent — at 100 TB the
     unlabeled complement is the corpus, not a column).
+
+    PAIR SOURCE (pinned r11, per the r10 VERDICT): the registered
+    catalog row (`dedup_label_propagation`, r16 recipe) builds its
+    edges with `jaccard_pairs_prefix` — EXACT pairs, so the DuckDB
+    oracle can re-derive the identical graph and the whole
+    propagation is hashed. That is the oracle-gate regime. At 100 TB
+    the production feed is the banded-LSH capped path
+    (`near_dup_pairs_minhash` with `max_bucket` + the
+    `boilerplate_clusters` routing): the propagation rounds are
+    pair-source-agnostic (any (id_a, id_b) list), and the capped path
+    bounds candidate volume where exact pair enumeration is
+    output-bound (the 10x-distinct receipts in PLANS.md measure both
+    regimes). Same decision applies to `cluster_size_histogram`
+    (r20): exact pairs under the oracle, capped LSH in production.
     """
     from pyspark.sql.window import Window
 

@@ -218,3 +218,148 @@ def test_epoch_plan_budget_prefixes_respect_the_allocation(spark):
             # stride scheduling: each language's prefix count tracks
             # its allocation share to within a few slots, at every cut
             assert abs(seen[lang] - expect) <= 3, (lang, cut, seen[lang])
+
+
+# ------------------------------------------- r11-registered operators
+# Randomized generalizations for the rows registered in round 11 (the
+# r11/r12 tiers): each was pinned constructively in its bank file;
+# these check the load-bearing contract on seeded random data, with a
+# bit-exact Python replica where the operator is integer-deterministic.
+
+
+@pytest.mark.parametrize("lr", [0.0, 50.0, 300.0])
+def test_doremi_shares_are_distribution_on_random_corpus(spark, lr):
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    rows = []
+    doc = 0
+    for di, size in enumerate([5, 17, 60, 150]):  # skewed domains
+        for _ in range(size):
+            rows.append(
+                (doc, f"dom{di}", _rand_text(RNG, int(RNG.integers(4, 30))))
+            )
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 500_000
+    out = doremi_reweight(df, lr=lr, eps=0.25, token_budget=budget).collect()
+    assert len(out) == 4
+    shares = [r["doremi_share"] for r in out]
+    # smoothed EG output is a genuine distribution with an eps/K floor
+    assert abs(sum(shares) - 1.0) < 1e-4
+    for s in shares:
+        assert s >= 0.25 / 4 - 1e-6
+    assert sum(r["target_tokens"] for r in out) <= budget
+    if lr == 0.0:
+        # no excess signal: exactly the smoothed natural mixture
+        n_all = sum(r["n_tokens"] for r in out)
+        for r in out:
+            want = 0.75 * r["n_tokens"] / n_all + 0.25 / 4
+            assert abs(r["doremi_share"] - round(want, 6)) <= 1e-6
+
+
+def test_hamming_topk_matches_numpy_replica(spark):
+    """The packed-code ranking is integers end to end, so a numpy
+    replica (8dp means, v > mean bits, popcount of xor, ties -> lowest
+    id) must reproduce every (query, rank) -> item assignment."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        hamming_topk,
+    )
+
+    dim, n, k = 32, 120, 7
+    vecs = RNG.normal(size=(n, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["hamming"])
+        for r in hamming_topk(df, qs, dim=dim, k=k).collect()
+    }
+
+    means = np.round(vecs.mean(axis=0), 8)
+    bits = vecs > means  # strict: ties -> 0
+    for q in range(3):
+        hams = [
+            (int((bits[i] ^ bits[q]).sum()), i) for i in range(n) if i != q
+        ]
+        hams.sort()
+        for rank, (h, i) in enumerate(hams[:k], start=1):
+            assert got[(q, rank)] == (i, h), (q, rank)
+
+
+def test_distill_stump_is_global_argmax_on_random_data(spark):
+    """The chosen (threshold, direction) must be the BRUTE-FORCE best
+    over every candidate stump, with the exact tie policy (max
+    agreement -> '>=' -> lowest threshold)."""
+    from hummingbirddatapipeline_spark.pipelines.curation import (
+        distill_quality_stump,
+    )
+
+    n = 160
+    teacher = RNG.integers(0, 40, size=n)
+    student = RNG.integers(0, 12, size=n).astype(float)
+    df = spark.createDataFrame(
+        [(i, float(teacher[i]), float(student[i])) for i in range(n)],
+        "doc_id long, teacher double, student double",
+    )
+    top_frac = 0.3
+    out = distill_quality_stump(df, top_frac=top_frac).collect()
+    got = (out[0]["threshold"], out[0]["direction"], out[0]["n_correct"])
+
+    # replica: teacher label by percent_rank over (teacher, id)
+    order = sorted(range(n), key=lambda i: (teacher[i], i))
+    pr = {i: r / (n - 1) for r, i in enumerate(order)}
+    label = {i: pr[i] >= 1.0 - top_frac for i in range(n)}
+    best = None
+    for t in sorted(set(student)):
+        for d in (">=", "<="):
+            pred = {
+                i: (student[i] >= t) if d == ">=" else (student[i] <= t)
+                for i in range(n)
+            }
+            n_ok = sum(1 for i in range(n) if pred[i] == label[i])
+            key = (-n_ok, 0 if d == ">=" else 1, t)
+            if best is None or key < best[0]:
+                best = (key, (t, d, n_ok))
+    assert got == best[1]
+    # and the per-doc labels agree with the replica's chosen stump
+    t, d, _ = best[1]
+    for r in out:
+        want = (r["student"] >= t) if d == ">=" else (r["student"] <= t)
+        assert r["student_label"] == want
+
+
+def test_winnow_containment_random_embedding_always_caught(spark):
+    """Randomized winnowing guarantee: a bench doc (>= w + k - 1
+    tokens) spliced WHOLE into a random train doc at a random offset
+    must always produce a containment row; a disjoint-vocabulary doc
+    never does."""
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        winnow_containment,
+    )
+
+    k, w = 4, 5
+    bench_toks = [f"B{i}x" for i in range(int(RNG.integers(8, 20)))]
+    bench = spark.createDataFrame(
+        [(1, " ".join(bench_toks))], "doc_id long, text string"
+    )
+    train_rows = []
+    for t in range(6):
+        host = [str(x) for x in RNG.choice(WORDS, size=30)]
+        off = int(RNG.integers(0, len(host)))
+        spliced = host[:off] + bench_toks + host[off:]
+        train_rows.append((100 + t, " ".join(spliced)))
+    train_rows.append((999, " ".join(f"Z{i}q" for i in range(40))))
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    pairs = {
+        (r["train_id"], r["bench_id"])
+        for r in winnow_containment(train, bench, k=k, w=w).collect()
+    }
+    for t in range(6):
+        assert (100 + t, 1) in pairs
+    assert (999, 1) not in pairs
