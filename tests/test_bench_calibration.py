@@ -48,7 +48,36 @@ def test_load_calibration_from_full_payload(tmp_path):
         {"calib_cpu_sec": 0.4, "calib_shuffle_sec": 0.9},
     )))
     got = bench_compare.load_calibration(str(p))
-    assert got == pytest.approx((0.4 * 0.9) ** 0.5)
+    assert got == {"calib_cpu_sec": 0.4, "calib_shuffle_sec": 0.9}
+
+
+def test_machine_factor_geomean_when_probes_agree():
+    mf, why = bench_compare.machine_factor(
+        {"calib_cpu_sec": 0.5, "calib_shuffle_sec": 0.4},
+        {"calib_cpu_sec": 0.6, "calib_shuffle_sec": 0.5},
+    )
+    assert mf == pytest.approx(((0.6 / 0.5) * (0.5 / 0.4)) ** 0.5)
+    assert "=" in why
+
+
+def test_machine_factor_refuses_disagreeing_probes():
+    """r11 finding: a run whose CPU probe is flat (1.03x) while the
+    shuffle probe reads 0.58x cannot be summarized by one blended
+    factor — normalization must be SKIPPED, not averaged into a
+    wrong-direction adjustment."""
+    mf, why = bench_compare.machine_factor(
+        {"calib_cpu_sec": 0.861, "calib_shuffle_sec": 0.666},
+        {"calib_cpu_sec": 0.883, "calib_shuffle_sec": 0.386},
+    )
+    assert mf is None
+    assert "disagree" in why
+
+
+def test_machine_factor_missing_side_is_none():
+    mf, why = bench_compare.machine_factor(
+        None, {"calib_cpu_sec": 1.0}
+    )
+    assert mf is None
 
 
 def test_load_calibration_absent_is_none(tmp_path):
@@ -70,7 +99,10 @@ def test_load_calibration_survives_driver_tail_truncation(tmp_path):
     driver_artifact = {"tail": line[-2000:], "rc": 0}
     p = tmp_path / "BENCH_r99.json"  # no sibling BENCH_LOCAL_r99.json
     p.write_text(json.dumps(driver_artifact))
-    assert bench_compare.load_calibration(str(p)) == pytest.approx(0.5)
+    assert bench_compare.load_calibration(str(p)) == {
+        "calib_cpu_sec": 0.5,
+        "calib_shuffle_sec": 0.5,
+    }
     # and the query scavenger must NOT swallow calib_* keys as queries
     scavenged = bench_compare.load(str(p))
     assert not any(k.startswith("calib_") for k in scavenged)

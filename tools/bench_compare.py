@@ -61,8 +61,8 @@ def load(path: str, cold: bool = False) -> dict[str, float]:
     return out
 
 
-def load_calibration(path: str) -> float | None:
-    """Geomean of the fixed-workload calibration probes (bench.py
+def load_calibration(path: str) -> "dict[str, float] | None":
+    """Per-probe values of the fixed-workload calibration (bench.py
     emits them since r10), or None for pre-calibration artifacts.
     Resolves driver artifacts to the sibling BENCH_LOCAL file first,
     then falls back to scavenging the stdout tail (the probes sit at
@@ -84,19 +84,48 @@ def load_calibration(path: str) -> float | None:
     except json.JSONDecodeError:
         doc = None
     if isinstance(doc, dict) and isinstance(doc.get("calibration"), dict):
-        vals = [float(v) for v in doc["calibration"].values()]
+        vals = {k: float(v) for k, v in doc["calibration"].items()}
     else:
         # driver artifact: regex the (unescaped) embedded stdout tail
         tail = doc.get("tail", text) if isinstance(doc, dict) else text
-        vals = [
-            float(v) for v in re.findall(r'"calib_[a-z_]+":\s*([0-9.]+)', tail)
-        ]
-    if not vals:
-        return None
+        vals = {
+            k: float(v)
+            for k, v in re.findall(r'"(calib_[a-z_]+)":\s*([0-9.]+)', tail)
+        }
+    return vals or None
+
+
+def machine_factor(
+    cal_old: "dict[str, float] | None", cal_new: "dict[str, float] | None"
+) -> "tuple[float | None, str]":
+    """Round-over-round machine factor from the calibration probes —
+    the geomean of the shared probes' ratios — UNLESS the probes
+    disagree: when the largest and smallest per-probe ratio differ by
+    more than 1.5x, the box changed unevenly (e.g. r11: CPU flat at
+    1.03x while the shuffle probe read 0.58x on a run whose queries
+    drifted 1.17x SLOWER) and a blended factor would normalize in the
+    wrong direction. In that case return (None, reason) and let the
+    caller fall back to raw numbers + the same-round A/B protocol."""
+    if not (cal_old and cal_new):
+        return None, "calibration missing on one side"
+    ratios = {
+        k: cal_new[k] / cal_old[k]
+        for k in cal_old.keys() & cal_new.keys()
+        if cal_old[k] > 0
+    }
+    if not ratios:
+        return None, "no shared calibration probes"
+    hi, lo = max(ratios.values()), min(ratios.values())
+    detail = ", ".join(f"{k}={v:.2f}x" for k, v in sorted(ratios.items()))
+    if hi / lo > 1.5:
+        return None, (
+            f"probes disagree ({detail}) — uneven machine change, "
+            "normalization skipped; use same-round A/B for verdicts"
+        )
     prod = 1.0
-    for v in vals:
+    for v in ratios.values():
         prod *= v
-    return prod ** (1.0 / len(vals))
+    return prod ** (1.0 / len(ratios)), detail
 
 
 def main() -> int:
@@ -111,13 +140,14 @@ def main() -> int:
     # fixed-workload calibration, divide the new timings by the VM
     # drift so the flags below reflect code, not the box. Raw numbers
     # stay in the printout (evidence, not adjudication — see header).
-    mf = None
     cal_old, cal_new = load_calibration(args[0]), load_calibration(args[1])
-    if cal_old and cal_new:
-        mf = cal_new / cal_old
+    mf, why = machine_factor(cal_old, cal_new)
+    if mf:
         print(f"machine factor (fixed-workload calibration): {mf:.2f}x "
-              f"— per-query ratios below are divided by it")
+              f"({why}) — per-query ratios below are divided by it")
         new = {k: v / mf for k, v in new.items()}
+    elif cal_old or cal_new:
+        print(f"machine factor: NOT applied — {why}")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     rows = []
