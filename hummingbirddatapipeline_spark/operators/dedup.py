@@ -1591,3 +1591,65 @@ def boilerplate_leaderboard(
         F.col("__rep.s").cast("long").alias("rep_start"),
         F.col("__rep.t").alias("window_text"),
     )
+
+
+def cross_source_dup_matrix(
+    pairs: DataFrame,
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cross-source duplication matrix — the data-provenance report a
+    corpus owner reads before paying for a new source: every near-dup
+    pair attributed to its (source, source) cell, so "vendor B is 40%
+    re-crawls of vendor A" is one scan of a K x K table instead of
+    anecdote. (The per-pair evidence behind the per-source dup_rate of
+    ``corpus_stats``; CCNet/RefinedWeb-style pipelines run exactly
+    this before source-level dedup ordering.)
+
+    ``pairs`` is any near-dup pair list (exact
+    :func:`jaccard_pairs_prefix` under the oracle gate; the banded-LSH
+    capped path in production — the operator is pair-source-agnostic,
+    same decision record as ``label_propagation``). ``meta`` maps
+    ``id_col`` to ``group_col``. Cells are canonically ordered
+    (source_a <= source_b), so A-B and B-A pairs land in one cell.
+
+    Returns (source_a, source_b, n_pairs, n_docs) — exact BIGINT pair
+    and distinct-doc counts per cell (``n_docs`` counts docs on either
+    side, each once).
+
+    Scale shape: two broadcast-able joins attach sources to the skinny
+    pair list (meta reduces to (id, source) at the scan); ONE hash
+    aggregate — each pair explodes into its two doc rows so the pair
+    count (count/2, exact) and the distinct-doc count share a single
+    exchange. Nothing at text width, nothing quadratic beyond the
+    pair list itself.
+    """
+    a = meta.select(
+        F.col(id_col).alias(id_a), F.col(group_col).alias("__ga")
+    )
+    b = meta.select(
+        F.col(id_col).alias(id_b), F.col(group_col).alias("__gb")
+    )
+    cell = (
+        pairs.select(id_a, id_b)
+        .join(a, id_a)
+        .join(b, id_b)
+        .select(
+            F.least("__ga", "__gb").alias("source_a"),
+            F.greatest("__ga", "__gb").alias("source_b"),
+            F.col(id_a),
+            F.col(id_b),
+        )
+    )
+    ex = cell.select(
+        "source_a",
+        "source_b",
+        F.explode(F.array(F.col(id_a), F.col(id_b))).alias("__d"),
+    )
+    return ex.groupBy("source_a", "source_b").agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("__d").alias("n_docs"),
+    )

@@ -532,3 +532,67 @@ def trigram_logprob_heldout(
         F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
         F.col("mean_nll"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyword extraction by smoothed TF-IDF — the
+    classic corpus-profiling op (what is each document ABOUT), feeding
+    topic routing, near-dup triage ("same keywords, different hosts"),
+    and dataset cards. Scoring is sklearn's smoothed variant::
+
+        score = tf * (ln((1 + N) / (1 + df)) + 1)
+
+    (never a division by zero, never log of zero; N counts ALL corpus
+    docs including empty ones). Scores round 6dp BEFORE ranking and
+    ties break (score desc, term asc), so the per-doc top-k cut is
+    engine-deterministic.
+
+    Returns (id, term, tf, df, score, rank), rank 1..k per doc; docs
+    with no tokens emit nothing.
+
+    Scale shape: one explode -> (doc, term) tf hash aggregate
+    (map-side combined); the per-term df table derives from tf and
+    joins back BROADCAST (vocabulary-sized); N rides the single-row
+    crossJoin from an id-only column-pruned scan; one per-doc rank
+    window. The tf subtree evaluates twice (df build + scoring join) —
+    the documented two-pass corpus-LM shape; re-reading beats
+    materializing the corpus-gram-scale tf table.
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "w").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dft = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    n_docs = docs.select(id_col).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1479,3 +1479,78 @@ def ivf_cell_drift(
         F.sum("__c.arr").cast("long").alias("n_arrivals"),
         F.sum("__c.dep").cast("long").alias("n_departures"),
     )
+
+
+def pq_distortion(
+    items: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ reconstruction distortion under the trained
+    codebooks — the index-quality acceptance report that closes the
+    ANN arc (train -> encode -> search -> MEASURE): distortion is the
+    quantity PQ training minimizes (Jégou et al. 2011 §III eq. 2), so
+    this row is how an index owner decides m/k_codes are adequate
+    BEFORE queries regress, and which vectors the codebooks represent
+    worst (re-cluster / keep-full-precision candidates). The PQ
+    sibling of :func:`sq8_fidelity`.
+
+    For every vector: its m assigned codes and::
+
+        distortion = round(sum_s sqdist_6dp(v_s, codebook_s[code_s]), 6)
+
+    — each subspace term is the encoder's own 6dp-rounded argmin
+    distance (selection, not new arithmetic), summed in fixed subspace
+    order, so the report is engine-exact under the shared
+    ``_pq_train`` / ``_pq_sqdist`` regime. ``code_sum`` (exact BIGINT
+    ``sum_s code_s * k_codes^s``) hashes the whole code vector in one
+    integer, the embedding_quantize_roundtrip convention.
+
+    Returns (vec_id, code_sum, distortion).
+
+    Scale shape: training is the shared m short kmeans_refine runs
+    (bounded model state); the report itself is ONE map-side pass —
+    codebooks are plan literals, each subspace's (code, dist) pair is
+    one array_min over k_codes literal structs — with ZERO exchanges
+    after training. At billion scale this is the cheapest full-index
+    quality sweep possible: it reads each vector once and shuffles
+    nothing.
+    """
+    codebooks = _pq_train(items, dim, m, k_codes, n_iter, item_id, item_vec)
+    d_sub = dim // m
+
+    def best(vec, s: int):
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_sqdist(
+                            F.slice(vec, s * d_sub + 1, d_sub), c
+                        ).alias("d"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(codebooks[s])
+                ]
+            )
+        )
+
+    picked = items.select(
+        item_id,
+        *[best(F.col(item_vec), s).alias(f"__b{s}") for s in range(m)],
+    )
+    code_sum = F.lit(0).cast("long")
+    dist = F.lit(0.0)
+    for s in range(m):
+        code_sum = code_sum + F.col(f"__b{s}")["cid"].cast("long") * F.lit(
+            k_codes**s
+        )
+        dist = dist + F.col(f"__b{s}")["d"]
+    return picked.select(
+        item_id,
+        code_sum.alias("code_sum"),
+        F.round(dist, 6).alias("distortion"),
+    )

@@ -82,6 +82,16 @@ PROBE = [
     "similarity_pca_top1",
     "curation_decontaminate_clusters",
     "layout_shard_manifest",
+    # round-11 registrations (r11 + r12 tiers). NOTE: the containment
+    # row's 70k twin offset stays collision-free on probe replicas
+    # because per-copy doc offsets are 1M (70_019 < 1_000_000).
+    "text_winnow_containment",
+    "sample_doremi_reweight",
+    "curation_score_distill",
+    "text_cdc_chunks",
+    "sample_unimax_budget",
+    "similarity_hamming_topk",
+    "similarity_pq_topk",
 ]
 
 
