@@ -960,3 +960,49 @@ def _cluster_histogram_sql(threshold: float = 0.85) -> str:
            CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
     FROM hist
     """
+
+
+# --- r21-banked oracle builder (NOT yet registered; registration
+# target: the r20 window alongside the r20 tier — recipe in PLANS.md
+# "r21 bank"). The differential test in tests/test_r21_oracles.py
+# imports this, so the SQL has a single source of truth.
+
+def _cross_source_sql(threshold: float = 0.85) -> str:
+    """Independent DuckDB formulation of the cross-source duplication
+    matrix (operators/dedup.cross_source_dup_matrix over the shared
+    exact-Jaccard pair set): re-derives the pair graph from raw text,
+    attributes each pair to its canonically-ordered (source, source)
+    cell, and recounts pairs (count/2 over the doc explode — exact)
+    and distinct docs per cell."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / (sa.n + sb.n - inter) >= {threshold}
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    cell AS (
+      SELECT LEAST(a.source, b.source) AS source_a,
+             GREATEST(a.source, b.source) AS source_b,
+             p.id_a, p.id_b
+      FROM prs p
+      JOIN src a ON a.doc_id = p.id_a
+      JOIN src b ON b.doc_id = p.id_b
+    ),
+    ex AS (
+      SELECT source_a, source_b, unnest([id_a, id_b]) AS d FROM cell
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+    FROM ex GROUP BY 1, 2
+    """

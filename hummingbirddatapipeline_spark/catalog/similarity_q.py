@@ -1408,3 +1408,81 @@ def _cell_drift_sql() -> str:
     FULL OUTER JOIN arr USING (centroid_id)
     FULL OUTER JOIN dep USING (centroid_id)
     """
+
+
+# --- r21-banked oracle builder (NOT yet registered; registration
+# target: the r20 window — recipe in PLANS.md "r21 bank").
+
+def _pq_distortion_sql(
+    dim: int = 64, m: int = 4, k_codes: int = 8, n_iter: int = 2
+) -> str:
+    """Independent DuckDB formulation of the PQ distortion report
+    (operators/similarity.pq_distortion): unrolls the SAME m Lloyd
+    trajectories as :func:`_pq_topk_sql` (6dp distances, ties ->
+    lowest cid, 8dp means, empty-cluster carry), keeps each vector's
+    argmin (code, distance) per subspace, and re-derives the exact
+    code_sum (sum code_s * k_codes^s) and the fixed-order 6dp-rounded
+    distortion sum."""
+    d_sub = dim // m
+    sq = (
+        "ROUND(list_sum(list_zip(a.v, c.cv)"
+        ".list_transform(p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = ["""
+    WITH allv AS (
+      SELECT vec_id,
+             embedding.list_transform(x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )"""]
+    for s in range(m):
+        lo = s * d_sub
+        parts.append(f""",
+    s{s}_v AS (
+      SELECT vec_id, v[{lo + 1}:{lo + d_sub}] AS v FROM allv
+    ),
+    s{s}_it0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM s{s}_v ORDER BY vec_id LIMIT {k_codes})
+    )""")
+        for it in range(n_iter):
+            parts.append(f""",
+    s{s}_a{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid, {sq} AS d,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq}, c.cid) AS rk
+        FROM s{s}_v a CROSS JOIN s{s}_it{it} c) WHERE rk = 1
+    ),
+    s{s}_m{it} AS (
+      SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+        SELECT cid, CAST(u[2] AS INT) AS dim,
+               ROUND(AVG(CAST(u[1] AS DOUBLE)), 8) AS mu
+        FROM (SELECT cid, UNNEST(list_zip(v, range(1, len(v) + 1))) AS u
+              FROM s{s}_a{it})
+        GROUP BY cid, dim) GROUP BY cid
+    ),
+    s{s}_it{it + 1} AS (
+      SELECT c0.cid, COALESCE(s{s}_m{it}.cv, c0.cv) AS cv
+      FROM s{s}_it{it} c0 LEFT JOIN s{s}_m{it} USING (cid)
+    )""")
+        parts.append(f""",
+    s{s}_pick AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT a.vec_id, c.cid, {sq} AS d,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq}, c.cid) AS rk
+        FROM s{s}_v a CROSS JOIN s{s}_it{n_iter} c) WHERE rk = 1
+    )""")
+    code_sum = " + ".join(f"p{s}.cid * {k_codes**s}" for s in range(m))
+    dist = " + ".join(f"p{s}.d" for s in range(m))
+    joins = "\n      ".join(
+        f"JOIN s{s}_pick p{s} ON p{s}.vec_id = a.vec_id" for s in range(m)
+    )
+    parts.append(f"""
+    SELECT a.vec_id,
+           CAST({code_sum} AS BIGINT) AS code_sum,
+           ROUND({dist}, 6) AS distortion
+    FROM allv a
+      {joins}
+    """)
+    return "".join(parts)

@@ -1617,3 +1617,38 @@ def _bpe_fertility_sql() -> str:
              AS chars_per_token
     FROM base GROUP BY lang
     """
+
+
+# --- r21-banked oracle builder (NOT yet registered; registration
+# target: the r20 window — recipe in PLANS.md "r21 bank").
+
+def _tfidf_keywords_sql(k: int = 3) -> str:
+    """Independent DuckDB formulation of per-document TF-IDF keyword
+    extraction (operators/retrieval.tfidf_keywords): rebuilds the
+    (doc, term) tf table, the per-term df, the smoothed sklearn idf
+    ``ln((1 + N) / (1 + df)) + 1`` over the FULL doc count, the
+    6dp-rounded score, and the (score desc, term) top-k cut."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.w AS term,
+             CAST(t.tf AS BIGINT) AS tf,
+             CAST(f.df AS BIGINT) AS df,
+             ROUND(t.tf * (ln((1 + n.n_docs) / (1 + f.df)) + 1), 6)
+               AS score
+      FROM tf t JOIN dft f USING (w) CROSS JOIN nd n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
