@@ -360,6 +360,7 @@ def distill_quality_stump(
     teacher_col: str = "teacher",
     student_col: str = "student",
     top_frac: float = 0.3,
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Quality-classifier score distillation (the FineWeb-Edu /
     DCLM-shape move, reduced to its deterministic core): an expensive
@@ -380,10 +381,18 @@ def distill_quality_stump(
     "when student <= t" both scored); ties break to direction '>='
     then lowest threshold. No floats enter the argmax.
 
-    Scale shape: one window over teacher scores (global rank — at real
-    scale, per-stratum), one hash aggregate to distinct student
-    values, one window over that (tiny) value table, one broadcast of
-    the single winning stump row back onto the corpus.
+    Scale shape: one window over teacher scores, one hash aggregate to
+    distinct student values, one window over that (tiny) value table,
+    one broadcast of the single winning stump row back onto the
+    corpus. ``strata_col`` is the 100 TB lever: the registered catalog
+    fixture ranks the teacher GLOBALLY (a single-partition window —
+    fine at oracle scale, and the 100x receipt shows it dominating at
+    39.9 s), while production passes a stratum (source/language) so
+    the teacher percentile is per-stratum — the FineWeb-Edu
+    per-domain-percentile practice — and the window exchange keys on
+    the stratum instead of moving the corpus to one reducer. The stump
+    search itself is unchanged (global over distinct student values;
+    candidate table is vocabulary-sized either way).
 
     Output: one row per doc — (id, student, teacher_label,
     student_label, threshold, direction, n_correct, n_docs) where
@@ -391,12 +400,15 @@ def distill_quality_stump(
     training agreement of the chosen stump.
     """
     n_p = Window.partitionBy()
+    w_teacher = (
+        Window.partitionBy(strata_col) if strata_col is not None else n_p
+    )
     labeled = scored.select(
         F.col(id_col),
         F.col(student_col).alias("student"),
         (
             F.percent_rank().over(
-                n_p.orderBy(F.col(teacher_col), F.col(id_col))
+                w_teacher.orderBy(F.col(teacher_col), F.col(id_col))
             )
             >= F.lit(1.0 - top_frac)
         ).alias("teacher_label"),

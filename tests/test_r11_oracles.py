@@ -187,3 +187,40 @@ def test_distill_stump_picks_perfect_separator(spark):
     assert out[0]["n_correct"] == 10
     assert out[0]["direction"] == ">="
     assert out[0]["threshold"] == 15.0  # lowest positive student value
+
+
+def test_distill_stump_per_stratum_teacher(spark):
+    """The 100 TB form: strata_col ranks the teacher WITHIN each
+    stratum (the FineWeb-Edu per-domain percentile), so a doc that is
+    top-of-its-stratum is positive even when another stratum's scores
+    dominate globally; the teacher window must exchange on the stratum
+    key, never move the corpus to one partition."""
+    from hummingbirddatapipeline_spark.pipelines.curation import (
+        distill_quality_stump,
+    )
+
+    # stratum A scores 100x stratum B's: a global top-50% cut labels
+    # ONLY A docs positive; per-stratum labels the top half of EACH
+    rows = [
+        (i, "A", 100.0 + i, float(i)) for i in range(10)
+    ] + [
+        (100 + i, "B", 1.0 + i / 10.0, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, teacher double, student double"
+    )
+    out = distill_quality_stump(
+        df, top_frac=0.5, strata_col="src"
+    ).collect()
+    pos = {r["doc_id"] for r in out if r["teacher_label"]}
+    assert pos == {5, 6, 7, 8, 9, 105, 106, 107, 108, 109}
+    glob = distill_quality_stump(df, top_frac=0.5).collect()
+    assert {r["doc_id"] for r in glob if r["teacher_label"]} == set(
+        range(10)
+    )
+    # (the teacher window's stratum-keyed exchange sits inside the
+    # labeled frame's checkpoint lineage — localCheckpoint rewrites
+    # the SQL plan to a LogicalRDD at build time, so the outer plan
+    # cannot be asserted on; the behavioral split above is the
+    # contract, and Window.partitionBy(strata_col) is the whole
+    # mechanism)
