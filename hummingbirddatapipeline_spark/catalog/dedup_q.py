@@ -1006,3 +1006,63 @@ def _cross_source_sql(threshold: float = 0.85) -> str:
            CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
     FROM ex GROUP BY 1, 2
     """
+
+
+def _minhash_estimate_sql(
+    num_hashes: int = 16,
+    threshold: float = 0.3,
+    max_id: int = 200,
+    seed: str = "mh0",
+) -> str:
+    """Independent DuckDB formulation of the portable-MinHash Jaccard
+    estimator (operators/dedup.minhash_estimate_pairs over the exact
+    candidate pairs): re-derives the candidate pair set (exact J >=
+    ``threshold`` on unigram shingles, docs below ``max_id``), every
+    doc's K-component 52-bit-md5 signature, the matches/K estimate,
+    the exact Jaccard, and the 6dp error arithmetic."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, w -> CAST('0x' || substr("
+        f"md5(w || '#{seed}{k}'), 1, 13) AS BIGINT)))"
+        for k in range(num_hashes)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS sh
+      FROM documents WHERE doc_id < {max_id}
+    ),
+    sigs AS (
+      SELECT doc_id, sh, len(sh) AS n, [{mins}] AS sig FROM base
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS w FROM base),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE c.inter / (sa.n + sb.n - c.inter) >= {threshold}
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(len(list_filter(range(len(sa.sig)),
+                     i -> sa.sig[i + 1] = sb.sig[i + 1]))
+                 / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard,
+           ROUND(len(list_intersect(sa.sh, sb.sh))
+                 / CAST(sa.n + sb.n
+                        - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+                 6) AS exact_jaccard,
+           ROUND(ABS(
+             ROUND(len(list_filter(range(len(sa.sig)),
+                       i -> sa.sig[i + 1] = sb.sig[i + 1]))
+                   / CAST({num_hashes} AS DOUBLE), 6)
+             - ROUND(len(list_intersect(sa.sh, sb.sh))
+                     / CAST(sa.n + sb.n
+                            - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+                     6)), 6) AS abs_err
+    FROM prs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """

@@ -1652,3 +1652,69 @@ def _tfidf_keywords_sql(k: int = 3) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _vocab_coverage_sql(vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096)) -> str:
+    """Independent DuckDB formulation of the vocabulary-coverage curve
+    (operators/tokenization.vocab_coverage): rebuilds the word counts,
+    the (count desc, word asc) rank, and each V's covered-occurrence
+    conditional sum — exact BIGINTs with one 6dp division."""
+    sels = "\n    UNION ALL\n    ".join(
+        f"""SELECT {v} AS vocab_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked) AS n_types,
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ranked
+            WHERE rk <= {v}) AS covered_occurrences,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM ranked)
+             AS total_occurrences,
+           ROUND((SELECT COALESCE(SUM(c), 0) FROM ranked WHERE rk <= {v})
+                 / CAST((SELECT SUM(c) FROM ranked) AS DOUBLE), 6)
+             AS coverage"""
+        for v in vocab_sizes
+    )
+    return f"""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+      FROM counts
+    )
+    {sels}
+    """
+
+
+def _length_groups_sql(
+    bin_tokens: int = 64, batch_size: int = 8, seed: str = "lg0"
+) -> str:
+    """Independent DuckDB formulation of the length-grouped batching
+    plan (operators/tokenization.pack_length_groups): re-derives the
+    token counts, the length bins, the per-bin md5 shuffle order, the
+    fixed-size batch cuts, and each batch's padding efficiency."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS_CASED}) AS BIGINT) AS n,
+             -- integer division: DuckDB CAST(double AS INT) ROUNDS
+             -- where Spark's cast truncates — // floors on both
+             CAST(len({_DUCK_TOKS_CASED}) // {bin_tokens} AS INT) AS bin_id,
+             md5(CAST(doc_id AS VARCHAR) || ':{seed}') AS key
+      FROM documents
+    ),
+    batched AS (
+      SELECT *,
+             CAST((ROW_NUMBER() OVER (PARTITION BY bin_id
+                     ORDER BY key, doc_id) - 1) // {batch_size} AS INT)
+               AS batch_seq
+      FROM base
+    )
+    SELECT bin_id, batch_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n) AS max_tokens,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           COALESCE(ROUND(1.0 - SUM(n)
+                    / NULLIF(MAX(n) * CAST(COUNT(*) AS DOUBLE), 0.0), 6),
+                    0.0) AS padding_frac
+    FROM batched GROUP BY bin_id, batch_seq
+    """

@@ -258,3 +258,145 @@ def bpe_fertility_by_lang(
             6,
         ).alias("chars_per_token"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-coverage curve — the tokenizer BUDGET planner: for
+    each candidate vocabulary size V, what fraction of corpus token
+    OCCURRENCES is covered by the top-V most frequent words (ranked
+    count desc, word asc — deterministic). This is the measurement
+    behind "how big must the vocab be before OOV/byte-fallback rates
+    are acceptable" (the sizing step that precedes BPE training), and
+    the curve's knee is the classic Zipf diagnostic for a corpus.
+
+    Returns one row per V: (vocab_size, n_types, covered_occurrences,
+    total_occurrences, coverage) — counts are exact BIGINTs; coverage
+    is the single 6dp division, so the row hashes identically on any
+    engine and any partitioning.
+
+    Scale shape: one corpus explode -> one (word) hash aggregate
+    (map-side combined); everything after runs on the VOCABULARY table
+    (rank window + conditional sums over thousands-to-millions of
+    rows, not the corpus). The single-partition window is over that
+    vocab table only — the corpus never moves.
+    """
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    counts = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = counts.withColumn("__rk", F.row_number().over(w_rank))
+    return ranked.agg(
+        F.count("*").alias("__n_types"),
+        F.sum("c").alias("__total"),
+        *[
+            F.sum(F.when(F.col("__rk") <= v, F.col("c")).otherwise(0)).alias(
+                f"__cov_{v}"
+            )
+            for v in vocab_sizes
+        ],
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("vocab_size"),
+                        F.col("__n_types").cast("long").alias("n_types"),
+                        F.col(f"__cov_{v}")
+                        .cast("long")
+                        .alias("covered_occurrences"),
+                        F.col("__total").cast("long").alias(
+                            "total_occurrences"
+                        ),
+                        F.round(
+                            F.col(f"__cov_{v}").cast("double")
+                            / F.col("__total").cast("double"),
+                            6,
+                        ).alias("coverage"),
+                    )
+                    for v in vocab_sizes
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+def pack_length_groups(
+    docs: DataFrame,
+    bin_tokens: int = 64,
+    batch_size: int = 8,
+    seed: str = "lg0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-grouped batching plan — the dynamic-batching layout a
+    trainer uses to stop burning FLOPs on padding: documents bucket
+    into token-length bins, each bin is content-hash-shuffled
+    (deterministic, rerun/repartition-stable — never an RNG) and cut
+    into fixed-size batches, and every batch reports its padding
+    efficiency (1 - sum_len / (max_len * n_docs), the fraction of the
+    padded tensor that is waste). Length-grouped sampling is the
+    standard serving/training trick (HuggingFace group_by_length /
+    fairseq max-tokens batching reduced to its deterministic core).
+
+    Returns one row per batch: (bin_id, batch_seq, n_docs, max_tokens,
+    sum_tokens, padding_frac 6dp). All counts exact BIGINTs; the
+    md5-keyed order makes batch membership content-addressed, so both
+    engines and any partitioning produce identical batches.
+
+    Scale shape: one scan computes token counts map-side; ONE
+    bin-keyed exchange feeds the row_number window AND the per-batch
+    aggregate (same partitioning — no second shuffle). Bins are
+    bounded (max doc length / bin width), batches within a bin are
+    independent — embarrassingly parallel at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    if bin_tokens < 1 or batch_size < 1:
+        raise ValueError("pack_length_groups: bin_tokens and batch_size >= 1")
+    base = docs.select(
+        F.col(id_col),
+        ws_token_count(F.col(text_col)).cast("long").alias("__n"),
+    ).select(
+        id_col,
+        "__n",
+        (F.col("__n") / bin_tokens).cast("int").alias("bin_id"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+        ).alias("__key"),
+    )
+    w = Window.partitionBy("bin_id").orderBy("__key", id_col)
+    batched = base.withColumn(
+        "batch_seq",
+        ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
+    return batched.groupBy("bin_id", "batch_seq").agg(
+        F.count("*").alias("n_docs"),
+        F.max("__n").alias("max_tokens"),
+        F.sum("__n").alias("sum_tokens"),
+        F.coalesce(
+            F.round(
+                1.0
+                - F.sum("__n").cast("double")
+                / (
+                    F.nullif(
+                        F.max("__n").cast("double") * F.count("*"), F.lit(0.0)
+                    )
+                ),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("padding_frac"),
+    )
