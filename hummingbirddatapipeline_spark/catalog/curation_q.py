@@ -1035,3 +1035,47 @@ def _calibration_bins_sql(
     FROM ({_logreg_quality_sql(lr, n_iter, top_frac)}) lg
     GROUP BY 1
     """
+
+
+def _quality_borda_sql() -> str:
+    """Independent DuckDB formulation of the per-source Borda fusion
+    (operators/retrieval.quality_borda): re-derives all three signals
+    (the shared _QUALITY fragment, token count, duplicate-token
+    fraction), the three per-source row_number ranks with doc_id
+    tiebreaks, the Borda sum, and the consensus rank. Output is pure
+    integers + the source string."""
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, source,
+             {_QUALITY} AS q,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN ROUND(1.0 - len(list_distinct({_DUCK_TOKS}))
+                             / CAST(len({_DUCK_TOKS}) AS DOUBLE), 6)
+                  ELSE 0.0 END AS rep
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS r_quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tok DESC, doc_id) AS r_length,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY rep ASC, doc_id) AS r_rep
+      FROM sig
+    ),
+    fused AS (
+      SELECT *, CAST(r_quality + r_length + r_rep AS BIGINT) AS borda
+      FROM ranked
+    )
+    SELECT doc_id, source,
+           CAST(r_quality AS INT) AS r_quality,
+           CAST(r_length AS INT) AS r_length,
+           CAST(r_rep AS INT) AS r_rep,
+           borda,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY borda, doc_id) AS INT)
+             AS borda_rank
+    FROM fused
+    """

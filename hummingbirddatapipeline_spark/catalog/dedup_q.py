@@ -1066,3 +1066,75 @@ def _minhash_estimate_sql(
     JOIN sigs sa ON sa.doc_id = p.id_a
     JOIN sigs sb ON sb.doc_id = p.id_b
     """
+
+
+def _lsh_recall_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    max_id: int = 200,
+    seed: str = "mh0",
+) -> str:
+    """Independent DuckDB formulation of the LSH banding recall report
+    (operators/dedup.lsh_recall_report over docs below ``max_id``):
+    re-derives the portable 52-bit-md5 signatures, bands each into its
+    RAW component slice (stringified for the bucket equi-join —
+    canonical list serialization, so equality matches list equality),
+    generates within-bucket candidate pairs, rebuilds the exact pair
+    set at ``threshold``, and aggregates catch counts per Jaccard
+    decile with J = 1.0 folded into the 0.9 band."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(sh, w -> CAST('0x' || substr("
+        f"md5(w || '#{seed}{k}'), 1, 13) AS BIGINT)))"
+        for k in range(num_hashes)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(sig[{b * r + 1} : {b * r + r}] AS VARCHAR) AS bucket "
+        f"FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS sh
+      FROM documents WHERE doc_id < {max_id}
+    ),
+    sigs AS (
+      SELECT doc_id, sh, len(sh) AS n, [{mins}] AS sig
+      FROM base WHERE len(sh) > 0
+    ),
+    banded AS (
+      {band_sel}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS w FROM base),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(c.i / CAST(sa.n + sb.n - c.i AS DOUBLE), 6) AS j
+      FROM inter c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE c.i / CAST(sa.n + sb.n - c.i AS DOUBLE) >= {threshold}
+    )
+    SELECT LEAST(FLOOR(e.j * 10) / 10.0, 0.9) AS band_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN cand.id_a IS NOT NULL
+                                  THEN 1 END), 0) AS BIGINT) AS n_caught,
+           ROUND(COALESCE(SUM(CASE WHEN cand.id_a IS NOT NULL
+                                   THEN 1 END), 0)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM exact e
+    LEFT JOIN cand ON cand.id_a = e.id_a AND cand.id_b = e.id_b
+    GROUP BY 1
+    """

@@ -1718,3 +1718,41 @@ def _length_groups_sql(
                     0.0) AS padding_frac
     FROM batched GROUP BY bin_id, batch_seq
     """
+
+
+def _ngram_novelty_sql(n: int = 2) -> str:
+    """Independent DuckDB formulation of per-doc n-gram novelty
+    (operators/retrieval.ngram_novelty): rebuilds each doc's distinct
+    lowercase word n-gram set, the gram document frequencies, and the
+    corpus-unique counts; zero-gram docs restored by LEFT JOIN with
+    novelty 0.0."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(t) >= {n}
+                    THEN list_transform(range(len(t) - {n - 1}),
+                                        i -> array_to_string(
+                                               t[i + 1 : i + {n}], ' '))
+                    ELSE []::VARCHAR[] END
+             )) AS g
+      FROM toks
+    ),
+    dfq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    per AS (
+      SELECT grams.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM grams JOIN dfq USING (g) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(per.n_grams, 0) > 0
+                THEN ROUND(per.n_novel / CAST(per.n_grams AS DOUBLE), 6)
+                ELSE 0.0 END AS novelty_frac
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """

@@ -1655,6 +1655,163 @@ def cross_source_dup_matrix(
     )
 
 
+def _portable_minhash_sig(sh: Column, num_hashes: int, seed: str) -> Column:
+    """K-component MinHash signature over a shingle-array column using
+    PORTABLE per-component hashes — the low 52 bits of
+    ``md5(shingle || '#' || seed || k)`` as a decimal long — integer
+    arithmetic DuckDB replays exactly (production signatures keep
+    native ``xxhash64``; this family exists so the estimator/recall
+    MEASUREMENT rows can be value-oracled end-to-end)."""
+
+    def _component(k: int) -> Column:
+        # NOTE: the per-component salt must be bound OUTSIDE the HOF
+        # lambda, and the lambda must be UNARY — a `lambda w, k=k`
+        # two-parameter form is interpreted by PySpark as the
+        # (element, index) binary transform, silently binding k to
+        # the index Column and corrupting the salt string.
+        salt = F.lit(f"#{seed}{k}")
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda w: F.conv(
+                    F.substring(F.md5(F.concat(w, salt)), 1, 13), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    return F.array(*[_component(k) for k in range(num_hashes)])
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mh0",
+    shingle_size: int = 1,
+) -> DataFrame:
+    """LSH banding RECALL report — the parameter-acceptance measurement
+    for the (num_hashes, bands) choice: for each exact-Jaccard decile
+    band, how many true near-dup pairs exist and how many the banded
+    candidate generation actually catches. Theory says a pair with
+    Jaccard J is caught with probability ``1 - (1 - J^r)^b``
+    (r = rows per band); this row OBSERVES that S-curve on real data,
+    the same philosophy as :func:`minhash_estimate_pairs` (observe,
+    don't trust the formula) — together they close the MinHash
+    family's two open measurement questions, estimator fidelity and
+    banding recall.
+
+    Banding here uses the portable md5 signature family
+    (:func:`_portable_minhash_sig`) with the band's RAW component
+    slice as the bucket key (no bucket re-hash), so a DuckDB oracle
+    replays candidate generation exactly — no hash-collision caveat.
+    Production keeps :func:`minhash_lsh_candidates` (xxhash64 + the
+    ``max_bucket`` skew cap + :func:`lsh_dropped_buckets` audit); this
+    report is uncapped by design — a capped recall report would
+    measure the cap, not the banding.
+
+    Returns one row per decile: (band_lo, n_pairs, n_caught, recall)
+    with band_lo = min(floor(J*10)/10, 0.9) so J = 1.0 folds into the
+    [0.9, 1.0] band; counts exact BIGINTs, recall one 6dp division.
+
+    Scale shape: ONE corpus pass builds shingle sets + signatures;
+    band explode is xK skinny rows; bucket grouping is one map-side-
+    combined aggregate with within-bucket pair-gen from the collected
+    (bounded) id arrays; the exact side reuses
+    :func:`jaccard_pairs_all` (inverted-index join — at 100 TB the
+    registered form caps the doc universe, exactly like the estimator
+    row, because an uncapped exact pair set is the quadratic oracle
+    cost this report exists to avoid paying in production).
+    """
+    _check_banding(num_hashes, bands)
+    r = num_hashes // bands
+    per_doc = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sigs = per_doc.select(
+        F.col(id_col),
+        _portable_minhash_sig(F.col("__sh"), num_hashes, seed).alias(
+            "__sig"
+        ),
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("__sig", b * r + 1, r).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("ids"))
+        .distinct()
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("ids") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+        .withColumn("__caught", F.lit(1))
+    )
+    exact = jaccard_pairs_all(
+        docs, text_col, id_col, threshold, shingle_size
+    )
+    joined = exact.join(cands, ["id_a", "id_b"], "left")
+    band_lo = F.least(
+        F.floor(F.col("jaccard") * 10) / 10.0, F.lit(0.9)
+    )
+    return (
+        joined.groupBy(band_lo.alias("band_lo"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.coalesce(F.sum("__caught"), F.lit(0))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "band_lo",
+            "n_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def minhash_estimate_pairs(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1695,25 +1852,7 @@ def minhash_estimate_pairs(
     """
     if num_hashes < 1:
         raise ValueError("minhash_estimate_pairs: num_hashes >= 1")
-    sh = F.col("__sh")
-
-    def _component(k: int) -> Column:
-        # NOTE: the per-component salt must be bound OUTSIDE the HOF
-        # lambda, and the lambda must be UNARY — a `lambda w, k=k`
-        # two-parameter form is interpreted by PySpark as the
-        # (element, index) binary transform, silently binding k to
-        # the index Column and corrupting the salt string.
-        salt = F.lit(f"#{seed}{k}")
-        return F.array_min(
-            F.transform(
-                sh,
-                lambda w: F.conv(
-                    F.substring(F.md5(F.concat(w, salt)), 1, 13), 16, 10
-                ).cast("long"),
-            )
-        )
-
-    sig = F.array(*[_component(k) for k in range(num_hashes)])
+    sig = _portable_minhash_sig(F.col("__sh"), num_hashes, seed)
     per_doc = docs.select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_size).alias("__sh"),

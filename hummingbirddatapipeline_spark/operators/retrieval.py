@@ -596,3 +596,170 @@ def tfidf_keywords(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the diversity-contribution score a
+    curation pipeline uses to prefer documents that add new phrasing to
+    the corpus over ones whose n-grams are already everywhere (the
+    mirror image of the duplication filters: dedup removes what repeats
+    verbatim, novelty scoring ranks what remains by how much it
+    contributes). For each document: the count of its distinct word
+    n-grams, the count of those that are corpus-UNIQUE (document
+    frequency exactly 1 — no other doc contains them), and the novelty
+    fraction. Zero-gram documents (fewer than ``n`` tokens) are kept
+    with novelty 0.0 so the output is one row per input doc.
+
+    Returns (id, n_grams, n_novel, novelty_frac) — exact BIGINTs plus
+    one 6dp row-local division, so the result hashes identically on
+    any engine and any partitioning.
+
+    Scale shape: ONE corpus text scan explodes per-doc DISTINCT grams
+    to a skinny (id, gram) frame, checkpointed because it feeds BOTH
+    the df aggregate and the probe join (the documented store+probe
+    corpus-LM shape — without the lineage cut Catalyst re-inlines the
+    tokenizer per consumer). The df aggregate is map-side combined on
+    the gram key; the probe is a gram-keyed equi-join back to the same
+    frame; the final per-doc aggregate ships two longs per doc.
+    Boilerplate grams concentrate df mass but never create quadratic
+    work — everything is aggregate/join on (gram) or (id).
+    """
+    from hummingbirddatapipeline_spark.functions.text import word_gram_array
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_gram_array(F.lower(F.col(text_col)), n))
+        ).alias("g"),
+    ).localCheckpoint(eager=False)
+    df_g = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+    )
+    per_doc = (
+        grams.join(df_g, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.coalesce(
+                F.sum((F.col("df") == 1).cast("int")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty_frac"),
+    )
+
+
+def quality_borda(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Borda rank-fusion of three independent per-document quality
+    signals into one consensus ordering, WITHIN each stratum (source):
+    the multi-signal generalization of single-score gating
+    (curation_source_gate ranks by one score; real pipelines fuse
+    several weakly-correlated signals, and rank fusion is robust to
+    their different scales — the same reason search uses RRF, see
+    :func:`rrf_fuse`; Borda is its exhaustive-ranking cousin for
+    corpus curation, where every doc gets a rank, not just a top-k).
+
+    Signals (each ranked by row_number with doc-id tiebreak, so ranks
+    are dense, integer, and deterministic):
+      - composite quality score (desc — higher is better)
+      - whitespace token count (desc — longer docs favored)
+      - duplicate-token fraction ``1 - distinct/total`` (asc — less
+        internal repetition is better)
+
+    borda = r_quality + r_length + r_rep (lower = better consensus);
+    borda_rank is the final per-stratum consensus position with doc-id
+    tiebreak. Output is pure integers + the stratum string — no float
+    reaches the result, so the row set hashes identically on any
+    engine (the float SIGNALS are row-local IEEE arithmetic both
+    engines replay exactly, per the catalog's cross-engine rule).
+
+    Scale shape: signals are one map-side pass (no aggregate); all
+    four windows share Window.partitionBy(strata) — ONE hash exchange
+    on the stratum key, then per-partition sorts (contract-pinned).
+    Per-stratum ranking is also the statistically right pool (signals
+    are only comparable within a source) AND what keeps the window
+    parallel at 100 TB — the global-window variant is the documented
+    single-partition anti-pattern (see curation_score_distill's
+    per-stratum note).
+    """
+    from hummingbirddatapipeline_spark.functions.text import (
+        quality_score,
+        ws_tokens,
+    )
+
+    toks = F.col("__toks")
+    sig = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        # 2dp to match the catalog's _QUALITY oracle fragment exactly
+        # (the score is a sum of 0.1-multiples, so 2dp is lossless)
+        F.round(quality_score(F.col(text_col)), 2).alias("__q"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        id_col,
+        strata_col,
+        "__q",
+        F.size(toks).cast("long").alias("__n_tok"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__rep"),
+    )
+    part = Window.partitionBy(strata_col)
+    r_q = F.row_number().over(
+        part.orderBy(F.col("__q").desc(), F.col(id_col))
+    )
+    r_len = F.row_number().over(
+        part.orderBy(F.col("__n_tok").desc(), F.col(id_col))
+    )
+    r_rep = F.row_number().over(
+        part.orderBy(F.col("__rep").asc(), F.col(id_col))
+    )
+    ranked = sig.select(
+        id_col,
+        strata_col,
+        r_q.alias("r_quality"),
+        r_len.alias("r_length"),
+        r_rep.alias("r_rep"),
+    ).withColumn(
+        "borda",
+        (F.col("r_quality") + F.col("r_length") + F.col("r_rep")).cast(
+            "long"
+        ),
+    )
+    w_final = part.orderBy(F.col("borda").asc(), F.col(id_col))
+    return ranked.withColumn("borda_rank", F.row_number().over(w_final))
