@@ -1079,3 +1079,57 @@ def _quality_borda_sql() -> str:
              AS borda_rank
     FROM fused
     """
+
+
+def _gate_kappa_sql(quality_threshold: float = 0.6) -> str:
+    """Independent DuckDB formulation of the gate-agreement Cohen's
+    kappa (operators/evaluation.gate_agreement_kappa): re-derives both
+    gates (the C4 verdict per the text_c4_filters oracle; the shared
+    _QUALITY fragment vs the threshold), the per-source 2x2
+    contingency, and the po/pe/kappa chain in the same fixed IEEE
+    order."""
+    return f"""
+    WITH flagged AS (
+      SELECT source,
+             CASE WHEN len({_DUCK_TOKS_CASED}) >= 5
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT (contains(text, '{{') OR contains(text, '}}'))
+                   AND NOT contains(lower(text), 'javascript')
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN {_QUALITY} >= {quality_threshold}
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM flagged GROUP BY source
+    )
+    SELECT source, n, n11, n10, n01, n00,
+           ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+                THEN 1.0
+                ELSE ROUND(((n11 + n00) / CAST(n AS DOUBLE)
+                            - (CAST(n11 + n10 AS DOUBLE)
+                               * CAST(n11 + n01 AS DOUBLE)
+                               + CAST(n01 + n00 AS DOUBLE)
+                               * CAST(n10 + n00 AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0 - (CAST(n11 + n10 AS DOUBLE)
+                                     * CAST(n11 + n01 AS DOUBLE)
+                                     + CAST(n01 + n00 AS DOUBLE)
+                                     * CAST(n10 + n00 AS DOUBLE))
+                                    / (CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE))), 6)
+           END AS kappa
+    FROM agg
+    """

@@ -1756,3 +1756,93 @@ def _ngram_novelty_sql(n: int = 2) -> str:
                 ELSE 0.0 END AS novelty_frac
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
+
+
+def _concat_manifest_sql(
+    seq_len: int = 128, num_shards: int = 8, seed: str = "cc0"
+) -> str:
+    """Independent DuckDB formulation of the concat-and-chunk packing
+    manifest (operators/tokenization.pack_concat_manifest): re-derives
+    token counts, the md5 shard route and stream order, the per-shard
+    running-sum offsets, and every sequence-boundary division. The //
+    comment from _length_groups_sql applies: DuckDB CAST(double)
+    rounds where Spark truncates, so integer division here is //."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS_CASED}) AS BIGINT) AS n,
+             md5(CAST(doc_id AS VARCHAR) || ':{seed}') AS key
+      FROM documents
+    ),
+    routed AS (
+      SELECT *,
+             CAST(CAST('0x' || substr(key, 1, 13) AS BIGINT)
+                  % {num_shards} AS INT) AS shard
+      FROM base WHERE n > 0
+    ),
+    laid AS (
+      SELECT doc_id, shard, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard
+                                   ORDER BY key, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING),
+                      0) AS off
+      FROM routed
+    )
+    SELECT doc_id, shard, n AS n_tokens, off AS "offset",
+           CAST(off // {seq_len} AS BIGINT) AS start_seq,
+           CAST(off % {seq_len} AS BIGINT) AS start_pos,
+           CAST((off + n - 1) // {seq_len} AS BIGINT) AS end_seq,
+           CAST((off + n - 1) // {seq_len} - off // {seq_len} + 1
+                AS BIGINT) AS n_seqs
+    FROM laid
+    """
+
+
+def _heaps_growth_sql(
+    fractions: "tuple[float, ...]" = (0.25, 0.5, 0.75, 1.0),
+) -> str:
+    """Independent DuckDB formulation of the Heaps vocabulary-growth
+    curve (operators/tokenization.heaps_vocab_growth): rebuilds the
+    word first-occurrence table, the per-doc token counts, the id-range
+    cuts (FLOOR before CAST — Spark's double->long cast truncates,
+    DuckDB's rounds), and every prefix's conditional sums."""
+    sels = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({f} AS DOUBLE) AS frac,
+           (SELECT CAST(FLOOR(MAX(doc_id) * CAST({f} AS DOUBLE))
+                   AS BIGINT) FROM documents) AS cut_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc
+            WHERE doc_id <= (SELECT FLOOR(MAX(doc_id)
+                             * CAST({f} AS DOUBLE)) FROM documents))
+             AS n_docs,
+           (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM per_doc
+            WHERE doc_id <= (SELECT FLOOR(MAX(doc_id)
+                             * CAST({f} AS DOUBLE)) FROM documents))
+             AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_word
+            WHERE first_doc <= (SELECT FLOOR(MAX(doc_id)
+                                * CAST({f} AS DOUBLE)) FROM documents))
+             AS n_types,
+           (SELECT CASE WHEN COALESCE(SUM(n_tok), 0) > 0
+                THEN ROUND((SELECT COUNT(*) FROM per_word
+                            WHERE first_doc <= (SELECT FLOOR(MAX(doc_id)
+                              * CAST({f} AS DOUBLE)) FROM documents))
+                           / CAST(SUM(n_tok) AS DOUBLE), 6)
+                ELSE 0.0 END FROM per_doc
+            WHERE doc_id <= (SELECT FLOOR(MAX(doc_id)
+                             * CAST({f} AS DOUBLE)) FROM documents))
+             AS type_token_ratio"""
+        for f in fractions
+    )
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    per_word AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM occ GROUP BY w
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM occ GROUP BY doc_id
+    )
+    {sels}
+    """

@@ -216,3 +216,88 @@ def hash_ngram_features(
         .groupBy(id_col, "feature_idx")
         .agg(F.count("*").cast("long").alias("count"))
     )
+
+
+def gate_agreement_kappa(
+    docs: DataFrame,
+    quality_threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Cohen's kappa between two independent document quality GATES —
+    the inter-rater agreement report that completes the evaluation arc
+    (AUC ranks a scorer against labels, calibration bins check its
+    probabilities; kappa answers the question a pipeline owner asks
+    BEFORE labels exist: do my two cheap filters even agree beyond
+    chance, per source?). Rater A is the C4 keep verdict (word-count
+    floor + lorem/brace/javascript markers — the exact expressions the
+    text_c4_filters row oracles); rater B is the composite quality
+    score at ``quality_threshold``.
+
+    Per stratum: the full 2x2 contingency (exact BIGINTs), observed
+    agreement po, chance agreement pe from the marginals, and
+    kappa = (po - pe) / (1 - pe); a stratum where pe = 1 (both gates
+    constant and equal) is perfect agreement by convention
+    (kappa = 1.0). po/pe/kappa are fixed-order IEEE chains over the
+    exact counts — identical on any engine; the 6dp rounding is
+    display-only on already-identical doubles.
+
+    Scale shape: both gates are map-side column expressions; ONE
+    stratum-keyed hash aggregate (map-side combined) — a zero-join,
+    one-exchange scan at any corpus size.
+    """
+    from hummingbirddatapipeline_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_words = ws_token_count(t).cast("long")
+    a = (
+        (n_words >= 5)
+        & ~low.contains("lorem ipsum")
+        & ~(t.contains("{") | t.contains("}"))
+        & ~low.contains("javascript")
+    )
+    b = F.round(quality_score(t), 2) >= F.lit(quality_threshold)
+    flagged = docs.select(
+        F.col(strata_col),
+        a.cast("int").alias("__a"),
+        b.cast("int").alias("__b"),
+    )
+    agg = flagged.groupBy(strata_col).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("__a") * F.col("__b"))).cast("long").alias("n11"),
+        F.sum((F.col("__a") * (1 - F.col("__b"))))
+        .cast("long")
+        .alias("n10"),
+        F.sum(((1 - F.col("__a")) * F.col("__b")))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((1 - F.col("__a")) * (1 - F.col("__b"))))
+        .cast("long")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    return agg.select(
+        strata_col,
+        F.col("n").cast("long").alias("n"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe == 1.0, F.lit(1.0))
+        .otherwise(F.round((po - pe) / (1.0 - pe), 6))
+        .alias("kappa"),
+    )

@@ -400,3 +400,195 @@ def pack_length_groups(
             F.lit(0.0),
         ).alias("padding_frac"),
     )
+
+
+def pack_concat_manifest(
+    docs: DataFrame,
+    seq_len: int = 128,
+    num_shards: int = 8,
+    seed: str = "cc0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing manifest — the GPT-pretraining layout
+    (documents concatenated into a token stream, cut into fixed
+    ``seq_len`` sequences, documents crossing sequence boundaries)
+    reduced to its deterministic manifest: for every document, WHERE
+    in the stream it lands. The scale-correct form is per-SHARD
+    streams (each worker owns one stream — a truly global concat
+    needs a global prefix sum, the single-partition anti-pattern):
+    docs route to ``num_shards`` streams by a portable md5 hash and
+    are ordered within the shard by a content-addressed md5 key, so
+    the layout is rerun/repartition-stable and engine-replayable.
+
+    Returns one row per non-empty document: (id, shard, n_tokens,
+    offset, start_seq, start_pos, end_seq, n_seqs) where offset is
+    the exact prefix-sum of prior docs in the shard stream,
+    start_seq/start_pos = offset divmod seq_len, end_seq the sequence
+    holding the doc's last token, n_seqs how many sequences the doc
+    touches. All exact BIGINT arithmetic. Zero-token docs carry no
+    tokens and are dropped (documented contract — a manifest row with
+    an empty span has no meaning downstream).
+
+    Scale shape: token counts are map-side; ONE shard-keyed exchange
+    feeds the running-sum window; everything after is per-row integer
+    arithmetic. Shards are independent — embarrassingly parallel at
+    any corpus size, and ``num_shards`` is the worker parallelism
+    knob, not a data-sized value.
+    """
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    if seq_len < 1 or num_shards < 1:
+        raise ValueError("pack_concat_manifest: seq_len and num_shards >= 1")
+    base = docs.select(
+        F.col(id_col),
+        ws_token_count(F.col(text_col)).cast("long").alias("__n"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+        ).alias("__key"),
+    ).filter(F.col("__n") > 0)
+    # portable shard route: low 52 bits of md5, mod num_shards —
+    # integer arithmetic DuckDB replays exactly (pmod for the
+    # non-negative convention both engines share on non-negative args)
+    shard = F.pmod(
+        F.conv(F.substring(F.col("__key"), 1, 13), 16, 10).cast("long"),
+        F.lit(num_shards),
+    ).cast("int")
+    routed = base.select(
+        id_col, "__n", "__key", shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("__n").over(w), F.lit(0))
+    return routed.select(
+        id_col,
+        "shard",
+        F.col("__n").alias("n_tokens"),
+        offset.alias("offset"),
+    ).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "offset",
+        (F.col("offset") / seq_len).cast("long").alias("start_seq"),
+        (F.col("offset") % seq_len).alias("start_pos"),
+        ((F.col("offset") + F.col("n_tokens") - 1) / seq_len)
+        .cast("long")
+        .alias("end_seq"),
+    ).withColumn(
+        "n_seqs", (F.col("end_seq") - F.col("start_seq") + 1).cast("long")
+    )
+
+
+def heaps_vocab_growth(
+    docs: DataFrame,
+    fractions: "tuple[float, ...]" = (0.25, 0.5, 0.75, 1.0),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary GROWTH curve (the Heaps-law observation, the
+    companion diagnostic to :func:`vocab_coverage`'s Zipf curve): at
+    corpus prefixes cut at ``fractions`` of the doc-id range, how many
+    word types have been seen, over how many token occurrences and
+    documents. How fast vocabulary grows as the corpus grows is what
+    decides whether a tokenizer trained on a sample will hold up on
+    the full crawl — the sub-linearity of n_types in n_tokens IS
+    Heaps' law, observed instead of assumed.
+
+    Prefixes cut on the id RANGE (cut_id = floor(max_id * f)) — a
+    pure aggregate, deterministic on any engine; n_docs per prefix is
+    reported so a non-uniform id distribution reads correctly.
+
+    Returns one row per fraction: (frac, cut_id, n_docs, n_tokens,
+    n_types, type_token_ratio) — exact BIGINTs + one 6dp division.
+
+    Scale shape: ONE corpus explode to a skinny (id, word) frame,
+    checkpointed because it feeds BOTH aggregates (store+probe): the
+    per-WORD first-occurrence table (map-side combined min) and the
+    per-DOC token counts; each then collapses through K conditional
+    sums against the broadcast 1-row cut frame (the documented
+    single-row crossJoin — the only BroadcastNestedLoopJoin, K rows).
+    The corpus never moves; both aggregate tables are
+    vocabulary/doc-sized, not corpus-sized.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).localCheckpoint(eager=False)
+    cuts = docs.agg(F.max(F.col(id_col)).alias("__max_id")).select(
+        *[
+            (F.col("__max_id") * F.lit(float(f)))
+            .cast("long")
+            .alias(f"__cut_{i}")
+            for i, f in enumerate(fractions)
+        ]
+    )
+    per_word = occ.groupBy("w").agg(F.min(id_col).alias("__first"))
+    types_row = per_word.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.sum(
+                (F.col("__first") <= F.col(f"__cut_{i}")).cast("int")
+            )
+            .cast("long")
+            .alias(f"__types_{i}")
+            for i in range(len(fractions))
+        ]
+    )
+    per_doc = occ.groupBy(id_col).agg(F.count("*").alias("__n_tok"))
+    docs_row = per_doc.crossJoin(F.broadcast(cuts)).agg(
+        *(
+            [
+                F.sum(
+                    F.when(
+                        F.col(id_col) <= F.col(f"__cut_{i}"),
+                        F.col("__n_tok"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__tokens_{i}")
+                for i in range(len(fractions))
+            ]
+            + [
+                F.sum(
+                    (F.col(id_col) <= F.col(f"__cut_{i}")).cast("int")
+                )
+                .cast("long")
+                .alias(f"__docs_{i}")
+                for i in range(len(fractions))
+            ]
+        )
+    )
+    combined = types_row.crossJoin(docs_row).crossJoin(F.broadcast(cuts))
+    return combined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(f)).alias("frac"),
+                        F.col(f"__cut_{i}").alias("cut_id"),
+                        F.col(f"__docs_{i}").alias("n_docs"),
+                        F.col(f"__tokens_{i}").alias("n_tokens"),
+                        F.col(f"__types_{i}").alias("n_types"),
+                        F.when(
+                            F.col(f"__tokens_{i}") > 0,
+                            F.round(
+                                F.col(f"__types_{i}").cast("double")
+                                / F.col(f"__tokens_{i}").cast("double"),
+                                6,
+                            ),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .alias("type_token_ratio"),
+                    )
+                    for i, f in enumerate(fractions)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
