@@ -764,3 +764,24 @@ def _event_seq_sql(history: int = 4) -> str:
            event_type AS target_type
     FROM base WHERE hist = {history}
     """
+
+
+def _gap_report_sql(min_gap_sec: int = 3600) -> str:
+    """Independent DuckDB formulation of the islands-and-gaps report
+    (operators/temporal.gap_report): re-derives the per-user lag over
+    epoch-ms and the threshold cut; all columns exact BIGINTs."""
+    return f"""
+    SELECT user_id,
+           prev_ms AS gap_start_ms,
+           ts_ms AS gap_end_ms,
+           CAST(ts_ms - prev_ms AS BIGINT) AS gap_ms
+    FROM (
+      SELECT user_id,
+             (epoch_ns(ts) // 1000000) AS ts_ms,
+             LAG((epoch_ns(ts) // 1000000)) OVER (
+               PARTITION BY user_id
+               ORDER BY (epoch_ns(ts) // 1000000)) AS prev_ms
+      FROM events
+    )
+    WHERE ts_ms - prev_ms >= {min_gap_sec} * 1000
+    """

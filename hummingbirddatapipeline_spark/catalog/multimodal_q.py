@@ -189,3 +189,28 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__c_orig") != F.col("__c_far")).alias("far_diff_cluster"),
         )
     )
+
+
+def _patch_plan_sql(patch: int = 16) -> str:
+    """Independent DuckDB formulation of the ViT patch-grid manifest
+    (multimodal/core.patch_plan over synth_media_from_documents):
+    re-derives the synthetic image metadata (strlen = utf-8 bytes,
+    mirroring octet_length — the frame-plan oracle's convention) and
+    every ceil-division; integer // both engines floor."""
+    return f"""
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) % 640 + 16 AS BIGINT) AS width,
+           CAST(strlen(text) % 480 + 16 AS BIGINT) AS height,
+           CAST((strlen(text) % 640 + 16 + {patch - 1}) // {patch}
+                AS BIGINT) AS n_patch_x,
+           CAST((strlen(text) % 480 + 16 + {patch - 1}) // {patch}
+                AS BIGINT) AS n_patch_y,
+           CAST(((strlen(text) % 640 + 16 + {patch - 1}) // {patch})
+                * ((strlen(text) % 480 + 16 + {patch - 1}) // {patch})
+                AS BIGINT) AS n_patches,
+           CAST(((strlen(text) % 640 + 16 + {patch - 1}) // {patch})
+                * {patch} - (strlen(text) % 640 + 16) AS BIGINT) AS pad_x,
+           CAST(((strlen(text) % 480 + 16 + {patch - 1}) // {patch})
+                * {patch} - (strlen(text) % 480 + 16) AS BIGINT) AS pad_y
+    FROM documents WHERE doc_id % 3 = 0
+    """

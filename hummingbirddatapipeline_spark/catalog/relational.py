@@ -1028,3 +1028,76 @@ def _rendezvous_sql(
              {argmax(n_shards_new)} AS shard_new
       FROM documents)
     """
+
+
+def _q14_promo_sql() -> str:
+    """Independent DuckDB formulation of the promo-effect query
+    (classic TPC-H Q14 shape, by ship month over 1998): exact cent
+    BIGINT sums per the q1 money convention, one 6dp division."""
+    return """
+    SELECT CAST(EXTRACT(month FROM l.l_shipdate) AS INT) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(l.l_extendedprice
+                        * (1 - l.l_discount) * 100) AS BIGINT))
+                        AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    """
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share by ship month (the TPC-H Q14 shape widened
+    to a 12-row monthly report): lineitem x part equi-join with the
+    small dimension BROADCAST, exact cent sums, one 6dp division.
+    Banked (r25 tier) — registration flips a @query decorator onto
+    this function with _q14_promo_sql().
+
+    Scale shape: part is the classic broadcast dimension (bounded by
+    the catalog, not the fact table); the fact side filters on the
+    ship-date predicate AT THE SCAN (pushed down), so the join moves
+    one year of lineitem and zero shuffles: broadcast-hash join +
+    12-group map-side-combined aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    rev_cents = money_cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    promo_cents = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(
+        F.lit(0).cast("long")
+    )
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(promo_cents).alias("promo_cents"),
+            F.sum(rev_cents).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_cents",
+        "total_cents",
+        F.round(
+            100.0
+            * F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )

@@ -386,3 +386,38 @@ def phash_groups(
     )
     w = Window.partitionBy("phash_cluster")
     return labeled.withColumn("cluster_size", F.count("*").over(w))
+
+
+def patch_plan(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch-grid manifest for image media — the
+    preprocessing PLAN a vision tower needs before any pixel is
+    decoded: per image, the ceil-division patch grid at ``patch``
+    pixels, the total patch count (the sequence length the image will
+    occupy), and the right/bottom padding the grid implies. Pure
+    integer arithmetic over the typed metadata (width/height), so the
+    plan is exact on any engine and never touches content bytes —
+    the decode stays behind the optional-dependency gate, the
+    manifest does not (same split as sample_frames' frame plan).
+
+    Returns (media_id, width, height, n_patch_x, n_patch_y,
+    n_patches, pad_x, pad_y) for ``kind = 'image'`` rows.
+
+    Scale shape: a zero-shuffle map pass over metadata columns —
+    planning 100 TB of images moves no image bytes at all.
+    """
+    if patch < 1:
+        raise ValueError("patch_plan: patch >= 1")
+    w = F.col("media_meta.width").cast("long")
+    h = F.col("media_meta.height").cast("long")
+    npx = ((w + patch - 1) / patch).cast("long")
+    npy = ((h + patch - 1) / patch).cast("long")
+    return media.filter(F.col("media_meta.kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        npx.alias("n_patch_x"),
+        npy.alias("n_patch_y"),
+        (npx * npy).alias("n_patches"),
+        (npx * patch - w).alias("pad_x"),
+        (npy * patch - h).alias("pad_y"),
+    )

@@ -501,3 +501,52 @@ def event_sequence_examples(
         "input_types",
         F.col(type_col).alias("target_type"),
     )
+
+
+def gap_report(
+    events: DataFrame,
+    min_gap_sec: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Islands-and-gaps: for every entity, the silences — consecutive-
+    event gaps of at least ``min_gap_sec`` — as (key, gap_start_ms,
+    gap_end_ms, gap_ms). The freshness/SLA primitive (where did the
+    feed go quiet, per user/source/sensor) and the inverse of
+    sessionization: a session CUT is exactly a reported gap, so this
+    row also makes the session boundary rule independently auditable.
+
+    Accepts ``ts`` either as the canonical epoch-nanos BIGINT
+    (tables.load's events encoding) or as a TIMESTAMP; surfaces exact
+    epoch-millisecond BIGINTs either way (the events family
+    convention — raw timestamp hashing is engine-dependent). The ms
+    reduction is INTEGER division (the _with_ts_ms lesson: float
+    division of ~1.7e18 nanos exceeds double precision). The lag runs
+    over the ts value alone: simultaneous events yield a 0 gap under
+    any tie order, and every output column is a ts VALUE, so tie
+    permutations cannot change the result set.
+
+    Scale shape: ONE key-hash exchange feeds the lag window; the
+    filter is map-side after it. Entities are independent —
+    embarrassingly parallel; no join, no second shuffle.
+    """
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(events.schema[ts_col].dataType, TimestampType):
+        ts_ms = F.unix_millis(F.col(ts_col))
+    else:
+        ts_ms = F.expr(f"CAST({ts_col} DIV 1000000 AS LONG)")
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_ms = F.lag(ts_ms).over(w)
+    return (
+        events.select(key_col, ts_col)
+        .withColumn("__prev_ms", prev_ms)
+        .withColumn("gap_ms", (ts_ms - F.col("__prev_ms")).cast("long"))
+        .filter(F.col("gap_ms") >= min_gap_sec * 1000)
+        .select(
+            key_col,
+            F.col("__prev_ms").cast("long").alias("gap_start_ms"),
+            ts_ms.cast("long").alias("gap_end_ms"),
+            "gap_ms",
+        )
+    )
