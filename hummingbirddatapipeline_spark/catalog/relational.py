@@ -1101,3 +1101,34 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("promo_pct"),
     )
+
+
+def _embedding_coverage_sql() -> str:
+    """Independent DuckDB formulation of the bidirectional embedding
+    coverage report (operators/expectations.embedding_coverage over
+    documents x embeddings): FULL OUTER join on the id, orphan
+    vectors folded into one '__orphan__' stratum."""
+    return """
+    SELECT COALESCE(d.source, '__orphan__') AS source,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL
+                          AND v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL
+                          AND v.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_doc_only,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vec_only,
+           CASE WHEN SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0
+                         END) > 0
+                THEN ROUND(SUM(CASE WHEN d.doc_id IS NOT NULL
+                                AND v.vec_id IS NOT NULL THEN 1 ELSE 0
+                               END)
+                           / CAST(SUM(CASE WHEN d.doc_id IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS DOUBLE), 6)
+                ELSE 0.0 END AS coverage
+    FROM documents d
+    FULL OUTER JOIN embeddings v ON d.doc_id = v.vec_id
+    GROUP BY 1
+    """

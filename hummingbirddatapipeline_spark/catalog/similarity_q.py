@@ -1486,3 +1486,27 @@ def _pq_distortion_sql(
       {joins}
     """)
     return "".join(parts)
+
+
+def _source_profile_sql() -> str:
+    """Independent DuckDB formulation of the per-source embedding norm
+    profile (operators/similarity.embedding_source_profile): row-local
+    sqrt(dot) norms quantized e6 (the embedding family convention),
+    exact integer sums for the mean."""
+    return """
+    WITH v AS (
+      SELECT vec_id,
+             CAST(ROUND(1000000 * sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])))
+               AS BIGINT) AS norm_e6
+      FROM embeddings
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(ROUND(CAST(SUM(v.norm_e6) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS mean_norm_e6,
+           MIN(v.norm_e6) AS min_norm_e6,
+           MAX(v.norm_e6) AS max_norm_e6
+    FROM v JOIN documents d ON d.doc_id = v.vec_id
+    GROUP BY d.source
+    """

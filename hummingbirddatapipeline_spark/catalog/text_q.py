@@ -1846,3 +1846,28 @@ def _heaps_growth_sql(
     )
     {sels}
     """
+
+
+def _char_entropy_sql() -> str:
+    """Independent DuckDB formulation of per-doc character entropy
+    (functions/text.char_entropy): rebuilds the char array, the sorted
+    distinct fold order, and the -sum(p ln p) chain in the same IEEE
+    order; 6dp-rounded (ln is the one libm call — the
+    unigram_logprob precedent)."""
+    return """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) > 0 THEN ROUND(
+             list_aggregate(
+               list_transform(
+                 list_sort(list_distinct(string_split_regex(text, ''))),
+                 c -> -(len(list_filter(string_split_regex(text, ''),
+                                        x -> x = c))
+                        / CAST(length(text) AS DOUBLE))
+                      * ln(len(list_filter(string_split_regex(text, ''),
+                                           x -> x = c))
+                           / CAST(length(text) AS DOUBLE))),
+               'sum'), 6)
+           ELSE 0.0 END AS entropy
+    FROM documents
+    """

@@ -659,3 +659,44 @@ def cdc_chunks(
         return F.transform(F.array(gears), with_g)[0]
 
     return F.transform(F.array(toks), with_t)[0]
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-level Shannon entropy (bits? no — nats, natural log)
+    of a document — the classic gibberish/compressibility signal: near
+    0 for degenerate repetition ('aaaa'), high for uniform noise,
+    mid-range for natural language. Empty text is 0.0 by convention.
+
+    Cross-engine exactness: the fold runs over the SORTED distinct
+    character array, so both engines execute the identical IEEE
+    sum order; ln is the one libm call (rounded at 6dp, the
+    unigram_logprob precedent). The char array is BOUND once via the
+    single-element-array transform (the word_shingles lesson —
+    inlining the split in the lambda body re-splits the document per
+    distinct character), and each probability is computed once in an
+    inner transform before the fold (HOF lambdas are interpreted; a
+    p*ln(p) body that inlines the count filter runs it twice).
+
+    Per-row O(k * n) with k = distinct chars (bounded ~100 for real
+    text) — a pure map-side signal, no shuffle at any corpus size.
+    """
+    chars = F.split(text, "")
+
+    def body(ch: Column) -> Column:
+        n = F.size(ch).cast("double")
+        cs = F.array_sort(F.array_distinct(ch))
+        ps = F.transform(
+            cs,
+            lambda c: F.size(F.filter(ch, lambda x: x == c)).cast(
+                "double"
+            )
+            / n,
+        )
+        return F.aggregate(
+            ps, F.lit(0.0), lambda acc, p: acc - p * F.log(p)
+        )
+
+    ent = F.transform(F.array(chars), body)[0]
+    return F.when(F.length(text) > 0, F.round(ent, 6)).otherwise(
+        F.lit(0.0)
+    )

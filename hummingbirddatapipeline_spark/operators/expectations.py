@@ -144,3 +144,73 @@ def profile_compare(
             "mean_delta"
         ),
     )
+
+
+def embedding_coverage(
+    docs: DataFrame,
+    vectors: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Bidirectional embedding-coverage report — the referential-
+    integrity DQ a multimodal/embedding store runs before any
+    similarity work (the one-directional cousin is
+    :func:`check_foreign_key`; this is the per-source OPERATIONAL
+    view): for every source, how many docs exist, how many have a
+    vector, how many are missing one, and the coverage fraction;
+    vectors with no document at all surface as one ``__orphan__`` row
+    (n_vec_only > 0 there and only there).
+
+    Returns (source, n_docs, n_matched, n_doc_only, n_vec_only,
+    coverage) — exact BIGINTs + one 6dp division (0.0 for the orphan
+    row, which has no doc denominator).
+
+    Scale shape: both sides project to SKINNY id(+source) columns
+    before ONE full-outer equi-join on the id, then one hash
+    aggregate — text and vector payloads never move.
+    """
+    d = docs.select(
+        F.col(doc_id_col).alias("__id"), F.col(strata_col).alias("__src")
+    )
+    v = vectors.select(F.col(vec_id_col).alias("__id"), F.lit(1).alias("__has_vec"))
+    joined = d.join(v, "__id", "full_outer")
+    agg = joined.groupBy(
+        F.coalesce(F.col("__src"), F.lit("__orphan__")).alias("source")
+    ).agg(
+        F.sum(F.col("__src").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(
+            (F.col("__src").isNotNull() & F.col("__has_vec").isNotNull())
+            .cast("int")
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(
+            (F.col("__src").isNotNull() & F.col("__has_vec").isNull())
+            .cast("int")
+        )
+        .cast("long")
+        .alias("n_doc_only"),
+        F.sum(F.col("__src").isNull().cast("int"))
+        .cast("long")
+        .alias("n_vec_only"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_matched",
+        "n_doc_only",
+        "n_vec_only",
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                F.col("n_matched").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage"),
+    )

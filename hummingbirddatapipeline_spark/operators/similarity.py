@@ -1554,3 +1554,56 @@ def pq_distortion(
         code_sum.alias("code_sum"),
         F.round(dist, 6).alias("distortion"),
     )
+
+
+def embedding_source_profile(
+    vectors: DataFrame,
+    docs: DataFrame,
+    vec_id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    strata_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-source embedding NORM profile — the drift/acceptance report
+    an embedding store keeps per ingest source (a source whose norm
+    distribution shifts got re-embedded with a different model or
+    normalization; the tabular cousin is feature_profile_drift). Norms
+    are computed once per row (sqrt is IEEE-correctly-rounded — safe
+    cross-engine, unlike ln/exp), quantized to e6 BIGINTs per the
+    embedding family convention, then aggregated as EXACT integer
+    sums, so mean/min/max are partitioning-invariant and hash-exact.
+
+    Returns (source, n_vecs, mean_norm_e6, min_norm_e6, max_norm_e6)
+    — mean_norm_e6 is ROUND(sum_e6 / n) as BIGINT.
+
+    Scale shape: norms reduce each vector to ONE long map-side; the
+    join attaches the source to the skinny (id, norm_e6) frame; one
+    hash aggregate. Vector payloads cross no shuffle.
+    """
+    from hummingbirddatapipeline_spark.functions.vector import norm
+
+    v = vectors.select(
+        F.col(vec_id_col).alias(doc_id_col),
+        F.round(1_000_000 * norm(_as_double_col(F.col(vec_col))))
+        .cast("long")
+        .alias("__norm_e6"),
+    )
+    joined = v.join(
+        docs.select(doc_id_col, strata_col), doc_id_col
+    )
+    return joined.groupBy(strata_col).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("__norm_e6").cast("double") / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_norm_e6"),
+        F.min("__norm_e6").alias("min_norm_e6"),
+        F.max("__norm_e6").alias("max_norm_e6"),
+    )
+
+
+def _as_double_col(vec):
+    """array<float> -> array<double> (the catalog's cast-double
+    convention for cross-engine float comparisons)."""
+    return F.transform(vec, lambda x: x.cast("double"))
