@@ -1138,3 +1138,62 @@ def _lsh_recall_sql(
     LEFT JOIN cand ON cand.id_a = e.id_a AND cand.id_b = e.id_b
     GROUP BY 1
     """
+
+
+def _lsh_candidate_profile_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_id: int = 200,
+    seed: str = "mh0",
+) -> str:
+    """Independent DuckDB formulation of the LSH candidate-load
+    profile (operators/dedup.lsh_candidate_profile over docs below
+    ``max_id``): replays portable signatures, raw-slice bucket
+    banding, within-bucket candidate pairs, each candidate's exact
+    Jaccard, and the decile histogram with window-total fractions."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(sh, w -> CAST('0x' || substr("
+        f"md5(w || '#{seed}{k}'), 1, 13) AS BIGINT)))"
+        for k in range(num_hashes)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(sig[{b * r + 1} : {b * r + r}] AS VARCHAR) AS bucket "
+        f"FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS sh
+      FROM documents WHERE doc_id < {max_id}
+    ),
+    sigs AS (
+      SELECT doc_id, sh, len(sh) AS n, [{mins}] AS sig
+      FROM base WHERE len(sh) > 0
+    ),
+    banded AS (
+      {band_sel}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT LEAST(FLOOR(ROUND(
+               len(list_intersect(sa.sh, sb.sh))
+               / CAST(sa.n + sb.n
+                      - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+               6) * 10) / 10.0, 0.9) AS band_lo
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    )
+    SELECT band_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_cands,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+             AS frac_cands
+    FROM scored GROUP BY band_lo
+    """

@@ -1132,3 +1132,75 @@ def _embedding_coverage_sql() -> str:
     FULL OUTER JOIN embeddings v ON d.doc_id = v.vec_id
     GROUP BY 1
     """
+
+
+_Q19_BRACKETS = (
+    ("Brand#11", 1, 10, 1, 20),
+    ("Brand#12", 11, 25, 10, 30),
+    ("Brand#13", 26, 50, 20, 50),
+)
+
+
+def _q19_bracket_sql() -> str:
+    """Independent DuckDB formulation of the bracketed-predicate
+    revenue query (the TPC-H Q19 shape): per bracket, matched line
+    count and exact cent revenue."""
+    cases_b = " ".join(
+        f"WHEN p.p_brand = '{b}' AND p.p_size BETWEEN {s1} AND {s2} "
+        f"AND l.l_quantity BETWEEN {q1} AND {q2} THEN '{b}'"
+        for b, s1, s2, q1, q2 in _Q19_BRACKETS
+    )
+    return f"""
+    SELECT bracket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT l.l_extendedprice, l.l_discount,
+             CASE {cases_b} END AS bracket
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ) WHERE bracket IS NOT NULL
+    GROUP BY bracket
+    """
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracketed-predicate revenue (the TPC-H Q19 shape, per-bracket
+    rows instead of one grand total): each bracket is a conjunctive
+    (brand, size range, quantity range) predicate; a line matches at
+    most one (brands are disjoint). Banked (r27 tier) — registration
+    flips a @query decorator onto this with `_q19_bracket_sql()`.
+
+    Scale shape: part BROADCASTS (the catalog dimension); the OR-of-
+    brackets is one CASE projection after the join, so the fact side
+    streams once with no second pass per bracket; exact cent sums per
+    the q1 money convention. The brand/size half of each bracket
+    prunes on the broadcast side before the probe.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    bracket = F.lit(None).cast("string")
+    for b, s1, s2, q1, q2 in reversed(_Q19_BRACKETS):
+        bracket = F.when(
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s1, s2)
+            & F.col("l_quantity").between(q1, q2),
+            F.lit(b),
+        ).otherwise(bracket)
+    return (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("bracket", bracket)
+        .filter(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue_cents"),
+        )
+    )

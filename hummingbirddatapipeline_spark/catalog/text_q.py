@@ -1871,3 +1871,46 @@ def _char_entropy_sql() -> str:
            ELSE 0.0 END AS entropy
     FROM documents
     """
+
+
+def _pmi_collocations_sql(min_count: int = 5, k: int = 20) -> str:
+    """Independent DuckDB formulation of the PMI collocation miner
+    (operators/retrieval.pmi_collocations): rebuilds bigram/unigram
+    counts, the fixed-order PMI chain ending in one ln, the 6dp round,
+    and the (pmi desc, bigram asc) top-k cut."""
+    return f"""
+    WITH toks AS (
+      SELECT {_DUCK_TOKS} AS t FROM documents
+    ),
+    big AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(len(t) - 1),
+                         i -> t[i + 1] || ' ' || t[i + 2])
+                    ELSE []::VARCHAR[] END) AS bigram
+      FROM toks
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    c_ab AS (SELECT bigram, COUNT(*) AS c_ab FROM big GROUP BY bigram),
+    c_w AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+    n_big AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_big FROM big),
+    n_uni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_uni FROM uni),
+    cand AS (
+      SELECT c.bigram, c.c_ab,
+             ca.c_w AS c_a, cb.c_w AS c_b,
+             ROUND(ln((c.c_ab / n_big.n_big)
+                      / ((ca.c_w / n_uni.n_uni)
+                         * (cb.c_w / n_uni.n_uni))), 6) AS pmi
+      FROM c_ab c
+      JOIN c_w ca ON ca.w = string_split(c.bigram, ' ')[1]
+      JOIN c_w cb ON cb.w = string_split(c.bigram, ' ')[2]
+      CROSS JOIN n_big CROSS JOIN n_uni
+      WHERE c.c_ab >= {min_count}
+    )
+    SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           pmi, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """

@@ -1898,3 +1898,131 @@ def minhash_estimate_pairs(
             "abs_err"
         ),
     )
+
+
+def lsh_candidate_profile(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mh0",
+    shingle_size: int = 1,
+) -> DataFrame:
+    """LSH candidate-LOAD profile — the precision-side companion of
+    :func:`lsh_recall_report`, completing the MinHash observability
+    triptych (estimator fidelity -> recall -> candidate load): the
+    exact-Jaccard decile histogram of the pairs banding actually
+    EMITS. Recall asks "of the true pairs, how many did banding
+    catch"; this asks "of what banding emits, how much is junk the
+    verifier must pay to reject" — the quantity that prices the
+    verification stage and drives the bands/rows trade in the other
+    direction (more bands = better recall = heavier candidate load).
+
+    Uses the portable md5 signature family with raw component-slice
+    buckets (same machinery as the recall report) so a DuckDB oracle
+    replays candidate generation exactly. Candidate pairs attach their
+    two shingle sets by equi-join (bounded by the candidate list,
+    never quadratic) and band by floor(J*10)/10 with J = 1.0 folded
+    into 0.9.
+
+    Returns one row per non-empty decile: (band_lo, n_cands,
+    frac_cands) — counts exact BIGINTs, frac one 6dp division against
+    the window total over the <= 11-row aggregate (bounded, not a
+    corpus window).
+    """
+    _check_banding(num_hashes, bands)
+    r = num_hashes // bands
+    per_doc = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    per_doc = per_doc.select(
+        F.col(id_col),
+        "__sh",
+        F.size("__sh").alias("__n"),
+        _portable_minhash_sig(F.col("__sh"), num_hashes, seed).alias(
+            "__sig"
+        ),
+    ).localCheckpoint(eager=False)
+    banded = per_doc.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("__sig", b * r + 1, r).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("ids"))
+        .distinct()
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("ids") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b_side = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    j = F.round(
+        inter.cast("double")
+        / (F.col("__n_a") + F.col("__n_b") - inter).cast("double"),
+        6,
+    )
+    band_lo = F.least(F.floor(j * 10) / 10.0, F.lit(0.9))
+    hist = (
+        cands.join(a, "id_a")
+        .join(b_side, "id_b")
+        .groupBy(band_lo.alias("band_lo"))
+        .agg(F.count("*").alias("n_cands"))
+    )
+    w_total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "band_lo",
+        "n_cands",
+        F.round(
+            F.col("n_cands").cast("double")
+            / F.sum("n_cands").over(w_total).cast("double"),
+            6,
+        ).alias("frac_cands"),
+    )

@@ -763,3 +763,95 @@ def quality_borda(
     )
     w_final = part.orderBy(F.col("borda").asc(), F.col(id_col))
     return ranked.withColumn("borda_rank", F.row_number().over(w_final))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k word-bigram COLLOCATIONS by pointwise mutual information —
+    the classic phrase-mining signal (Church & Hanks 1990): bigrams
+    whose components co-occur far more than independence predicts
+    ('new york', not 'of the'). PMI = ln( (c_ab/N_big) /
+    ((c_a/N_uni) * (c_b/N_uni)) ), with the ``min_count`` floor that
+    keeps the measure from crowning one-off pairs (its textbook
+    failure mode). The corpus-level companion of the per-doc LM rows
+    (text_bigram_logprob shares the same count tables but answers a
+    different question).
+
+    Returns top-k rows (bigram, c_ab, c_a, c_b, pmi, rank) — counts
+    exact BIGINTs; pmi is one fixed-order IEEE chain ending in the
+    single ln, 6dp-rounded BEFORE the (pmi desc, bigram asc) rank, so
+    the cut is deterministic cross-engine.
+
+    Scale shape: ONE corpus text scan tokenizes into a checkpointed
+    per-doc array frame; bigram and unigram streams both explode from
+    it (the two-pass-LM shape with the text scan paid once); counts
+    are map-side-combined hash aggregates; scalars ride broadcast
+    1-row crossJoins; the rank window runs on the >= min_count
+    collocation table (vocabulary-bounded, not corpus-bounded).
+    """
+    from hummingbirddatapipeline_spark.functions.text import (
+        word_gram_array,
+        ws_tokens,
+    )
+
+    base = docs.select(
+        word_gram_array(F.lower(F.col(text_col)), 2).alias("__bg"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+    big = base.select(F.explode("__bg").alias("bigram"))
+    uni = base.select(F.explode("__toks").alias("w"))
+    c_ab = big.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    c_w = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    n_big = big.agg(F.count("*").cast("double").alias("n_big"))
+    n_uni = uni.agg(F.count("*").cast("double").alias("n_uni"))
+    parts = F.split("bigram", " ")
+    cand = (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .withColumn("__w1", parts.getItem(0))
+        .withColumn("__w2", parts.getItem(1))
+        .join(
+            F.broadcast(
+                c_w.select(
+                    F.col("w").alias("__w1"), F.col("c_w").alias("c_a")
+                )
+            ),
+            "__w1",
+        )
+        .join(
+            F.broadcast(
+                c_w.select(
+                    F.col("w").alias("__w2"), F.col("c_w").alias("c_b")
+                )
+            ),
+            "__w2",
+        )
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_big"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.col("bigram"))
+    return (
+        cand.select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi.alias("pmi"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
