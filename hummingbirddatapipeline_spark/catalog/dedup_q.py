@@ -1197,3 +1197,32 @@ def _lsh_candidate_profile_sql(
              AS frac_cands
     FROM scored GROUP BY band_lo
     """
+
+
+def _source_overlap_sql() -> str:
+    """Independent DuckDB formulation of the K x K source vocabulary
+    overlap (operators/dedup.source_overlap_matrix): distinct
+    (source, word) table, word-keyed self-join into canonically
+    ordered cells, exact type counts, one 6dp division."""
+    return f"""
+    WITH sw AS (
+      SELECT DISTINCT source AS s, unnest({_DUCK_TOKS}) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_types
+              FROM sw GROUP BY 1),
+    inter AS (
+      SELECT a.s AS source_a, b.s AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sw a JOIN sw b ON a.w = b.w AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.n_types AS n_types_a, sb.n_types AS n_types_b,
+           ROUND(i.n_shared
+                 / CAST(sa.n_types + sb.n_types - i.n_shared AS DOUBLE),
+                 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.s = i.source_a
+    JOIN sizes sb ON sb.s = i.source_b
+    """

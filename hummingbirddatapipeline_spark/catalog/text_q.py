@@ -1914,3 +1914,42 @@ def _pmi_collocations_sql(min_count: int = 5, k: int = 20) -> str:
       FROM cand
     ) WHERE rank <= {k}
     """
+
+
+def _source_kl_sql() -> str:
+    """Independent DuckDB formulation of the per-source unigram KL
+    report (operators/retrieval.source_unigram_kl): rebuilds the
+    (source, word) counts, the derived global tables, each e9-long
+    contribution (one ln, row-local), and the EXACT integer sum."""
+    return f"""
+    WITH occ AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM occ GROUP BY 1, 2
+    ),
+    n_s AS (
+      SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM sw GROUP BY 1
+    ),
+    c_w AS (SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY 1),
+    n_tot AS (SELECT CAST(SUM(c_sw) AS DOUBLE) AS n_tot FROM sw),
+    terms AS (
+      SELECT sw.source, n_s.n_s, n_s.n_types,
+             CAST(ROUND(1e9
+               * (sw.c_sw / CAST(n_s.n_s AS DOUBLE))
+               * ln((sw.c_sw / CAST(n_s.n_s AS DOUBLE))
+                    / (c_w.c_w / n_tot.n_tot))) AS BIGINT) AS t
+      FROM sw
+      JOIN n_s USING (source)
+      JOIN c_w USING (w)
+      CROSS JOIN n_tot
+    )
+    SELECT source,
+           CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_types) AS BIGINT) AS n_types,
+           CAST(SUM(t) AS BIGINT) AS kl_e9
+    FROM terms GROUP BY source
+    """

@@ -2026,3 +2026,71 @@ def lsh_candidate_profile(
             6,
         ).alias("frac_cands"),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """K x K source VOCABULARY overlap — token-set Jaccard between
+    every source pair, the vocabulary-level sibling of
+    :func:`cross_source_dup_matrix` (that one attributes near-dup
+    PAIRS to source cells; this one asks whether two sources even
+    speak the same words — the cheap first look before any pair
+    engine runs). Canonically ordered (source_a < source_b), exact
+    BIGINT counts, one 6dp division.
+
+    Scale shape: one explode -> DISTINCT (source, word) table
+    (vocab x K bounded); the self-join on the word key fans each word
+    out to at most C(K, 2) cells (K = #sources, a catalog-bounded
+    constant — a word present everywhere costs 190 rows at K = 20,
+    never corpus-quadratic); per-source type counts attach broadcast.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    sw = (
+        docs.select(
+            F.col(strata_col).alias("__s"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sw.groupBy("__s").agg(F.count("*").alias("n_types"))
+    a = sw.select(F.col("__s").alias("source_a"), "w")
+    b = sw.select(F.col("__s").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = F.broadcast(
+        sizes.select(
+            F.col("__s").alias("source_a"), F.col("n_types").alias("n_a")
+        )
+    )
+    sb = F.broadcast(
+        sizes.select(
+            F.col("__s").alias("source_b"), F.col("n_types").alias("n_b")
+        )
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_types_a"),
+            F.col("n_b").cast("long").alias("n_types_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -855,3 +855,63 @@ def pmi_collocations(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    KL(P_source || P_corpus) — the domain-shift diagnostic behind
+    data-mixing decisions (a source far from the mixture is the one
+    temperature-mixing up/down-weights; DSIR's importance weights are
+    the per-document view of the same quantity). Support is always
+    well-defined: every source token occurs in the corpus, so q > 0
+    wherever p > 0.
+
+    Cross-engine exactness by the scaled-long trick (the
+    dedup_pagerank lesson applied to a float-valued aggregate): each
+    (source, word) contribution p*ln(p/q) is row-local IEEE (one ln),
+    quantized to an e9 long, then summed EXACTLY — the sum is
+    partitioning-invariant by construction, where a float sum over an
+    unordered vocabulary is not. Returns (source, n_tokens, n_types,
+    kl_e9) — all BIGINTs.
+
+    Scale shape: ONE corpus explode -> one (source, word) map-side-
+    combined aggregate; every later table (global word counts,
+    per-source totals, the scalar N) derives from THAT vocab-sized
+    table, so the corpus is read once and never re-shuffled; the
+    1-row N attaches via the documented broadcast crossJoin.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    occ = docs.select(
+        F.col(strata_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    sw = occ.groupBy(strata_col, "w").agg(
+        F.count("*").alias("c_sw")
+    ).localCheckpoint(eager=False)
+    n_s = sw.groupBy(strata_col).agg(
+        F.sum("c_sw").alias("n_s"), F.count("*").alias("n_types")
+    )
+    c_w = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    n_tot = sw.agg(F.sum("c_sw").cast("double").alias("n_tot"))
+    joined = (
+        sw.join(F.broadcast(n_s), strata_col)
+        .join(c_w, "w")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p = F.col("c_sw").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_w").cast("double") / F.col("n_tot")
+    term_e9 = F.round(F.lit(1e9) * p * F.log(p / q)).cast("long")
+    return (
+        joined.select(strata_col, "n_s", "n_types", term_e9.alias("__t"))
+        .groupBy(strata_col)
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.first("n_types").alias("n_types"),
+            F.sum("__t").alias("kl_e9"),
+        )
+    )

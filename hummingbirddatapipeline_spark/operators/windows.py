@@ -159,3 +159,57 @@ def rolling_window_stats(
             "sum_in_window", F.round(F.sum(value_col).over(w), 6)
         )
     return out
+
+
+def mad_anomaly_hours(
+    events: DataFrame,
+    k: float = 3.0,
+    ts_ms_col: str = "ts_ms",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Robust per-entity anomaly detection over hourly activity —
+    median absolute deviation instead of the z-score's mean/stddev
+    (events_anomaly_zscore's fragile cousin: one huge hour inflates a
+    stddev and hides itself; the median/MAD pair does not break down
+    until half the hours are corrupted). Flags hours where
+    |count - median| > k * MAD; entities whose MAD is 0 (constant
+    activity) flag nothing by convention — any deviation there is
+    better caught by the exact-count reports.
+
+    Exactness: hourly counts are integers; median/MAD interpolate at
+    0.5 over integers, so every statistic is an exact half-integer
+    both engines produce bit-identically (verified: Spark
+    percentile == DuckDB median on even and odd counts); the flag
+    compare is then row-local IEEE.
+
+    Returns flagged rows (key, hour_ms, n_events, med, mad,
+    deviation). Scale shape: one (key, hour) hash aggregate, two
+    key-level median aggregates, and key-keyed joins that reuse the
+    same partitioning — entities independent, no global state.
+    """
+    hourly = events.select(
+        F.col(key_col),
+        (F.floor(F.col(ts_ms_col) / 3_600_000) * 3_600_000)
+        .cast("long")
+        .alias("hour_ms"),
+    ).groupBy(key_col, "hour_ms").agg(F.count("*").alias("n_events"))
+    med = hourly.groupBy(key_col).agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    )
+    with_med = hourly.join(med, key_col)
+    mad = with_med.groupBy(key_col).agg(
+        F.expr("percentile(abs(n_events - med), 0.5)").alias("mad")
+    )
+    dev = F.abs(F.col("n_events").cast("double") - F.col("med"))
+    return (
+        with_med.join(mad, key_col)
+        .filter((F.col("mad") > 0) & (dev > k * F.col("mad")))
+        .select(
+            key_col,
+            "hour_ms",
+            "n_events",
+            "med",
+            "mad",
+            F.round(dev, 6).alias("deviation"),
+        )
+    )
