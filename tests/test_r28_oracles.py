@@ -165,10 +165,18 @@ def test_mad_anomaly_matches_duckdb(spark):
     )
 
     ev = _with_ts_ms(_load(spark, "events"))
-    got = [tuple(r) for r in mad_anomaly_hours(ev, k=3.0).collect()]
+    got = [
+        tuple(r)
+        for r in mad_anomaly_hours(
+            ev, k=3.0, key_col="event_type"
+        ).collect()
+    ]
     con = _duck("events")
-    exp = con.sql(_mad_anomaly_sql(3.0)).fetchall()
+    exp = con.sql(_mad_anomaly_sql(3.0, "event_type")).fetchall()
     con.close()
+    # sf0.001's per-type stream is calm enough that both sides may be
+    # empty (matching-empty is still a valid differential); sf0.01
+    # (the BANK_SF_DIR dry-run / driver scale) yields ~89 rows
     assert len(got) == len(exp)
     assert _norm(got) == _norm(exp)
     for _u, _h, n, med, mad, dev in got:
