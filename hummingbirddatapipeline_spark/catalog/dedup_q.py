@@ -1226,3 +1226,232 @@ def _source_overlap_sql() -> str:
     JOIN sizes sa ON sa.s = i.source_a
     JOIN sizes sb ON sb.s = i.source_b
     """
+
+
+def _countmin_error_sql(
+    depth: int = 4,
+    width: int = 64,
+    top: int = 20,
+    seed: str = "cm0",
+) -> str:
+    """Independent DuckDB formulation of the count-min error report
+    (operators/dedup.countmin_error_report): rebuilds word counts, the
+    portable md5 row hashes, every (row, bucket) counter, the min-
+    over-rows estimate for the top-N words, and the overestimate."""
+    return f"""
+    WITH counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    hashed AS (
+      SELECT w, c, d,
+             CAST(CAST('0x' || substr(md5(w || '#{seed}' ||
+                  CAST(d AS VARCHAR)), 1, 13) AS BIGINT)
+                  % {width} AS INT) AS b
+      FROM counts, (SELECT unnest(range({depth})) AS d)
+    ),
+    sketch AS (
+      SELECT d, b, CAST(SUM(c) AS BIGINT) AS counter
+      FROM hashed GROUP BY d, b
+    ),
+    topw AS (
+      SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+      FROM counts QUALIFY rank <= {top}
+    )
+    SELECT t.w AS word, t.c AS exact_count,
+           CAST(MIN(s.counter) AS BIGINT) AS cm_estimate,
+           CAST(MIN(s.counter) - t.c AS BIGINT) AS overestimate,
+           CAST(t.rank AS INT) AS rank
+    FROM topw t
+    JOIN hashed h ON h.w = t.w
+    JOIN sketch s ON s.d = h.d AND s.b = h.b
+    GROUP BY t.w, t.c, t.rank
+    """
+
+
+def _cluster_cohesion_sql(threshold: float = 0.85) -> str:
+    """Independent DuckDB formulation of the per-cluster cohesion
+    report (operators/graph.cluster_cohesion over the shared exact
+    pair set): recursive-CTE transitive closure (the
+    dedup_connected_components pattern) with the pair Jaccards carried
+    through, exact e6-long mean, and the density division."""
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    near AS (
+      SELECT id_a, id_b,
+             CAST(ROUND(1000000 * ROUND(
+               inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6))
+               AS BIGINT) AS j_e6
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    members AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM cc GROUP BY 1
+    ),
+    per_cluster AS (
+      SELECT c.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(ROUND(CAST(SUM(n.j_e6) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS mean_jaccard_e6
+      FROM near n JOIN cc c ON c.node = n.id_a
+      GROUP BY 1
+    )
+    SELECT m.cluster_id, m.n_members, p.n_pairs, p.mean_jaccard_e6,
+           ROUND(p.n_pairs / (m.n_members
+                 * CAST(m.n_members - 1 AS DOUBLE) / 2.0), 6)
+             AS density
+    FROM members m JOIN per_cluster p USING (cluster_id)
+    """
+
+
+def _hll_error_sql(b: int = 6, seed: str = "hl0") -> str:
+    """Independent DuckDB formulation of the portable-HLL error report
+    (operators/dedup.hll_error_report): same 52-bit md5 split, the
+    same GENERATED rho CASE chain, bucket-ordered register fold, and
+    the small-range correction branch."""
+    m = 1 << b
+    rbits = 52 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_cases = " ".join(
+        f"WHEN rest >= {1 << (rbits - 1 - i)} THEN {i + 1}"
+        for i in range(rbits)
+    )
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT CAST('0x' || substr(md5(w || '#{seed}'), 1, 13) AS BIGINT)
+               AS h
+      FROM words
+    ),
+    split AS (
+      SELECT CAST(h % {m} AS INT) AS bucket, h // {m} AS rest
+      FROM hashed
+    ),
+    rhos AS (
+      SELECT bucket,
+             CASE WHEN rest = 0 THEN {rbits + 1} {rho_cases} END AS rho
+      FROM split
+    ),
+    regs AS (
+      SELECT bucket, MAX(rho) AS M FROM rhos GROUP BY bucket
+    ),
+    folded AS (
+      SELECT list_aggregate(
+               list_transform(list(M ORDER BY bucket),
+                              x -> power(2.0, -CAST(x AS DOUBLE))),
+               'sum') AS denom,
+             {m} - COUNT(*) AS zeros
+      FROM regs
+    ),
+    est AS (
+      -- every constant cast to DOUBLE: DuckDB parses bare float
+      -- literals as DECIMAL and the alpha*m^2 product overflows
+      SELECT CASE
+        WHEN (CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+              / (denom + CAST(zeros AS DOUBLE)))
+             <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0
+        THEN CAST({float(m)!r} AS DOUBLE)
+             * ln(CAST({float(m)!r} AS DOUBLE) / CAST(zeros AS DOUBLE))
+        ELSE CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+             / (denom + CAST(zeros AS DOUBLE))
+      END AS e
+      FROM folded
+    )
+    SELECT CAST({m} AS INT) AS m,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS n_exact,
+           CAST(ROUND(e) AS BIGINT) AS hll_estimate,
+           ROUND(abs(ROUND(e) - CAST((SELECT COUNT(*) FROM words)
+                 AS DOUBLE))
+                 / CAST((SELECT COUNT(*) FROM words) AS DOUBLE), 6)
+             AS rel_err
+    FROM est
+    """
+
+
+def _best_match_sql(
+    threshold: float = 0.3, max_id: int = 200
+) -> str:
+    """Independent DuckDB formulation of the cross-source reciprocal
+    best match (operators/dedup.cross_source_best_match over docs
+    below ``max_id``): exact pair set, source attach, symmetrized
+    (jaccard desc, partner) rank, mutual-rank-1 join."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, list_distinct({_DUCK_TOKS}) AS sh
+      FROM documents WHERE doc_id < {max_id}
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS w FROM base),
+    pairs AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(p.inter / CAST(sa.n + sb.n - p.inter AS DOUBLE), 6)
+               AS jaccard
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN (SELECT doc_id, len(sh) AS n FROM base) sa
+        ON sa.doc_id = p.id_a
+      JOIN (SELECT doc_id, len(sh) AS n FROM base) sb
+        ON sb.doc_id = p.id_b
+      WHERE p.inter / CAST(sa.n + sb.n - p.inter AS DOUBLE)
+            >= {threshold}
+    ),
+    attached AS (
+      SELECT p.*, da.source AS source_a, db.source AS source_b
+      FROM pairs p
+      JOIN base da ON da.doc_id = p.id_a
+      JOIN base db ON db.doc_id = p.id_b
+      WHERE da.source <> db.source
+    ),
+    sym AS (
+      SELECT id_a AS me, id_b AS partner, jaccard FROM attached
+      UNION ALL
+      SELECT id_b, id_a, jaccard FROM attached
+    ),
+    best AS (
+      SELECT me, partner, jaccard FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY me ORDER BY jaccard DESC, partner) AS rk
+        FROM sym
+      ) WHERE rk = 1
+    ),
+    recip AS (
+      SELECT f.me AS id_a, f.partner AS id_b, f.jaccard
+      FROM best f
+      JOIN best r ON r.me = f.partner AND r.partner = f.me
+      WHERE f.me < f.partner
+    )
+    SELECT rc.id_a, rc.id_b, da.source AS source_a,
+           db.source AS source_b, rc.jaccard
+    FROM recip rc
+    JOIN base da ON da.doc_id = rc.id_a
+    JOIN base db ON db.doc_id = rc.id_b
+    """

@@ -892,3 +892,28 @@ def _epoch_plan_sql(
     FROM j a, j b
     GROUP BY a.doc_id, a.lang, a.i
     """
+
+
+def _priority_sample_sql(
+    k: int = 50, weight_col: str = "n_chars", seed: str = "pw0"
+) -> str:
+    """Independent DuckDB formulation of the exponential-priority
+    weighted sample (operators/sampling.priority_weighted_sample):
+    replays the md5 uniform, the -ln(u)/w key (6dp), and the
+    (priority asc, id asc) top-k cut."""
+    return f"""
+    SELECT doc_id,
+           CAST({weight_col} AS BIGINT) AS weight,
+           ROUND(-ln((CAST(CAST('0x' || substr(
+                  md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 13)
+                  AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+                 / CAST({weight_col} AS DOUBLE), 6) AS priority,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ROUND(-ln((CAST(CAST('0x' || substr(
+                  md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 13)
+                  AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+                 / CAST({weight_col} AS DOUBLE), 6) ASC, doc_id)
+             AS INT) AS rank
+    FROM documents WHERE {weight_col} > 0
+    QUALIFY rank <= {k}
+    """

@@ -1953,3 +1953,40 @@ def _source_kl_sql() -> str:
            CAST(SUM(t) AS BIGINT) AS kl_e9
     FROM terms GROUP BY source
     """
+
+
+def _signature_ngrams_sql(k: int = 5, min_count: int = 5) -> str:
+    """Independent DuckDB formulation of the per-source signature
+    words (operators/retrieval.source_signature_ngrams): rebuilds the
+    (source, word) counts, the lift chain (pure rational — no libm),
+    and the per-source (lift desc, c_sw desc, word) top-k."""
+    return f"""
+    WITH occ AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM occ GROUP BY 1, 2
+    ),
+    n_s AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY 1),
+    c_w AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+            FROM sw GROUP BY 1),
+    n_tot AS (SELECT CAST(SUM(c_sw) AS DOUBLE) AS n_tot FROM sw),
+    scored AS (
+      SELECT sw.source, sw.w AS word, sw.c_sw, c_w.c_w,
+             ROUND((sw.c_sw / CAST(n_s.n_s AS DOUBLE))
+                   / (c_w.c_w / n_tot.n_tot), 6) AS lift
+      FROM sw
+      JOIN n_s USING (source)
+      JOIN c_w ON c_w.w = sw.w
+      CROSS JOIN n_tot
+      WHERE sw.c_sw >= {min_count}
+    )
+    SELECT source, word, c_sw, c_w, lift, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY lift DESC, c_sw DESC, word) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

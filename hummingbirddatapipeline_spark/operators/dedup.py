@@ -2094,3 +2094,296 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def countmin_error_report(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 64,
+    top: int = 20,
+    text_col: str = "text",
+    seed: str = "cm0",
+) -> DataFrame:
+    """Count-min sketch ERROR report, fully value-oracled — for the
+    top-N words by exact count: the exact count, the CM estimate
+    (min over depth rows of the bucket counter), and the overestimate.
+    The frequency-sketch member of the observe-don't-trust family
+    (minhash_estimate_pairs measures the Jaccard estimator,
+    lsh_recall_report the banding; this one measures the CM
+    guarantee est >= exact, with slack bounded by collisions at the
+    chosen width — the report that picks depth x width before the
+    native approx functions are trusted at 100 TB).
+
+    Hashes are the portable 52-bit-md5 family (row d hashes
+    ``md5(w || '#' || seed || d) % width``), so both engines build
+    bit-identical counter arrays. Returns (word, exact_count,
+    cm_estimate, overestimate, rank) — all exact BIGINTs; rank by
+    (exact desc, word asc).
+
+    Scale shape: ONE corpus explode -> word-count hash aggregate
+    (vocab-sized); the sketch is depth skinny rows per WORD (not per
+    occurrence) -> one (row, bucket) aggregate of depth*width rows;
+    the probe joins the top-N words back to their depth buckets.
+    Everything after the first aggregate is vocabulary-sized.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    if depth < 1 or width < 1:
+        raise ValueError("countmin_error_report: depth and width >= 1")
+    counts = (
+        docs.select(
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _bucket(d: int) -> Column:
+        salt = F.lit(f"#{seed}{d}")
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("w"), salt)), 1, 13),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).cast("int")
+
+    hashed = counts.select(
+        "w",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _bucket(d).alias("b")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("w", "c", "db.d", "db.b")
+    sketch = hashed.groupBy("d", "b").agg(F.sum("c").alias("counter"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    top_words = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top)
+    )
+    est = (
+        top_words.select("w", "c", "rank")
+        .join(
+            hashed.select("w", "d", "b"), "w"
+        )
+        .join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("w", "c", "rank")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("c")).alias("overestimate"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_HLL_HASH_BITS = 52
+
+
+def hll_error_report(
+    docs: DataFrame,
+    b: int = 6,
+    text_col: str = "text",
+    seed: str = "hl0",
+) -> DataFrame:
+    """HyperLogLog ERROR report over the corpus vocabulary, fully
+    value-oracled — the cardinality member of the observe-don't-trust
+    sketch family (count-min measures frequency error,
+    minhash_estimate the Jaccard estimator; this one runs a PORTABLE
+    HLL (Flajolet et al. 2007) next to the exact distinct count and
+    reports the relative error the native approx_count_distinct rows
+    are trusted to stay inside).
+
+    Portability: the 52-bit md5 hash splits into bucket = h mod m and
+    rho = leading-zero rank of the remaining 46 bits computed by a
+    GENERATED integer CASE chain (no libm log2); registers fold in
+    bucket order (fixed-order IEEE sum of exact powers of two), and
+    the standard small-range correction applies when est <= 2.5m with
+    empty registers — every branch deterministic on both engines.
+
+    Returns one row: (m, n_exact, hll_estimate, rel_err) — counts
+    BIGINT, estimate ROUNDed BIGINT, rel_err 6dp.
+
+    Scale shape: ONE corpus explode -> distinct words (the exact side
+    needs it anyway) -> m-row register aggregate; the register fold
+    is a single m-element array operation. The sketch itself is m
+    longs — at 100 TB the register table is the only state.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    m = 1 << b
+    rbits = _HLL_HASH_BITS - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    words = (
+        docs.select(
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("w"), F.lit("#" + seed))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    rest = (h / m).cast("long")
+    # rho = (position of the highest set bit from the top of the
+    # rbits-wide field) + 1; all-zero remainder -> rbits + 1
+    rho = F.when(F.col("__rest") == 0, F.lit(rbits + 1))
+    for i in range(rbits):
+        # highest bit at weight 2^(rbits-1-i)  ->  rho = i + 1
+        rho = rho.when(
+            F.col("__rest") >= F.lit(1 << (rbits - 1 - i)), F.lit(i + 1)
+        )
+    regs = (
+        words.select(bucket.alias("bucket"), rest.alias("__rest"))
+        .select("bucket", rho.alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").alias("M"))
+    )
+    folded = regs.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "M"))
+        ).alias("__rs"),
+        F.count("*").alias("__n_regs"),
+    ).select(
+        F.aggregate(
+            "__rs",
+            F.lit(0.0),
+            lambda acc, r: acc + F.pow(F.lit(2.0), -r["M"].cast("double")),
+        ).alias("__denom"),
+        (F.lit(m) - F.col("__n_regs")).alias("__zeros"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m * m)) / (
+        F.col("__denom") + F.col("__zeros").cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("__zeros") > 0),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / F.col("__zeros").cast("double")),
+    ).otherwise(raw)
+    n_exact = words.agg(F.count("*").alias("n_exact"))
+    return (
+        folded.crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit(m).alias("m"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(corrected).cast("long").alias("hll_estimate"),
+            F.round(
+                F.abs(
+                    F.round(corrected)
+                    - F.col("n_exact").cast("double")
+                )
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def cross_source_best_match(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    shingle_size: int = 1,
+) -> DataFrame:
+    """Reciprocal best matches ACROSS sources — pairs where each doc
+    is the other's highest-Jaccard cross-source neighbor. The
+    high-precision alignment primitive (the reciprocal-best-hit rule
+    from sequence alignment applied to corpus provenance): the
+    cross_source_dup_matrix says how MUCH two vendors overlap; this
+    emits the actual aligned pairs a remediation job would act on,
+    filtered to mutual-best so boilerplate hubs (one doc similar to
+    hundreds) don't flood the output.
+
+    Best-match selection is deterministic: (jaccard desc, partner id
+    asc) per doc via row_number; reciprocity = both directions rank 1.
+    Returns (id_a, id_b, source_a, source_b, jaccard) with id_a <
+    id_b.
+
+    Scale shape: the pair set is the caller-bounded exact engine
+    (LSH-banded at scale, exactly like the estimator/recall rows);
+    symmetrize -> ONE doc-keyed rank window -> self-join of the two
+    rank-1 sides on the (a, b) key. Everything after the pair build
+    is pair-list-sized.
+    """
+    pairs = jaccard_pairs_all(
+        docs, text_col, id_col, threshold, shingle_size
+    )
+    src = docs.select(
+        F.col(id_col).alias("__id"), F.col(strata_col).alias("__src")
+    )
+    attached = (
+        pairs.join(
+            src.select(
+                F.col("__id").alias("id_a"),
+                F.col("__src").alias("source_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("__id").alias("id_b"),
+                F.col("__src").alias("source_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    sym = attached.select(
+        F.col("id_a").alias("me"),
+        F.col("id_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        attached.select(
+            F.col("id_b").alias("me"),
+            F.col("id_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("me").orderBy(
+        F.col("jaccard").desc(), F.col("partner")
+    )
+    best = sym.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    fwd = best.select(
+        F.col("me").alias("id_a"),
+        F.col("partner").alias("id_b"),
+        "jaccard",
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = best.select(
+        F.col("partner").alias("id_a"), F.col("me").alias("id_b")
+    ).filter(F.col("id_a") < F.col("id_b"))
+    recip = fwd.join(rev, ["id_a", "id_b"])
+    return (
+        recip.join(
+            src.select(
+                F.col("__id").alias("id_a"),
+                F.col("__src").alias("source_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("__id").alias("id_b"),
+                F.col("__src").alias("source_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "source_a", "source_b", "jaccard")
+    )

@@ -573,3 +573,60 @@ def cluster_size_histogram(
         .cast("long")
         .alias("n_docs"),
     )
+
+
+def cluster_cohesion(pairs: DataFrame) -> DataFrame:
+    """Per-cluster COHESION report over a verified near-dup pair set —
+    the quality view of the dedup graph that the size histogram
+    (cluster_size_histogram, banked r20) cannot see: two clusters of
+    size 10 are different beasts if one is a clique of 0.99-Jaccard
+    twins and the other a sparse chain of barely-0.85 links (the chain
+    is the one transitive closure over-merges; density + mean
+    similarity is how a pipeline owner finds those before cutting
+    whole clusters). Input is (id_a, id_b, jaccard) as produced by
+    the exact pair engines; components close via
+    :func:`connected_components` (min-id labels, deterministic).
+
+    Returns one row per cluster: (cluster_id, n_members, n_pairs,
+    mean_jaccard_e6, density) — n/pairs exact BIGINTs;
+    mean_jaccard_e6 is an exact-long mean (each 6dp jaccard scales to
+    an e6 integer losslessly, sums exactly, one final ROUND division
+    — partitioning-invariant); density = n_pairs / C(n_members, 2)
+    with one 6dp division.
+
+    Scale shape: CC is the pointer-jumping O(log n) closure; the pair
+    attach is one equi-join on id_a (both ends of a verified pair are
+    in the same component by construction — asserted cheap via the
+    id_a side only); two cluster-keyed aggregates share the exchange.
+    """
+    cc = connected_components(pairs)
+    members = cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    j_e6 = F.round(F.col("jaccard") * 1_000_000).cast("long")
+    attached = pairs.select(
+        F.col("id_a").alias("node"), j_e6.alias("__j_e6")
+    ).join(cc, "node")
+    per_cluster = attached.groupBy("cluster_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum("__j_e6").cast("double") / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_jaccard_e6"),
+    )
+    return members.join(per_cluster, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_pairs",
+        "mean_jaccard_e6",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / (
+                F.col("n_members").cast("double")
+                * (F.col("n_members") - 1).cast("double")
+                / 2.0
+            ),
+            6,
+        ).alias("density"),
+    )

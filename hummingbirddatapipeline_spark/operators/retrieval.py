@@ -915,3 +915,67 @@ def source_unigram_kl(
             F.sum("__t").alias("kl_e9"),
         )
     )
+
+
+def source_signature_ngrams(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source SIGNATURE words — the top-k most source-
+    characteristic terms by lift ``(c_sw/N_s) / (c_w/N)`` (how much
+    more frequent the word is in this source than in the mixture),
+    with a ``min_count`` floor against one-off flukes. The qualitative
+    companion of :func:`source_unigram_kl`: KL says HOW far a source
+    is from the mixture, this says WHICH words carry the difference —
+    the pair a mixing decision actually reads. Pure rational
+    arithmetic (no libm at all): lift is one row-local IEEE division
+    chain over exact counts, 6dp-rounded BEFORE the (lift desc,
+    c_sw desc, word asc) rank.
+
+    Returns top-k rows per source: (source, word, c_sw, c_w, lift,
+    rank).
+
+    Scale shape: identical to the KL row — ONE corpus explode, all
+    later tables derive from the vocab-sized (source, word)
+    aggregate; the rank window partitions BY SOURCE (parallel, never
+    a global sort); the scalar N rides the broadcast 1-row crossJoin.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    occ = docs.select(
+        F.col(strata_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    sw = occ.groupBy(strata_col, "w").agg(
+        F.count("*").alias("c_sw")
+    ).localCheckpoint(eager=False)
+    n_s = sw.groupBy(strata_col).agg(F.sum("c_sw").alias("n_s"))
+    c_w = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    n_tot = sw.agg(F.sum("c_sw").cast("double").alias("n_tot"))
+    lift = F.round(
+        (F.col("c_sw").cast("double") / F.col("n_s").cast("double"))
+        / (F.col("c_w").cast("double") / F.col("n_tot")),
+        6,
+    )
+    scored = (
+        sw.filter(F.col("c_sw") >= min_count)
+        .join(F.broadcast(n_s), strata_col)
+        .join(c_w, "w")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            strata_col,
+            F.col("w").alias("word"),
+            "c_sw",
+            "c_w",
+            lift.alias("lift"),
+        )
+    )
+    win = Window.partitionBy(strata_col).orderBy(
+        F.col("lift").desc(), F.col("c_sw").desc(), F.col("word")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(win)
+    ).filter(F.col("rank") <= k)

@@ -1073,3 +1073,61 @@ def epoch_plan(
         F.col("src_seq").alias("lang_seq"),
         "global_seq",
     )
+
+
+def priority_weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "pw0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential priorities
+    (Efraimidis & Spirakis 2006, the exponential-clocks form): each
+    item draws key = -ln(u)/w and the k SMALLEST keys win — inclusion
+    probability proportional to weight, one pass, no global state
+    beyond the top-k. The deterministic core: u comes from the
+    portable 52-bit md5 of the id (u = (h + 1) / 2^52, never 0), so
+    the sample is content-addressed — rerun/repartition-stable and
+    engine-replayable, the same no-RNG rule every sampling row in this
+    repo follows.
+
+    Keys are rounded to 6dp BEFORE the (key asc, id asc) cut (ln is
+    the one libm call — the unigram_logprob precedent), so the
+    selection is cross-engine deterministic. Zero- or negative-weight
+    items are excluded (they have no sampling mass).
+
+    Returns the k winners: (id, weight, priority, rank).
+
+    Scale shape: priorities are map-side; the top-k is a
+    TakeOrderedAndProject-shaped rank window — at real scale the
+    standard per-partition top-k + merge; no shuffle of the corpus,
+    only k rows survive.
+    """
+    if k < 1:
+        raise ValueError("priority_weighted_sample: k >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":" + seed)
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    priority = F.round(-F.log(u) / w, 6)
+    base = docs.filter(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        priority.alias("priority"),
+    )
+    win = Window.orderBy(F.col("priority").asc(), F.col(id_col))
+    return base.withColumn(
+        "rank", F.row_number().over(win)
+    ).filter(F.col("rank") <= k)
