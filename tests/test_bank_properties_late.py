@@ -182,3 +182,50 @@ def test_gap_report_is_sessionization_inverse(spark):
     )
     for user, n_sessions in sessions.items():
         assert n_sessions == 1 + cuts.get(user, 0)
+
+
+def test_hll_duplication_invariance(spark):
+    """HLL is a DISTINCT sketch: duplicating every document (and
+    repartitioning) cannot move a single register, so the report is
+    bit-identical — the property that makes the sketch mergeable
+    across shards at 100 TB."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        hll_error_report,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    base = tuple(hll_error_report(docs, b=6).collect()[0])
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).repartition(11)
+    dup = tuple(hll_error_report(doubled, b=6).collect()[0])
+    assert base == dup
+
+
+def test_countmin_exact_doubling(spark):
+    """Count-min counters are linear: duplicating the corpus doubles
+    every counter, hence every estimate AND every exact count — the
+    overestimate doubles exactly too. A deterministic theorem of the
+    fixed hash family, checked end-to-end."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        countmin_error_report,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    base = {
+        r["word"]: r for r in countmin_error_report(docs, top=10).collect()
+    }
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    dup = {
+        r["word"]: r
+        for r in countmin_error_report(doubled, top=10).collect()
+    }
+    assert set(base) == set(dup)
+    for w, r in base.items():
+        assert dup[w]["exact_count"] == 2 * r["exact_count"]
+        assert dup[w]["cm_estimate"] == 2 * r["cm_estimate"]
+        assert dup[w]["overestimate"] == 2 * r["overestimate"]
