@@ -1133,3 +1133,64 @@ def _gate_kappa_sql(quality_threshold: float = 0.6) -> str:
            END AS kappa
     FROM agg
     """
+
+
+def _bloom_fpr_sql(
+    split_id: int = 250, n_words: int = 16, n_hashes: int = 3
+) -> str:
+    """Independent DuckDB formulation of the Bloom FPR report
+    (operators/contamination.bloom_fpr_report): member/probe word sets
+    either side of the id split, the same 63-bit word fold, the
+    all-k-bits probe, and the theoretical (1-(1-1/m)^(kn))^k."""
+    m_bits = n_words * 63
+    return f"""
+    WITH words0 AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS g FROM documents
+    ),
+    members AS (
+      SELECT DISTINCT g FROM words0 WHERE doc_id < {split_id}
+    ),
+    probes AS (
+      SELECT DISTINCT g FROM words0 WHERE doc_id >= {split_id}
+      EXCEPT SELECT g FROM members
+    ),
+    hseq AS (SELECT unnest(range({n_hashes})) AS j),
+    bpos AS (
+      SELECT CAST('0x' || substr(md5(g || '#b' || CAST(j AS VARCHAR)),
+                                 1, 13) AS BIGINT) % {m_bits} AS p
+      FROM members CROSS JOIN hseq
+    ),
+    bwords AS (
+      SELECT p // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS wd
+      FROM bpos GROUP BY 1
+    ),
+    probe AS (
+      SELECT g,
+             CAST('0x' || substr(md5(g || '#b' || CAST(j AS VARCHAR)),
+                                 1, 13) AS BIGINT) % {m_bits} AS p
+      FROM probes CROSS JOIN hseq
+    ),
+    checks AS (
+      SELECT g,
+             MIN(CASE WHEN ((wd >> CAST(p % 63 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS hit
+      FROM probe LEFT JOIN bwords ON bwords.w = p // 63
+      GROUP BY g
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_fp
+      FROM checks
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members)
+    SELECT CAST({m_bits} AS INT) AS m_bits,
+           nm.n_members, agg.n_probes, agg.n_fp,
+           CASE WHEN agg.n_probes > 0
+                THEN ROUND(agg.n_fp / CAST(agg.n_probes AS DOUBLE), 6)
+                ELSE 0.0 END AS fpr,
+           ROUND(power(1.0 - power(CAST({1.0 - 1.0 / m_bits!r} AS DOUBLE),
+                       CAST({n_hashes} * nm.n_members AS DOUBLE)),
+                 CAST({float(n_hashes)!r} AS DOUBLE)), 6) AS fpr_theory
+    FROM agg CROSS JOIN nm
+    """

@@ -1510,3 +1510,47 @@ def _source_profile_sql() -> str:
     FROM v JOIN documents d ON d.doc_id = v.vec_id
     GROUP BY d.source
     """
+
+
+def _centroid_drift_sql() -> str:
+    """Independent DuckDB formulation of the per-source centroid drift
+    (operators/similarity.centroid_drift_by_source): e6-quantized
+    per-dim exact-long sums, the global vector derived from the same
+    table, and the dim-ordered cosine fold."""
+    return """
+    WITH expl AS (
+      SELECT d.source, v.vec_id,
+             unnest(list_transform(range(len(v.embedding)),
+                    i -> {'dim': CAST(i AS INT),
+                          'x': CAST(v.embedding[i + 1] AS DOUBLE)}))
+               AS u
+      FROM embeddings v
+      JOIN documents d ON d.doc_id = v.vec_id
+    ),
+    comp AS (
+      SELECT source, vec_id, u.dim AS dim,
+             CAST(ROUND(1000000 * u.x) AS BIGINT) AS x_e6
+      FROM expl
+    ),
+    per_sd AS (
+      SELECT source, dim, CAST(SUM(x_e6) AS BIGINT) AS s,
+             COUNT(DISTINCT vec_id) AS nv
+      FROM comp GROUP BY 1, 2
+    ),
+    per_source AS (
+      SELECT source,
+             list(CAST(s AS DOUBLE) ORDER BY dim) AS v,
+             CAST(MAX(nv) AS BIGINT) AS n_vecs
+      FROM per_sd GROUP BY source
+    ),
+    gl AS (
+      SELECT list(CAST(g AS DOUBLE) ORDER BY dim) AS gv
+      FROM (SELECT dim, SUM(s) AS g FROM per_sd GROUP BY dim)
+    )
+    SELECT ps.source, ps.n_vecs,
+           ROUND(list_dot_product(ps.v, gl.gv)
+                 / (sqrt(list_dot_product(ps.v, ps.v))
+                    * sqrt(list_dot_product(gl.gv, gl.gv))), 6)
+             AS cos_to_global
+    FROM per_source ps CROSS JOIN gl
+    """

@@ -1990,3 +1990,24 @@ def _signature_ngrams_sql(k: int = 5, min_count: int = 5) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _length_profile_sql() -> str:
+    """Independent DuckDB formulation of the per-source length profile
+    (operators/tokenization.length_profile_by_source): quantile_cont
+    grid over integer token counts (== Spark percentile, the verified
+    interpolation), exact-long mean."""
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n, 0.25) AS p25,
+           quantile_cont(n, 0.5) AS p50,
+           quantile_cont(n, 0.75) AS p75,
+           quantile_cont(n, 0.95) AS p95,
+           CAST(ROUND(CAST(SUM(n) AS DOUBLE) * 100.0 / COUNT(*))
+                AS BIGINT) AS mean_tok_e2
+    FROM (
+      SELECT source, CAST(len({_DUCK_TOKS_CASED}) AS BIGINT) AS n
+      FROM documents
+    ) GROUP BY source
+    """

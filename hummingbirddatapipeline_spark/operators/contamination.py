@@ -379,3 +379,132 @@ def decontaminate_clusters(
         "cluster_contaminated",
         (~F.col("cluster_contaminated")).alias("kept"),
     )
+
+
+def bloom_fpr_report(
+    docs: DataFrame,
+    split_id: int = 250,
+    n_words: int = 16,
+    n_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter FALSE-POSITIVE-RATE report, fully value-oracled —
+    the membership member of the observe-don't-trust sketch family
+    (count-min: frequency; HLL: cardinality; this: the FPR the
+    screen-then-verify layout of :func:`bloom_gram_screen` budgets its
+    exact-check stage against). Members are the distinct words of docs
+    below ``split_id``; probes are words EXCLUSIVE to the rest of the
+    corpus (true non-members by construction), so every hit among them
+    is a false positive. Reports the observed FPR next to the
+    theoretical ``(1 - (1 - 1/m)^(k*n)) ^ k``.
+
+    Same engine-exact conventions as the screen: 52-bit md5 positions,
+    63 usable bits per BIGINT word (DuckDB raises on 1 << 63 where
+    Spark wraps). Returns one row: (m_bits, n_members, n_probes, n_fp,
+    fpr, fpr_theory) — counts exact BIGINTs, the two rates 6dp (the
+    theory value holds the one libm pow; the observed side is pure
+    integer arithmetic).
+
+    Scale shape: member/probe sets are vocab-sized distincts off one
+    corpus scan each side of the split; the filter rides as ONE
+    broadcast row of BIGINTs; probing is a zero-shuffle scan over the
+    probe vocabulary.
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_tokens
+
+    m_bits = n_words * 63
+
+    def positions(g: Column) -> list[Column]:
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(g, F.lit(f"#b{j}"))), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for j in range(n_hashes)
+        ]
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("g"),
+    )
+    members = (
+        words.filter(F.col(id_col) < split_id).select("g").distinct()
+    ).localCheckpoint(eager=False)
+    probes = (
+        words.filter(F.col(id_col) >= split_id)
+        .select("g")
+        .distinct()
+        .join(members, "g", "left_anti")
+    )
+    bench_pos = members.select(
+        F.explode(F.array(*positions(F.col("g")))).alias("p")
+    )
+    bloom_row = bench_pos.groupBy().agg(
+        *[
+            F.coalesce(
+                F.bit_or(
+                    F.expr(
+                        f"CASE WHEN CAST(p DIV 63 AS INT) = {j} THEN "
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(p % 63 AS INT)) END"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias(f"__bw{j}")
+            for j in range(n_words)
+        ]
+    )
+    probed = probes.crossJoin(F.broadcast(bloom_row))
+    for j, p in enumerate(positions(F.col("g"))):
+        probed = probed.withColumn(f"__p{j}", p)
+    arr_sql = "array(" + ", ".join(f"__bw{j}" for j in range(n_words)) + ")"
+    check_sql = " AND ".join(
+        f"(shiftright(element_at({arr_sql}, CAST(__p{j} DIV 63 AS INT) + 1),"
+        f" CAST(__p{j} % 63 AS INT)) & 1) = 1"
+        for j in range(n_hashes)
+    )
+    fp = probed.agg(
+        F.count("*").alias("n_probes"),
+        F.coalesce(F.sum(F.expr(check_sql).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_fp"),
+    )
+    n_m = members.agg(F.count("*").alias("n_members"))
+    theory = F.round(
+        F.pow(
+            1.0
+            - F.pow(
+                F.lit(1.0 - 1.0 / m_bits),
+                (F.lit(n_hashes) * F.col("n_members")).cast("double"),
+            ),
+            F.lit(float(n_hashes)),
+        ),
+        6,
+    )
+    return (
+        fp.crossJoin(F.broadcast(n_m))
+        .select(
+            F.lit(m_bits).alias("m_bits"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            "n_fp",
+            F.when(
+                F.col("n_probes") > 0,
+                F.round(
+                    F.col("n_fp").cast("double")
+                    / F.col("n_probes").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fpr"),
+            theory.alias("fpr_theory"),
+        )
+    )

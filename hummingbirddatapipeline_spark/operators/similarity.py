@@ -1607,3 +1607,102 @@ def _as_double_col(vec):
     """array<float> -> array<double> (the catalog's cast-double
     convention for cross-engine float comparisons)."""
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def centroid_drift_by_source(
+    vectors: DataFrame,
+    docs: DataFrame,
+    vec_id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    strata_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-source centroid DIRECTION drift — the cosine of each
+    source's embedding centroid to the global centroid, completing the
+    per-source profile (:func:`embedding_source_profile` watches norm
+    magnitude; this watches direction — the signature of a source
+    re-embedded by a different model or whose content genuinely
+    shifted). Cosine of the per-dim SUM vectors equals cosine of the
+    centroids (means are positive scalings), so no division happens
+    before the final row-local chain.
+
+    Cross-engine exactness: each component quantizes to an e6 long
+    BEFORE summation (exact, partitioning-invariant — the scaled-long
+    rule); the cosine then runs over the two integer vectors in dim
+    order (fixed fold), one sqrt pair (IEEE-correctly-rounded), 6dp.
+
+    Returns (source, n_vecs, cos_to_global).
+
+    Scale shape: posexplode -> (source, dim) exact-long aggregate
+    (dims x sources rows); the global vector derives from THAT table;
+    per-source cosine folds a dims-length array — vector payloads
+    cross one exchange as quantized longs, never as raw arrays.
+    """
+    comp = (
+        vectors.join(
+            docs.select(
+                F.col(doc_id_col).alias(vec_id_col), strata_col
+            ),
+            vec_id_col,
+        )
+        .select(
+            strata_col,
+            F.col(vec_id_col),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+        .select(
+            strata_col,
+            vec_id_col,
+            "dim",
+            F.round(F.col("x") * 1_000_000).cast("long").alias("x_e6"),
+        )
+    )
+    per_sd = comp.groupBy(strata_col, "dim").agg(
+        F.sum("x_e6").alias("s"),
+        F.countDistinct(vec_id_col).alias("__nv"),
+    ).localCheckpoint(eager=False)
+    per_source = per_sd.groupBy(strata_col).agg(
+        F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("__v"),
+        F.max("__nv").alias("n_vecs"),
+    )
+    global_row = per_sd.groupBy("dim").agg(
+        F.sum("s").alias("g")
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("dim", "g"))).alias("__gv")
+    )
+    joined = per_source.crossJoin(F.broadcast(global_row))
+    dot = F.aggregate(
+        F.zip_with(
+            "__v",
+            "__gv",
+            lambda a, b: a["s"].cast("double") * b["g"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "__v", lambda a: a["s"].cast("double") * a["s"].cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    ng = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "__gv",
+                lambda b: b["g"].cast("double") * b["g"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    return joined.select(
+        strata_col,
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(dot / (nv * ng), 6).alias("cos_to_global"),
+    )

@@ -592,3 +592,48 @@ def heaps_vocab_growth(
             )
         ).alias("r")
     ).select("r.*")
+
+
+def length_profile_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source document-LENGTH profile — exact interpolated
+    percentiles of whitespace token counts plus an exact-cent mean.
+    The sizing table behind packing/batching decisions (seq_len,
+    bin_tokens, batch budgets all read off this) and the per-source
+    drift check on ingest ("vendor B's docs suddenly halved").
+
+    Exactness: token counts are integers; Spark ``percentile`` and
+    DuckDB ``quantile_cont`` interpolate identically (the (n-1)*p
+    linear rule — verified bit-for-bit for the median before the MAD
+    row was written, extended here to the quartile grid), so every
+    percentile is an exact dyadic rational both engines produce
+    identically; the mean rides the exact-long trick (sum of counts,
+    one ROUND to e2).
+
+    Returns (source, n_docs, p25, p50, p75, p95, mean_tok_e2).
+
+    Scale shape: one map-side token count -> ONE stratum aggregate
+    (percentile is a within-group exact aggregate over integer
+    counts; at 100 TB strata are bounded and independent).
+    """
+    from hummingbirddatapipeline_spark.functions.text import ws_token_count
+
+    base = docs.select(
+        F.col(strata_col),
+        ws_token_count(F.col(text_col)).cast("long").alias("__n"),
+    )
+    return base.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(__n, 0.25)").alias("p25"),
+        F.expr("percentile(__n, 0.5)").alias("p50"),
+        F.expr("percentile(__n, 0.75)").alias("p75"),
+        F.expr("percentile(__n, 0.95)").alias("p95"),
+        F.round(
+            F.sum("__n").cast("double") * 100.0 / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_tok_e2"),
+    )
