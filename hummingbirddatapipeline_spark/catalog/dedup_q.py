@@ -1387,10 +1387,11 @@ def _hll_error_sql(b: int = 6, seed: str = "hl0") -> str:
     SELECT CAST({m} AS INT) AS m,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS n_exact,
            CAST(ROUND(e) AS BIGINT) AS hll_estimate,
-           ROUND(abs(ROUND(e) - CAST((SELECT COUNT(*) FROM words)
-                 AS DOUBLE))
-                 / CAST((SELECT COUNT(*) FROM words) AS DOUBLE), 6)
-             AS rel_err
+           CASE WHEN (SELECT COUNT(*) FROM words) > 0
+                THEN ROUND(abs(ROUND(e)
+                       - CAST((SELECT COUNT(*) FROM words) AS DOUBLE))
+                     / CAST((SELECT COUNT(*) FROM words) AS DOUBLE), 6)
+                ELSE 0.0 END AS rel_err
     FROM est
     """
 

@@ -1664,11 +1664,13 @@ def _vocab_coverage_sql(vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096)) 
            (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked) AS n_types,
            (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ranked
             WHERE rk <= {v}) AS covered_occurrences,
-           (SELECT CAST(SUM(c) AS BIGINT) FROM ranked)
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ranked)
              AS total_occurrences,
-           ROUND((SELECT COALESCE(SUM(c), 0) FROM ranked WHERE rk <= {v})
-                 / CAST((SELECT SUM(c) FROM ranked) AS DOUBLE), 6)
-             AS coverage"""
+           CASE WHEN (SELECT COALESCE(SUM(c), 0) FROM ranked) > 0
+                THEN ROUND((SELECT COALESCE(SUM(c), 0) FROM ranked
+                            WHERE rk <= {v})
+                     / CAST((SELECT SUM(c) FROM ranked) AS DOUBLE), 6)
+                ELSE 0.0 END AS coverage"""
         for v in vocab_sizes
     )
     return f"""
@@ -1809,8 +1811,9 @@ def _heaps_growth_sql(
     DuckDB's rounds), and every prefix's conditional sums."""
     sels = "\n    UNION ALL\n    ".join(
         f"""SELECT CAST({f} AS DOUBLE) AS frac,
-           (SELECT CAST(FLOOR(MAX(doc_id) * CAST({f} AS DOUBLE))
-                   AS BIGINT) FROM documents) AS cut_id,
+           (SELECT CAST(FLOOR(COALESCE(MAX(doc_id), 0)
+                   * CAST({f} AS DOUBLE)) AS BIGINT) FROM documents)
+             AS cut_id,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc
             WHERE doc_id <= (SELECT FLOOR(MAX(doc_id)
                              * CAST({f} AS DOUBLE)) FROM documents))

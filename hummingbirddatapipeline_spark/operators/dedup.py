@@ -2281,14 +2281,21 @@ def hll_error_report(
             F.lit(m).alias("m"),
             F.col("n_exact").cast("long").alias("n_exact"),
             F.round(corrected).cast("long").alias("hll_estimate"),
-            F.round(
-                F.abs(
-                    F.round(corrected)
-                    - F.col("n_exact").cast("double")
-                )
-                / F.col("n_exact").cast("double"),
-                6,
-            ).alias("rel_err"),
+            # empty-corpus guard: n_exact = 0 has no relative error
+            # (ANSI division raises; the r10-ADVICE empty-input class)
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(
+                    F.abs(
+                        F.round(corrected)
+                        - F.col("n_exact").cast("double")
+                    )
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rel_err"),
         )
     )
 

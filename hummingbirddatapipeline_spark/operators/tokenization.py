@@ -296,13 +296,17 @@ def vocab_coverage(
     )
     w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
     ranked = counts.withColumn("__rk", F.row_number().over(w_rank))
+    # coalesce: SUM over zero rows is NULL — an EMPTY corpus must
+    # still report every count as 0 and coverage as 0.0, not NULL
+    # (the r10-ADVICE empty-input class, caught by the edge battery)
     return ranked.agg(
         F.count("*").alias("__n_types"),
-        F.sum("c").alias("__total"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__total"),
         *[
-            F.sum(F.when(F.col("__rk") <= v, F.col("c")).otherwise(0)).alias(
-                f"__cov_{v}"
-            )
+            F.coalesce(
+                F.sum(F.when(F.col("__rk") <= v, F.col("c")).otherwise(0)),
+                F.lit(0),
+            ).alias(f"__cov_{v}")
             for v in vocab_sizes
         ],
     ).select(
@@ -318,11 +322,16 @@ def vocab_coverage(
                         F.col("__total").cast("long").alias(
                             "total_occurrences"
                         ),
-                        F.round(
-                            F.col(f"__cov_{v}").cast("double")
-                            / F.col("__total").cast("double"),
-                            6,
-                        ).alias("coverage"),
+                        F.when(
+                            F.col("__total") > 0,
+                            F.round(
+                                F.col(f"__cov_{v}").cast("double")
+                                / F.col("__total").cast("double"),
+                                6,
+                            ),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .alias("coverage"),
                     )
                     for v in vocab_sizes
                 ]
@@ -522,7 +531,11 @@ def heaps_vocab_growth(
         F.col(id_col),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"),
     ).localCheckpoint(eager=False)
-    cuts = docs.agg(F.max(F.col(id_col)).alias("__max_id")).select(
+    # coalesce: MAX over zero rows is NULL — an EMPTY corpus must
+    # still produce integer cuts (0) and zero counts, not NULLs
+    cuts = docs.agg(
+        F.coalesce(F.max(F.col(id_col)), F.lit(0)).alias("__max_id")
+    ).select(
         *[
             (F.col("__max_id") * F.lit(float(f)))
             .cast("long")
@@ -533,8 +546,11 @@ def heaps_vocab_growth(
     per_word = occ.groupBy("w").agg(F.min(id_col).alias("__first"))
     types_row = per_word.crossJoin(F.broadcast(cuts)).agg(
         *[
-            F.sum(
-                (F.col("__first") <= F.col(f"__cut_{i}")).cast("int")
+            F.coalesce(
+                F.sum(
+                    (F.col("__first") <= F.col(f"__cut_{i}")).cast("int")
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(f"__types_{i}")
@@ -545,19 +561,25 @@ def heaps_vocab_growth(
     docs_row = per_doc.crossJoin(F.broadcast(cuts)).agg(
         *(
             [
-                F.sum(
-                    F.when(
-                        F.col(id_col) <= F.col(f"__cut_{i}"),
-                        F.col("__n_tok"),
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(id_col) <= F.col(f"__cut_{i}"),
+                            F.col("__n_tok"),
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"__tokens_{i}")
                 for i in range(len(fractions))
             ]
             + [
-                F.sum(
-                    (F.col(id_col) <= F.col(f"__cut_{i}")).cast("int")
+                F.coalesce(
+                    F.sum(
+                        (F.col(id_col) <= F.col(f"__cut_{i}")).cast("int")
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"__docs_{i}")
