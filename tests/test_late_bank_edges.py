@@ -222,3 +222,81 @@ def test_multimodal_relational_edge_inputs(spark):
     assert patch_plan(empty_media).count() == 0
     with pytest.raises(ValueError):
         patch_plan(empty_media, patch=0)
+
+
+def test_midbank_ops_empty_inputs(spark):
+    """The same empty-corpus battery over the r13-r21 mid-bank
+    operators (they register soonest — an empty-input crash at
+    registration time burns a window slot): each must return an
+    empty/zero-shaped frame, never raise."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        boilerplate_leaderboard,
+        cross_source_dup_matrix,
+        cut_dup_spans,
+        dup_span_extract,
+        strip_boilerplate_chunks,
+    )
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        auc_by_group,
+        calibration_bins,
+        hash_ngram_features,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        cluster_size_histogram,
+    )
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        perplexity_buckets,
+        tfidf_keywords,
+        trigram_logprob_heldout,
+    )
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        epoch_plan,
+        unimax_allocation,
+    )
+    from hummingbirddatapipeline_spark.operators.scale import (
+        rendezvous_shards,
+    )
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        bpe_fertility_by_lang,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [],
+        "doc_id long, text string, source string, lang string, "
+        "n_chars long",
+    )
+    assert strip_boilerplate_chunks(empty_docs).count() == 0
+    assert dup_span_extract(empty_docs).count() == 0
+    assert cut_dup_spans(empty_docs).count() == 0
+    assert boilerplate_leaderboard(empty_docs).count() == 0
+    assert tfidf_keywords(empty_docs).count() == 0
+    assert perplexity_buckets(empty_docs).count() == 0
+    assert trigram_logprob_heldout(empty_docs).count() == 0
+    assert hash_ngram_features(empty_docs).count() == 0
+    assert unimax_allocation(empty_docs, 1000).count() == 0
+    # epoch_plan's documented contract: a budget no language can fund
+    # fails LOUDLY (a planner returning an empty plan would silently
+    # under-train) — pin the error, not an empty frame
+    with pytest.raises(ValueError, match="funds no language"):
+        epoch_plan(empty_docs, 1000).count()
+    assert rendezvous_shards(empty_docs, "doc_id", 8).count() == 0
+    assert bpe_fertility_by_lang(empty_docs, []).count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    empty_meta = spark.createDataFrame([], "doc_id long, source string")
+    assert (
+        cross_source_dup_matrix(empty_pairs, empty_meta).count() == 0
+    )
+    # histogram over an empty graph with an empty universe: no rows
+    assert (
+        cluster_size_histogram(empty_pairs, universe=empty_meta).count()
+        == 0
+    )
+
+    empty_scored = spark.createDataFrame(
+        [], "doc_id long, score double, label int, source string"
+    )
+    assert auc_by_group(empty_scored).count() == 0
+    assert calibration_bins(empty_scored).count() == 0
