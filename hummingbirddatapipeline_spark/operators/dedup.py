@@ -1736,7 +1736,9 @@ def lsh_recall_report(
         _portable_minhash_sig(F.col("__sh"), num_hashes, seed).alias(
             "__sig"
         ),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lineage cut: the signature build otherwise re-inlines into
+    # the band explode AND the bucket aggregate (banking-time audit)
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -1861,7 +1863,10 @@ def minhash_estimate_pairs(
         "__sh",
         F.size("__sh").alias("__n"),
         sig.alias("__sig"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the frame feeds BOTH pair sides — without the lineage cut
+    # Catalyst re-inlines the shingle+signature build per side
+    # (banking-time scan audit: 6x -> bounded corpus scans)
     a = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("__sh").alias("__sh_a"),
@@ -2350,7 +2355,12 @@ def cross_source_best_match(
             "id_b",
         )
         .filter(F.col("source_a") != F.col("source_b"))
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the cross-source pair list is consumed FOUR ways (two union
+    # branches, then fwd/rev rank-1 sides) — without the cut the
+    # whole pair-build lineage re-inlines per branch (banking-time
+    # scan audit measured 16x corpus text scans; skinny checkpoint
+    # makes it one)
     sym = attached.select(
         F.col("id_a").alias("me"),
         F.col("id_b").alias("partner"),

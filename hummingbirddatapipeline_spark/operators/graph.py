@@ -599,6 +599,9 @@ def cluster_cohesion(pairs: DataFrame) -> DataFrame:
     in the same component by construction — asserted cheap via the
     id_a side only); two cluster-keyed aggregates share the exchange.
     """
+    # lineage cut: the (usually expensive) pair build feeds BOTH the
+    # CC closure and the j_e6 attach below (banking-time scan audit)
+    pairs = pairs.localCheckpoint(eager=False)
     cc = connected_components(pairs)
     members = cc.groupBy("cluster_id").agg(
         F.count("*").alias("n_members")
