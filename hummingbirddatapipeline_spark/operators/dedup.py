@@ -1682,6 +1682,63 @@ def _portable_minhash_sig(sh: Column, num_hashes: int, seed: str) -> Column:
     return F.array(*[_component(k) for k in range(num_hashes)])
 
 
+def _portable_band_candidates(
+    sigs: DataFrame, id_col: str, bands: int, r: int
+) -> DataFrame:
+    """Banded candidate pairs over a portable-signature frame
+    (id, __sig): raw component-slice bucket keys (no bucket re-hash,
+    so DuckDB replays grouping with zero collision caveat), one
+    map-side-combined bucket aggregate, within-bucket pair-gen from
+    the sorted id arrays. Shared by the recall and candidate-profile
+    measurement rows."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("__sig", b * r + 1, r).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("ids"))
+        .distinct()
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("ids") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def lsh_recall_report(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -1739,52 +1796,8 @@ def lsh_recall_report(
     ).localCheckpoint(eager=False)
     # ^ lineage cut: the signature build otherwise re-inlines into
     # the band explode AND the bucket aggregate (banking-time audit)
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("__sig", b * r + 1, r).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.array_sort("ids").alias("ids"))
-        .distinct()
-    )
-    cands = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(
-                                    F.size("ids") - i - 1, F.lit(0)
-                                ),
-                            ),
-                            lambda y: F.struct(
-                                x.alias("id_a"), y.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-        .withColumn("__caught", F.lit(1))
+    cands = _portable_band_candidates(sigs, id_col, bands, r).withColumn(
+        "__caught", F.lit(1)
     )
     exact = jaccard_pairs_all(
         docs, text_col, id_col, threshold, shingle_size
@@ -1950,52 +1963,7 @@ def lsh_candidate_profile(
             "__sig"
         ),
     ).localCheckpoint(eager=False)
-    banded = per_doc.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("__sig", b * r + 1, r).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.array_sort("ids").alias("ids"))
-        .distinct()
-    )
-    cands = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(
-                                    F.size("ids") - i - 1, F.lit(0)
-                                ),
-                            ),
-                            lambda y: F.struct(
-                                x.alias("id_a"), y.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cands = _portable_band_candidates(per_doc, id_col, bands, r)
     a = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("__sh").alias("__sh_a"),
