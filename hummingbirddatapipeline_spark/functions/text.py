@@ -662,7 +662,7 @@ def cdc_chunks(
 
 
 def char_entropy(text: Column) -> Column:
-    """Character-level Shannon entropy (bits? no — nats, natural log)
+    """Character-level Shannon entropy in NATS (natural log)
     of a document — the classic gibberish/compressibility signal: near
     0 for degenerate repetition ('aaaa'), high for uniform noise,
     mid-range for natural language. Empty text is 0.0 by convention.
