@@ -33,6 +33,20 @@ ORACLES: dict[str, str] = {}
 # oracle — but bench.py runs them alongside the catalog.
 BENCH_ONLY: dict[str, QueryFn] = {}
 
+# Banked registry: fully-written registration rows for the bank tiers
+# (BANK.md) that are NOT yet driver-visible. Each entry is the EXACT
+# code a future registration round promotes — same row function, same
+# oracle SQL — kept out of QUERIES/ORACLES so the driver window and
+# the correctness gate are untouched until the tier's round.
+# Promotion = change the row's decorator from @banked_query to @query
+# (one word), then update DRIVER_WINDOW and the bench HEADLINE block
+# per the tier's PLANS.md recipe. tests/ drive these rows through
+# resolve_pair(), which reads QUERIES first and falls back to BANKED —
+# so the tier differential files keep passing across the flip with no
+# edit.
+BANKED: dict[str, QueryFn] = {}
+BANKED_ORACLES: dict[str, str] = {}
+
 # Prepared-plan cache: DataFrames are immutable logical plans, so a
 # catalog query re-invoked on the same (session, sf_dir) can reuse the
 # plan it already built. Plan construction is real driver cost — the
@@ -105,6 +119,31 @@ def bench_query(name: str) -> Callable[[QueryFn], QueryFn]:
         return wrapped
 
     return deco
+
+
+def banked_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
+    """Register a BANKED row (pre-staged registration, driver-invisible).
+
+    Banked rows always carry an oracle: the whole point of banking is
+    that the differential already gates the exact registration code."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        wrapped = _cached(name, fn)
+        BANKED[name] = wrapped
+        BANKED_ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def resolve_pair(name: str) -> tuple[QueryFn, str]:
+    """(query_fn, oracle_sql) for a registered OR banked row.
+
+    The tier differential tests call this so they keep passing verbatim
+    when a tier is promoted from BANKED to QUERIES."""
+    if name in QUERIES:
+        return QUERIES[name], ORACLES[name]
+    return BANKED[name], BANKED_ORACLES[name]
 
 
 def _load_modules() -> None:

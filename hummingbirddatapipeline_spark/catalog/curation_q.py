@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
 from hummingbirddatapipeline_spark.tables import load
 
@@ -725,6 +725,33 @@ def _bloom_screen_sql(
     """
 
 
+@banked_query("curation_bloom_screen", oracle=_bloom_screen_sql(5, 256, 3))
+def curation_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen
+    (operators/contamination.bloom_gram_screen) under the full oracle
+    gate — the cheap first stage of screen-then-verify: benchmark
+    5-grams (docs 0-19, the text_contamination_check fixture) fold
+    into a 256-word (63 usable bits each) broadcast Bloom filter via
+    3 independent 52-bit-md5 positions; every training-corpus gram
+    probes with pure shift/AND integer arithmetic. False negatives are
+    impossible by construction (every set position of a bench gram IS
+    set — pinned in tests/test_r13_oracles.py); false positives only
+    cost exact-check work downstream.
+
+    Scale shape: the filter is ONE broadcast row of BIGINTs regardless
+    of benchmark size; the corpus side is one gram explode + one
+    per-doc aggregate — ngram_contamination's geometry with the
+    per-gram broadcast join replaced by constant-size bit probes."""
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        bloom_gram_screen,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    return bloom_gram_screen(train, bench, n=5, n_words=256, n_hashes=3)
+
+
 # --- r11-banked oracle builder (NOT yet registered: the r10 driver
 # window is full; recipe: PLANS.md "r11 registration recipe").
 
@@ -927,6 +954,55 @@ def _logreg_quality_sql(
            ({score} >= 0.5) = z.yb AS correct
     FROM z CROSS JOIN i{n_iter} p
     """
+
+
+@banked_query("curation_logreg_train", oracle=_logreg_quality_sql(1.0, 3, 0.3))
+def curation_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine logistic-regression quality-classifier training
+    (pipelines/curation.logreg_quality_train) under the full oracle
+    gate — the fastText/DCLM classifier lifecycle's training half,
+    reduced to its deterministic core: teacher percentile labels (top
+    30% of the 2dp heuristic quality), three 6dp features (token
+    count, mean token length, char count), exact-decimal
+    standardization, and 3 full-batch gradient-descent iterations over
+    the rational sigmoid x/(1+|x|) with DECIMAL(38,10) gradient sums —
+    the whole trajectory is engine-exact, so per-doc scores and
+    predictions hash bit-for-bit. DuckDB unrolls every iteration as
+    chained CTEs. That the trainer TRAINS (accuracy beats the
+    all-positive floor; separable fixtures reach >= 0.9) is pinned in
+    tests/test_r13_oracles.py.
+
+    Scale shape: each GD iteration is ONE map-side projection + ONE
+    hash aggregate returning a (k+1)-value weight vector — bounded
+    MODEL state, the same loop shape as kmeans_refine; n_iter+1 corpus
+    passes total over a localCheckpointed feature frame."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        mean_token_len,
+        quality_score,
+        ws_token_count,
+    )
+    from hummingbirddatapipeline_spark.pipelines.curation import (
+        logreg_quality_train,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    teach = F.round(quality_score(F.col("text")), 2)
+    feats = docs.select(
+        "doc_id",
+        (
+            F.percent_rank().over(
+                Window.partitionBy().orderBy(teach, F.col("doc_id"))
+            )
+            >= F.lit(0.7)
+        ).alias("teacher_label"),
+        ws_token_count(F.col("text")).cast("double").alias("f_ntok"),
+        F.coalesce(mean_token_len(F.col("text")), F.lit(0.0)).alias("f_mtl"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+    )
+    return logreg_quality_train(
+        feats, ["f_ntok", "f_mtl", "f_chars"], lr=1.0, n_iter=3
+    )
 
 
 def _url_traps_sql(max_per_template: int = 20) -> str:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.functions.privacy import (
     PII_PATTERNS,
     pii_flags,
@@ -856,6 +856,37 @@ def _interleave_sql(seed: str = "mix0") -> str:
     FROM j a, j b
     GROUP BY a.doc_id, a.source, a.i
     """
+
+
+@banked_query("sample_interleave_order", oracle=_interleave_sql("mix0"))
+def sample_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled deterministic mixture ordering
+    (operators/sampling.interleave_order) under the full oracle gate —
+    the megatron-style blended-dataset order as a CLOSED FORM: each
+    source's docs take content-addressed within-source ranks; a doc's
+    global position is its virtual time's predecessor count, computed
+    per source pair with exact integer arithmetic — NO global sort, NO
+    range exchange. Source weights are the per-source n_chars totals
+    (the temperature-mix shape). DuckDB counts predecessors pairwise
+    (O(n^2) exact compares) against Spark's closed form; the X X Y
+    stride pattern and prefix proportionality are pinned in
+    tests/test_r15_oracles.py.
+
+    Scale shape: one source-keyed window for within-source ranks, then
+    pure map-side arithmetic against the K-row broadcast weight table —
+    a 100 TB mixture gets a total order with zero global exchanges."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        interleave_order,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    weights = {
+        r["source"]: r["w"]
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    }
+    return interleave_order(docs, weights)
 
 
 def _epoch_plan_sql(

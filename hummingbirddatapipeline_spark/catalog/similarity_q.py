@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -1160,6 +1160,37 @@ def _matryoshka_sql(
 # single source of truth and r15 registration is a decorator + window
 # change, exactly like the r11-r14 banks).
 
+@banked_query("similarity_matryoshka_recall", oracle=_matryoshka_sql((16, 64), 10, 5))
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall (Kusupati et al. 2022;
+    operators/similarity.matryoshka_recall) under the full oracle
+    gate: for each query (vec_id < 5) and each prefix dimension d in
+    (16, 64), the overlap between the d-truncated exact cosine top-10
+    and the full-dim top-10 — the acceptance report that decides how
+    short an MRL screening prefix can be before rerank quality
+    regresses. Both rankings use the similarity_cosine_topk arithmetic
+    (6dp + id tiebreak); recall is integers + one exact division.
+    Fidelity monotonicity (mean recall non-decreasing in d) is pinned
+    in tests/test_r14_oracles.py.
+
+    Scale shape: the screen-then-rerank evaluation reduces to the
+    cosine-topk plan per (query, dim) — broadcast query rows, map-side
+    scores, WindowGroupLimit top-k below the exchange; prefix slices
+    are free (array slice at the scan)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return matryoshka_recall(emb, queries, dims=(16, 64), k=10)
+
+
 def _sq8_fidelity_sql() -> str:
     """Independent DuckDB formulation of per-dimension uint8 scalar
     quantization fidelity (operators/similarity.sq8_fidelity):
@@ -1210,6 +1241,31 @@ def _sq8_fidelity_sql() -> str:
              AS max_abs_err
     FROM dec
     """
+
+
+@banked_query("similarity_sq8_fidelity", oracle=_sq8_fidelity_sql())
+def similarity_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 scalar-quantization fidelity
+    (operators/similarity.sq8_fidelity) under the full oracle gate —
+    the SQ8 acceptance report (Faiss ScalarQuantizer's QT_8bit): each
+    dimension gets its own [min, max] grid from a corpus stats pass,
+    codes are floor(x + 0.5) on the 255-step grid, and per vector the
+    report carries the exact BIGINT code checksum plus the
+    6dp-rounded cosine(original, reconstructed) and abs error — the
+    decide-before-you-compress number for the 4x memory cut. DuckDB
+    rebuilds grid, codes, and fidelity from the raw embeddings.
+
+    Scale shape: the stats-then-transform two-pass every quantizer
+    pays — one per-dim min/max aggregate broadcast back, then a pure
+    map-side encode+report pass; nothing else shuffles."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        sq8_fidelity,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    return sq8_fidelity(emb, dim=64)
 
 
 def _ivfpq_topk_sql(
@@ -1340,6 +1396,48 @@ def _ivfpq_topk_sql(
     ) WHERE rank <= {k}
     """)
     return "".join(parts)
+
+
+@banked_query("similarity_ivfpq_topk", oracle=_ivfpq_topk_sql(64, 4, 8, 2, 4, 5, 10))
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (Jégou et al. 2011 — the billion-scale
+    layout; operators/similarity.ivfpq_topk) under the full oracle
+    gate: frozen-centroid cell routing (n_probe=4 of the
+    IVF_CENTROIDS_64D cells) composed with PQ/ADC ranking (m=4
+    subspaces, 8 codes each, 2 Lloyd iterations) — the candidate cut
+    is ONE BroadcastHashJoin on (query, probed cell), then ADC
+    distances rank only the probed population. DuckDB re-derives cell
+    assignment, probe lists, and all m Lloyd trajectories as chained
+    CTEs. Consistency with full-scan pq_topk (identical adc_dist per
+    returned pair; candidates a subset of probed cells) is pinned in
+    tests/test_r15_oracles.py.
+
+    Scale shape: the production ANN serving plan — assignment is
+    map-side against centroid literals, the probe join is an
+    equi-join (contract-pinned), and per-cell candidate volume is
+    n/k_cells on average; at 1B vectors this is the layout that keeps
+    query cost sub-linear."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", _as_double(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivfpq_topk(
+        emb,
+        queries,
+        dim=64,
+        centroids=IVF_CENTROIDS_64D,
+        n_probe=4,
+        m=4,
+        k_codes=8,
+        n_iter=2,
+        k=10,
+    )
 
 
 def _cell_drift_sql() -> str:

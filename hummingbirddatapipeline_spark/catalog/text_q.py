@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import bench_query, query
+from hummingbirddatapipeline_spark.catalog import banked_query, bench_query, query
 from hummingbirddatapipeline_spark.functions import text as TX
 from hummingbirddatapipeline_spark.operators.dedup import exact_dedup, jaccard_pairs_prefix
 from hummingbirddatapipeline_spark.tables import load
@@ -1307,6 +1307,30 @@ def _chunk_boilerplate_sql(
     """
 
 
+@banked_query("text_chunk_boilerplate", oracle=_chunk_boilerplate_sql(2))
+def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate removal (CCNet's paragraph-hash dedup
+    re-expressed over CDC chunks; operators/dedup.
+    strip_boilerplate_chunks) under the full oracle gate: a chunk hash
+    occurring in more than 2 distinct documents is boilerplate;
+    per-document report of chunks/tokens kept vs dropped. The planted
+    shared-block property (every host drops the block's interior
+    chunks, keeps its unique content) is pinned in
+    tests/test_r13_oracles.py; DuckDB re-derives the CDC chunk stream
+    and the frequency rule end to end.
+
+    Scale shape: chunking is ZERO-exchange map work; the only shuffled
+    state is the 16-byte (chunk_hash, doc) stream — two hash
+    aggregates (boilerplate roster, per-doc recount) and one hash-key
+    join, never the text."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        strip_boilerplate_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_boilerplate_chunks(docs, max_docs=2)
+
+
 def _dup_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
     """Independent DuckDB formulation of maximal duplicated-span
     extraction (operators/dedup.dup_span_extract): re-derives every
@@ -1351,6 +1375,29 @@ def _dup_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_dup_windows
     FROM isl GROUP BY doc_id, g
     """
+
+
+@banked_query("text_dup_spans", oracle=_dup_spans_sql(20, 2))
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span extraction (operators/dedup.
+    dup_span_extract) under the full oracle gate — the ACTIONABLE
+    completion of the Lee et al. 2022 substring-dedup family: stride-1
+    hashed 20-token windows, corpus occurrence counts, and an
+    island-merge (LAG + running sum) that fuses overlapping duplicated
+    windows into maximal (start, length) spans per document. The
+    planted-block contract (a 40-token block pasted into 8 hosts is
+    recovered as EXACTLY the [30, 70) span in each) is pinned in
+    tests/test_r14_oracles.py.
+
+    Scale shape: windows hash map-side; the only shuffled state is the
+    16-byte window-hash occurrence table plus ONE doc-keyed exchange
+    for the island-merge window — text never shuffles."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        dup_span_extract,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_extract(docs, k=20)
 
 
 def _perplexity_buckets_sql(lam: float = 0.9) -> str:
@@ -1411,6 +1458,28 @@ def _perplexity_buckets_sql(lam: float = 0.9) -> str:
     SELECT doc_id, lang, n_bigrams, mean_nll, 'none' AS bucket
     FROM joined WHERE mean_nll IS NULL
     """
+
+
+@banked_query("text_perplexity_buckets", oracle=_perplexity_buckets_sql(0.9))
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020;
+    operators/retrieval.perplexity_buckets) under the full oracle
+    gate: per-doc mean interpolated-bigram NLL (the in-engine LM the
+    bigram_logprob row already oracles), then per-LANGUAGE head /
+    middle / tail thirds by PERCENT_RANK over (mean_nll, doc_id).
+    NULL-NLL docs (no bigrams) bucket 'none' OUTSIDE the window —
+    Spark ranks NULLS FIRST, DuckDB NULLS LAST, so excluding them is
+    what keeps the rank arithmetic engine-identical (documented in the
+    oracle builder).
+
+    Scale shape: the two-pass corpus LM (vocab checkpoint feeding both
+    sides) plus ONE language-keyed window — per-language ranking is
+    the per-stratum layout, never a global single-partition sort."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(load(spark, sf_dir, "documents"))
 
 
 def _cut_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:

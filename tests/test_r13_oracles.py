@@ -52,29 +52,26 @@ def _docs(spark):
     return load(spark, SF, "documents")
 
 
+def _run_pair(spark, name, *tables):
+    """(spark rows, oracle rows) for a registered-or-banked row: the
+    differential drives the EXACT registration code via
+    catalog.resolve_pair, so promoting the tier from @banked_query to
+    @query changes nothing here."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
+
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
+    con.close()
+    return got, exp
+
+
 # ---------------------------------------------------------------- bloom
 
 
 def test_bloom_screen_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _bloom_screen_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.contamination import (
-        bloom_gram_screen,
-    )
-
-    docs = _docs(spark).select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") < 20)
-    train = docs.filter(F.col("doc_id") >= 20)
-    got = [
-        tuple(r)
-        for r in bloom_gram_screen(
-            train, bench, n=5, n_words=256, n_hashes=3
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_bloom_screen_sql(5, 256, 3)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "curation_bloom_screen")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # at the registration sizing (2 KB filter vs ~1k bench grams) the
@@ -126,19 +123,7 @@ def test_bloom_screen_never_misses_exact_hits(spark):
 
 
 def test_chunk_boilerplate_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _chunk_boilerplate_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        strip_boilerplate_chunks,
-    )
-
-    docs = _docs(spark).select("doc_id", "text")
-    got_df = strip_boilerplate_chunks(docs, max_docs=2)
-    got = [tuple(r) for r in got_df.collect()]
-    con = _duck()
-    exp = con.sql(_chunk_boilerplate_sql(2)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_chunk_boilerplate")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # conservation: kept <= total tokens, dropped <= chunks; and the
@@ -184,51 +169,8 @@ def test_chunk_boilerplate_drops_planted_shared_block(spark):
 # ----------------------------------------------------------- logreg GD
 
 
-def _features(spark):
-    from hummingbirddatapipeline_spark.functions.text import (
-        mean_token_len,
-        quality_score,
-        ws_token_count,
-    )
-
-    docs = _docs(spark)
-    from pyspark.sql.window import Window
-
-    teach = F.round(quality_score(F.col("text")), 2)
-    return docs.select(
-        "doc_id",
-        (
-            F.percent_rank().over(
-                Window.partitionBy().orderBy(teach, F.col("doc_id"))
-            )
-            >= F.lit(0.7)
-        ).alias("teacher_label"),
-        ws_token_count(F.col("text")).cast("double").alias("f_ntok"),
-        F.coalesce(mean_token_len(F.col("text")), F.lit(0.0)).alias(
-            "f_mtl"
-        ),
-        F.col("n_chars").cast("double").alias("f_chars"),
-    )
-
-
 def test_logreg_quality_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _logreg_quality_sql,
-    )
-    from hummingbirddatapipeline_spark.pipelines.curation import (
-        logreg_quality_train,
-    )
-
-    got_rows = logreg_quality_train(
-        _features(spark),
-        ["f_ntok", "f_mtl", "f_chars"],
-        lr=1.0,
-        n_iter=3,
-    ).collect()
-    got = [tuple(r) for r in got_rows]
-    con = _duck()
-    exp = con.sql(_logreg_quality_sql(1.0, 3, 0.3)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "curation_logreg_train")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # the trained model actually separates: scores are not all equal,

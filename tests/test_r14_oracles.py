@@ -51,17 +51,21 @@ def _docs(spark):
     return load(spark, SF, "documents")
 
 
-def test_dup_spans_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import _dup_spans_sql
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        dup_span_extract,
-    )
+def _run_pair(spark, name, duck=None):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    docs = _docs(spark).select("doc_id", "text")
-    got = [tuple(r) for r in dup_span_extract(docs, k=20).collect()]
-    con = _duck()
-    exp = con.sql(_dup_spans_sql(20, 2)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = duck() if duck else _duck()
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_dup_spans_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_dup_spans")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # per-doc structural invariants: span_seq is 1..m in start order,
@@ -104,25 +108,14 @@ def test_dup_spans_recovers_planted_block(spark):
 
 
 def test_perplexity_buckets_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _perplexity_buckets_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        perplexity_buckets,
-    )
-
-    docs = _docs(spark)
-    got = [tuple(r) for r in perplexity_buckets(docs).collect()]
-    con = _duck()
-    exp = con.sql(_perplexity_buckets_sql(0.9)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_perplexity_buckets")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # every doc is bucketed, and within each language the thirds are
     # balanced to within one doc (percent_rank arithmetic)
     from collections import Counter
 
-    assert len(got) == docs.count()
+    assert len(got) == _docs(spark).count()
     per_lang = {}
     for _id, lang, _nb, nll, bucket in got:
         if bucket != "none":
@@ -134,33 +127,17 @@ def test_perplexity_buckets_matches_duckdb(spark):
             assert max(c.values()) - min(c.values()) <= 2
 
 
-def test_matryoshka_recall_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _matryoshka_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        matryoshka_recall,
-    )
-    from hummingbirddatapipeline_spark.tables import load
-
-    emb = load(spark, SF, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    got = [
-        tuple(r)
-        for r in matryoshka_recall(emb, queries, dims=(16, 64), k=10).collect()
-    ]
+def _duck_emb():
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{os.path.join(SF, 'embeddings.parquet')}')"
     )
-    exp = con.sql(_matryoshka_sql((16, 64), 10, 5)).fetchall()
-    con.close()
+    return con
+
+
+def test_matryoshka_recall_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "similarity_matryoshka_recall", duck=_duck_emb)
     assert len(got) == len(exp) == 10  # 5 queries x 2 dims
     assert _norm(got) == _norm(exp)
     # fidelity must not decrease with a longer prefix on average, and

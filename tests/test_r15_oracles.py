@@ -60,31 +60,21 @@ def _queries(emb):
     )
 
 
-def test_ivfpq_topk_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _ivfpq_topk_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import ivfpq_topk
+def _run_pair(spark, name, table):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    emb = _emb(spark)
-    got = [
-        tuple(r)
-        for r in ivfpq_topk(
-            emb,
-            _queries(emb),
-            dim=64,
-            centroids=IVF_CENTROIDS_64D,
-            n_probe=4,
-            m=4,
-            k_codes=8,
-            n_iter=2,
-            k=10,
-        ).collect()
-    ]
-    con = _duck("embeddings")
-    exp = con.sql(_ivfpq_topk_sql(64, 4, 8, 2, 4, 5, 10)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(table)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_ivfpq_topk_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "similarity_ivfpq_topk", "embeddings")
     assert len(got) == len(exp) == 50  # 5 queries x k
     assert _norm(got) == _norm(exp)
 
@@ -130,25 +120,7 @@ def test_ivfpq_adc_consistent_with_pq(spark):
 
 
 def test_interleave_order_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.sampling_q import (
-        _interleave_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.sampling import (
-        interleave_order,
-    )
-    from hummingbirddatapipeline_spark.tables import load
-
-    docs = load(spark, SF, "documents")
-    weights = {
-        r["source"]: r["w"]
-        for r in docs.groupBy("source")
-        .agg(F.sum("n_chars").alias("w"))
-        .collect()
-    }
-    got = [tuple(r) for r in interleave_order(docs, weights).collect()]
-    con = _duck("documents")
-    exp = con.sql(_interleave_sql("mix0")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "sample_interleave_order", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # total order: global_seq is a permutation of 1..N
@@ -178,19 +150,8 @@ def test_interleave_stride_pattern(spark):
 
 
 def test_sq8_fidelity_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _sq8_fidelity_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        sq8_fidelity,
-    )
-
-    emb = _emb(spark)
-    got = [tuple(r) for r in sq8_fidelity(emb, dim=64).collect()]
-    con = _duck("embeddings")
-    exp = con.sql(_sq8_fidelity_sql()).fetchall()
-    con.close()
-    assert len(got) == len(exp) == emb.count()
+    got, exp = _run_pair(spark, "similarity_sq8_fidelity", "embeddings")
+    assert len(got) == len(exp) == _emb(spark).count()
     assert _norm(got) == _norm(exp)
     # 8-bit per-dim grids hold cosine fidelity extremely tight on
     # bounded data, and codes stay inside the 0..255*64 envelope
