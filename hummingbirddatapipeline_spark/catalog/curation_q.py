@@ -1043,6 +1043,30 @@ def _url_traps_sql(max_per_template: int = 20) -> str:
     """
 
 
+@banked_query("web_template_traps", oracle=_url_traps_sql(10))
+def web_template_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection by URL path templating
+    (functions/web.url_template_traps) over the shared dirty-URL
+    fixture (synth_dirty_urls — the web_canonicalize_url fixture):
+    URLs group by (host, path template) where every numeric path
+    segment collapses to '{n}'; a template whose distinct-URL count
+    exceeds max_per_template=10 with low content diversity is a trap
+    (calendar pages, session-id paths — the infinite-crawl classes
+    WARC pipelines gate first). DuckDB replays the fixture and the
+    template rule set.
+
+    Scale shape: templating is map-side regex; the only shuffle is
+    one (host, template) hash aggregate — the gate table is tiny and
+    joins back broadcast, exactly like web_host_gate."""
+    from hummingbirddatapipeline_spark.functions.web import (
+        synth_dirty_urls,
+        url_template_traps,
+    )
+
+    urls = synth_dirty_urls(load(spark, sf_dir, "documents"))
+    return url_template_traps(urls, max_per_template=10)
+
+
 def _auc_by_source_sql() -> str:
     """Independent DuckDB formulation of exact tie-aware ROC-AUC per
     source (operators/evaluation.auc_by_group) over the distillation
@@ -1084,6 +1108,42 @@ def _auc_by_source_sql() -> str:
     """
 
 
+@banked_query("eval_auc_by_source", oracle=_auc_by_source_sql())
+def eval_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC per source (operators/evaluation.
+    auc_by_group) under the full oracle gate — the Mann-Whitney rank
+    form with half-credit for score ties, computed from pure integer
+    rank sums so both engines agree bit-for-bit (one final division).
+    Student score = 6dp chars-per-token; labels = heuristic quality
+    >= 0.9 — the model-vs-label agreement view per ingest source.
+    Flip symmetry (AUC -> 1-AUC) and the perfect-separation /
+    all-ties closed forms are pinned in tests/test_r17_oracles.py.
+
+    Scale shape: one rank window + one aggregate per group key, both
+    on the SAME source-keyed exchange — per-stratum evaluation never
+    builds a global sort."""
+    from hummingbirddatapipeline_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        auc_by_group,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = ws_token_count(F.col("text"))
+    score = F.round(
+        F.col("n_chars") / F.when(cnt == 0, F.lit(None)).otherwise(cnt),
+        6,
+    )
+    scored = docs.select(
+        "source",
+        score.alias("score"),
+        (F.round(quality_score(F.col("text")), 2) >= 0.9).alias("y"),
+    ).filter(F.col("score").isNotNull())
+    return auc_by_group(scored, "score", "y", "source")
+
+
 def _calibration_bins_sql(
     lr: float = 1.0,
     n_iter: int = 3,
@@ -1111,6 +1171,29 @@ def _calibration_bins_sql(
     FROM ({_logreg_quality_sql(lr, n_iter, top_frac)}) lg
     GROUP BY 1
     """
+
+
+@banked_query("eval_calibration_bins", oracle=_calibration_bins_sql(1.0, 3, 0.3, 10))
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins (operators/evaluation.
+    calibration_bins) over the in-engine logistic quality model under
+    the full oracle gate — the classifier lifecycle's calibration
+    step: the curation_logreg_train row's per-doc scores bucket into
+    10 equal-width probability bins, each reporting exact counts plus
+    mean predicted probability vs observed positive fraction. The
+    DuckDB side nests the FULL unrolled training trajectory and
+    re-bins — the whole features -> train -> calibrate chain is
+    engine-exact end to end.
+
+    Scale shape: one map-side bin assignment + one 10-row hash
+    aggregate on top of the (already bounded-model-state) training
+    loop; the report itself is constant-size at any corpus scale."""
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    trained = curation_logreg_train(spark, sf_dir)
+    return calibration_bins(trained, "score", "teacher_label", 10)
 
 
 def _quality_borda_sql() -> str:

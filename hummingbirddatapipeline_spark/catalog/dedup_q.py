@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 import weakref
 
 from hummingbirddatapipeline_spark.catalog import (
+    banked_query,
     bench_query,
     query,
     register_invalidate_hook,
@@ -906,6 +907,51 @@ def _label_prop_sql(
     FROM l{n_iter} l LEFT JOIN seeds s ON s.node = l.node
     """)
     return "".join(parts)
+
+
+@banked_query("dedup_label_propagation", oracle=_label_prop_sql(0.85, 3, "1999"))
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    synchronous clamped-seed variant; operators/graph.
+    label_propagation) over the exact near-dup graph under the full
+    oracle gate: content-hash-selected seed docs carry 'good'/'bad'
+    quality labels (2dp heuristic >= 0.9); 3 synchronous rounds of
+    majority vote (ties to the lexically smaller label) spread them
+    through the shared Jaccard >= 0.85 pair graph — the
+    label-a-few-score-the-cluster curation move.
+
+    Pair-source decision (recorded r11): the REGISTERED fixture builds
+    edges via the shared exact jaccard_pairs_prefix pair set, so the
+    DuckDB oracle re-derives the identical graph and the whole
+    propagation is value-hashed; the 100 TB production feed is the
+    banded-LSH capped path (max_bucket + boilerplate_clusters
+    routing) — the rounds themselves are pair-source-agnostic.
+    Radius and tie contracts pinned in tests/test_r16_oracles.py.
+
+    Scale shape: per round ONE edge-join + ONE (node, label) vote
+    aggregate over skinny state, lineage-cut per round — the
+    connected-components budget with labels instead of min-ids."""
+    from hummingbirddatapipeline_spark.functions.text import quality_score
+    from hummingbirddatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    seeds = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":lp0"))),
+            1,
+            4,
+        )
+        < "1999"
+    ).select(
+        F.col("doc_id").alias("node"),
+        F.when(F.round(quality_score(F.col("text")), 2) >= 0.9, "good")
+        .otherwise("bad")
+        .alias("label"),
+    )
+    return label_propagation(pairs, seeds, n_iter=3)
 
 
 def _cluster_histogram_sql(threshold: float = 0.85) -> str:

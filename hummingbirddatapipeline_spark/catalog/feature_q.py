@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.operators.scale import (
     impute_median,
     psi_drift,
@@ -359,3 +359,27 @@ def _hash_ngrams_sql(n_features: int = 256, use_bigrams: bool = True) -> str:
            CAST(COUNT(*) AS BIGINT) AS count
     FROM grams GROUP BY 1, 2
     """
+
+
+@banked_query("feature_hash_ngrams", oracle=_hash_ngrams_sql(256, True))
+def feature_hash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick n-gram featurizer (Weinberger et al. 2009 — the
+    fastText/VW feature layout; operators/evaluation.
+    hash_ngram_features) under the full oracle gate: namespaced
+    lowercase unigrams + bigrams bucket by 52-bit-md5 content hash mod
+    256, per-(doc, bucket) exact counts — a fixed-width sparse feature
+    table with NO vocabulary artifact to version or broadcast. Gram
+    conservation (bucket counts sum to the exact token+bigram count)
+    is pinned in tests/test_r17_oracles.py.
+
+    Scale shape: gram generation and hashing are map-side; the single
+    shuffle is the (doc, bucket) hash aggregate — featurizing 100 TB
+    is one exchange of skinny integer rows, and the content-addressed
+    buckets mean train- and serve-time features agree with no shared
+    state."""
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        hash_ngram_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_ngram_features(docs, n_features=256)

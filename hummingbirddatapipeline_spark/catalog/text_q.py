@@ -1549,6 +1549,27 @@ def _cut_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
     """
 
 
+@banked_query("text_cut_dup_spans", oracle=_cut_spans_sql(20, 2))
+def text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. 2022 substring-dedup CUT (operators/dedup.
+    cut_dup_spans) under the full oracle gate — the step that actually
+    removes text: every duplicated 20-token window keeps ONE canonical
+    occurrence corpus-wide (min doc_id, then min start), all other
+    occurrences merge into maximal spans and are cut; per-doc report
+    of windows/spans/tokens cut vs kept. The canonical-keeps contract
+    (paste one block into 8 hosts: doc 0 untouched, docs 1-7 each cut
+    exactly the planted span) is pinned in tests/test_r16_oracles.py.
+
+    Scale shape: the dup_span_extract geometry (hashed windows, one
+    doc-keyed exchange) plus a window-hash argmin aggregate for the
+    canonical pick — text itself never shuffles; cut accounting is
+    integer arithmetic on span bounds."""
+    from hummingbirddatapipeline_spark.operators.dedup import cut_dup_spans
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return cut_dup_spans(docs, k=20)
+
+
 def _trigram_heldout_sql(
     alpha: float = 0.4, holdout_hex: str = "3333", seed: str = "lm0"
 ) -> str:

@@ -50,16 +50,22 @@ def _docs(spark):
     return load(spark, SF, "documents")
 
 
-def test_cut_spans_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import _cut_spans_sql
-    from hummingbirddatapipeline_spark.operators.dedup import cut_dup_spans
+def _run_pair(spark, name):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    docs = _docs(spark).select("doc_id", "text")
-    got = [tuple(r) for r in cut_dup_spans(docs, k=20).collect()]
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
     con = _duck()
-    exp = con.sql(_cut_spans_sql(20, 2)).fetchall()
+    exp = con.sql(sql).fetchall()
     con.close()
-    assert len(got) == len(exp) == docs.count()
+    return got, exp
+
+
+def test_cut_spans_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_cut_dup_spans")
+    assert len(got) == len(exp) == _docs(spark).count()
     assert _norm(got) == _norm(exp)
     # accounting invariants: kept + cut == total per doc; the corpus
     # loses real tokens; a fully-duplicated non-canonical doc may drop
@@ -92,19 +98,14 @@ def test_cut_spans_keeps_canonical(spark):
 
 
 def test_label_propagation_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import _label_prop_sql
     from hummingbirddatapipeline_spark.functions.text import quality_score
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        jaccard_pairs_prefix,
-    )
-    from hummingbirddatapipeline_spark.operators.graph import (
-        label_propagation,
-    )
 
+    got, exp = _run_pair(spark, "dedup_label_propagation")
+    assert len(got) == len(exp) > 0
+    assert _norm(got) == _norm(exp)
+    # seeds are clamped and labels genuinely compete (seed set
+    # re-derived here exactly as the registered row builds it)
     docs = _docs(spark)
-    pairs = jaccard_pairs_prefix(
-        docs, "text", "doc_id", threshold=0.85, shingle_size=1
-    ).select("id_a", "id_b")
     seeds = docs.filter(
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":lp0"))),
@@ -118,15 +119,6 @@ def test_label_propagation_matches_duckdb(spark):
         .otherwise("bad")
         .alias("label"),
     )
-    got = [
-        tuple(r) for r in label_propagation(pairs, seeds, n_iter=3).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_label_prop_sql(0.85, 3, "1999")).fetchall()
-    con.close()
-    assert len(got) == len(exp) > 0
-    assert _norm(got) == _norm(exp)
-    # seeds are clamped and labels genuinely compete
     seed_rows = {r["node"]: r["label"] for r in seeds.collect()}
     got_map = {r[0]: r[1] for r in got}
     for node, label in seed_rows.items():
@@ -180,22 +172,7 @@ def test_label_propagation_radius_and_ties(spark):
 
 
 def test_url_template_traps_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _url_traps_sql,
-    )
-    from hummingbirddatapipeline_spark.functions.web import (
-        synth_dirty_urls,
-        url_template_traps,
-    )
-
-    urls = synth_dirty_urls(_docs(spark))
-    got = [
-        tuple(r)
-        for r in url_template_traps(urls, max_per_template=10).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_url_traps_sql(10)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "web_template_traps")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # the verdicts must be mixed on the fixture, and counts sane

@@ -71,22 +71,21 @@ def _student_scored(spark):
     ).filter(F.col("score").isNotNull())
 
 
-def test_auc_by_source_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _auc_by_source_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.evaluation import (
-        auc_by_group,
-    )
+def _run_pair(spark, name):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    scored = _student_scored(spark)
-    got = [
-        tuple(r)
-        for r in auc_by_group(scored, "score", "y", "source").collect()
-    ]
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
     con = _duck()
-    exp = con.sql(_auc_by_source_sql()).fetchall()
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_auc_by_source_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "eval_auc_by_source")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _g, p, n, auc in got:
@@ -136,71 +135,17 @@ def test_auc_flip_symmetry_and_perfect_separation(spark):
 
 
 def test_calibration_bins_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _calibration_bins_sql,
-    )
-    from hummingbirddatapipeline_spark.functions.text import (
-        mean_token_len,
-        quality_score,
-        ws_token_count,
-    )
-    from hummingbirddatapipeline_spark.operators.evaluation import (
-        calibration_bins,
-    )
-    from hummingbirddatapipeline_spark.pipelines.curation import (
-        logreg_quality_train,
-    )
-
-    docs = _docs(spark)
-    teach = F.round(quality_score(F.col("text")), 2)
-    feats = docs.select(
-        "doc_id",
-        (
-            F.percent_rank().over(
-                Window.partitionBy().orderBy(teach, F.col("doc_id"))
-            )
-            >= F.lit(0.7)
-        ).alias("teacher_label"),
-        ws_token_count(F.col("text")).cast("double").alias("f_ntok"),
-        F.coalesce(mean_token_len(F.col("text")), F.lit(0.0)).alias("f_mtl"),
-        F.col("n_chars").cast("double").alias("f_chars"),
-    )
-    trained = logreg_quality_train(
-        feats, ["f_ntok", "f_mtl", "f_chars"], lr=1.0, n_iter=3
-    )
-    got = [
-        tuple(r)
-        for r in calibration_bins(
-            trained, "score", "teacher_label", 10
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_calibration_bins_sql(1.0, 3, 0.3, 10)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "eval_calibration_bins")
     assert len(got) == len(exp) > 1
     assert _norm(got) == _norm(exp)
-    assert sum(r[1] for r in got) == docs.count()
+    assert sum(r[1] for r in got) == _docs(spark).count()
     for b, n, npos, mp, fp in got:
         assert 0 <= b <= 9 and 0 <= npos <= n
         assert 0.0 <= mp <= 1.0 and 0.0 <= fp <= 1.0
 
 
 def test_hash_ngram_features_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.feature_q import (
-        _hash_ngrams_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.evaluation import (
-        hash_ngram_features,
-    )
-
-    docs = _docs(spark).select("doc_id", "text")
-    got = [
-        tuple(r)
-        for r in hash_ngram_features(docs, n_features=256).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_hash_ngrams_sql(256, True)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "feature_hash_ngrams")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # conservation: bucket counts must add up to the exact gram count
