@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.operators.entity_resolution import (
     fuzzy_join_levenshtein,
     fuzzy_join_lsh,
@@ -413,3 +413,39 @@ def _snapshot_delta_sql() -> str:
                 ELSE 'changed' END AS status
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
+
+
+@banked_query("merge_snapshot_delta", oracle=_snapshot_delta_sql())
+def merge_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/incremental.snapshot_delta)
+    under the full oracle gate — the recrawl-maintenance primitive:
+    old vs new snapshots full-outer-join on doc_id with
+    whitespace/case-normalized content fingerprints, labeling every
+    key new / vanished / changed / unchanged. The fixture derives the
+    "new" snapshot deterministically from documents (drop every 11th,
+    revise every 7th=3, add one per 13th), so both engines construct
+    the identical recrawl and the status counts are closed-form
+    (pinned in tests/test_r18_oracles.py, with the cosmetic-rewrap
+    invariance test).
+
+    Scale shape: both sides reduce map-side to SKINNY (id,
+    fingerprint) rows before the single full-outer equi-join — text
+    never shuffles; a 100 TB recrawl diffs at the cost of one
+    16-byte-row exchange."""
+    from hummingbirddatapipeline_spark.operators.incremental import (
+        snapshot_delta,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    mutated = docs.filter(d % 11 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 3, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(d % 13 == 0).select(
+        (d + 900000).alias("doc_id"),
+        F.concat(F.lit("new doc "), d.cast("string")).alias("text"),
+    )
+    return snapshot_delta(docs, mutated.unionByName(added))

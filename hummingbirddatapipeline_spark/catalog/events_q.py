@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.tables import load
 
 _HOUR_MS = 3_600_000
@@ -764,6 +764,28 @@ def _event_seq_sql(history: int = 4) -> str:
            event_type AS target_type
     FROM base WHERE hist = {history}
     """
+
+
+@banked_query("events_sequence_examples", oracle=_event_seq_sql(4))
+def events_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training examples
+    (operators/temporal.event_sequence_examples) under the full oracle
+    gate — the event-log-to-sequence-model handoff: per user, every
+    length-4 sliding window of event types becomes one (input
+    sequence, target) example, ordered by (ts, event_type) so
+    simultaneous events cannot flip examples between engines. Per-user
+    example counts reconcile exactly with event counts (pinned in
+    tests/test_r19_oracles.py).
+
+    Scale shape: ONE user-keyed exchange feeds the ordering window and
+    the 4-lag frame together — example generation is embarrassingly
+    parallel across users, the sessionization geometry with a fixed
+    history frame instead of gap cuts."""
+    from hummingbirddatapipeline_spark.operators.temporal import (
+        event_sequence_examples,
+    )
+
+    return event_sequence_examples(load(spark, sf_dir, "events"), history=4)
 
 
 def _gap_report_sql(min_gap_sec: int = 3600) -> str:

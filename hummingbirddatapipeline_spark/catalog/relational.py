@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.functions.scalar import money_cents
 from hummingbirddatapipeline_spark.tables import load
 
@@ -1028,6 +1028,28 @@ def _rendezvous_sql(
              {argmax(n_shards_new)} AS shard_new
       FROM documents)
     """
+
+
+@banked_query("layout_rendezvous_shards", oracle=_rendezvous_sql(8, 9))
+def layout_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard assignment (Thaler & Ravishankar 1998;
+    operators/scale.rendezvous_shards) under the full oracle gate —
+    the consistent-placement completion of layout_shard_manifest: each
+    doc's shard is argmax over per-(key, shard) 52-bit md5 weights, so
+    growing 8 -> 9 shards moves ONLY the keys whose new max is the
+    added shard (~1/9, binomial-banded and every moved key landing on
+    shard 8 — both pinned in tests/test_r19_oracles.py). DuckDB
+    replays the weight argmax for both shard counts.
+
+    Scale shape: ZERO exchanges — placement is a map-side argmax over
+    n_shards hash evaluations per key; a resize re-places keys without
+    a global reshuffle, which is the entire point of HRW at 100 TB."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        rendezvous_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_shards(docs, "doc_id", n_shards=8, n_shards_new=9)
 
 
 def _q14_promo_sql() -> str:

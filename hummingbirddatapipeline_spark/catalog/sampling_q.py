@@ -925,6 +925,28 @@ def _epoch_plan_sql(
     """
 
 
+@banked_query("sample_epoch_plan", oracle=_epoch_plan_sql(100_000, 4.0, "ep0"))
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget -> order epoch plan (operators/sampling.epoch_plan)
+    under the full oracle gate — UniMax waterfilling (Chung et al.
+    2023) COMPOSED with stride interleaving: the 100k-token budget
+    allocates per-language quotas with the <= 4-epoch cap, quota-funded
+    docs take content-addressed within-language ranks, and each doc's
+    global position comes from the closed-form predecessor count — the
+    full corpus-to-trainer ordering with zero range exchanges. DuckDB
+    nests the complete waterfilling and counts predecessors pairwise;
+    the total-order and in-language-monotonicity contracts are pinned
+    in tests/test_r18_oracles.py.
+
+    Scale shape: K-row waterfilling state (bounded model state), one
+    language-keyed rank window, then map-side position arithmetic —
+    the interleave_order geometry fed by the UniMax budget."""
+    from hummingbirddatapipeline_spark.operators.sampling import epoch_plan
+
+    docs = load(spark, sf_dir, "documents")
+    return epoch_plan(docs, token_budget=100_000, n_epochs=4.0)
+
+
 def _priority_sample_sql(
     k: int = 50, weight_col: str = "n_chars", seed: str = "pw0"
 ) -> str:

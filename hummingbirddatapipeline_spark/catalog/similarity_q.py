@@ -1508,6 +1508,46 @@ def _cell_drift_sql() -> str:
     """
 
 
+@banked_query("similarity_cell_drift", oracle=_cell_drift_sql())
+def similarity_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-quantizer embedding-drift monitor
+    (operators/similarity.ivf_cell_drift) under the full oracle gate —
+    the IVF-index maintenance view: old vs new embedding snapshots
+    both assign to the FROZEN IVF_CENTROIDS_64D cells (map-side, plan
+    literals), and per cell the report carries exact populations plus
+    arrival/departure counts — the number that says when the quantizer
+    needs retraining. The recrawl fixture derives deterministically
+    from embeddings (drop every 17th, shift dim 0 by +0.25 for every
+    5th), so conservation identities are closed-form (pinned in
+    tests/test_r18_oracles.py).
+
+    Scale shape: two zero-exchange assignment passes (the
+    ivf_incremental_add plan) + one k-row cell aggregate; the monitor
+    costs two scans and ships k rows regardless of corpus size."""
+    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        ivf_cell_drift,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    v = F.col("vec_id")
+    new = emb.filter(v % 17 != 0).select(
+        "vec_id",
+        F.when(
+            v % 5 == 0,
+            F.expr(
+                "concat(array(embedding[0] + 0.25D),"
+                " slice(embedding, 2, size(embedding) - 1))"
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return ivf_cell_drift(emb, new, IVF_CENTROIDS_64D)
+
+
 # --- r21-banked oracle builder (NOT yet registered; registration
 # target: the r20 window — recipe in PLANS.md "r21 bank").
 

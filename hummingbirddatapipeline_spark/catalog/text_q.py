@@ -1638,6 +1638,32 @@ def _trigram_heldout_sql(
     """
 
 
+@banked_query(
+    "text_trigram_logprob_heldout",
+    oracle=_trigram_heldout_sql(0.4, "3333", "lm0"),
+)
+def text_trigram_logprob_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid-Backoff trigram surprisal (Brants et al. 2007;
+    operators/retrieval.trigram_logprob_heldout) under the full oracle
+    gate — the LM-fidelity step above the bigram row, scored the way a
+    perplexity filter actually runs: a content-hash split (md5 prefix
+    < '3333', ~20%) holds out scoring docs, the trigram/bigram/unigram
+    count tables come from TRAIN ONLY, and every held-out position
+    scores trigram -> alpha*bigram -> alpha^2*unigram/T backoff
+    (alpha=0.4) — held-out text guarantees every backoff tier fires
+    (the OOV-floor closed form is pinned in tests/test_r19_oracles.py).
+    DuckDB re-derives split, counts, and per-position scores.
+
+    Scale shape: the two-pass corpus-LM layout — count tables from one
+    train-side explode (store), held docs probe by broadcast-friendly
+    gram joins; the held split is the cheap side by construction."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        trigram_logprob_heldout,
+    )
+
+    return trigram_logprob_heldout(load(spark, sf_dir, "documents"))
+
+
 def _leaderboard_sql(
     k: int = 20, min_occurrences: int = 2, top: int = 20
 ) -> str:

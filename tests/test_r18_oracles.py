@@ -51,20 +51,21 @@ def _docs(spark):
     return load(spark, SF, "documents")
 
 
-def test_epoch_plan_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.sampling_q import (
-        _epoch_plan_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.sampling import epoch_plan
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    docs = _docs(spark)
-    got = [
-        tuple(r)
-        for r in epoch_plan(docs, token_budget=100_000, n_epochs=4.0).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_epoch_plan_sql(100_000, 4.0, "ep0")).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_epoch_plan_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "sample_epoch_plan", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # the plan is a total order over the funded corpus
@@ -83,34 +84,13 @@ def test_epoch_plan_matches_duckdb(spark):
 
 
 def test_snapshot_delta_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.entity_q import (
-        _snapshot_delta_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.incremental import (
-        snapshot_delta,
-    )
-
-    docs = _docs(spark).select("doc_id", "text")
-    d = F.col("doc_id")
-    mutated = docs.filter(d % 11 != 0).select(
-        "doc_id",
-        F.when(d % 7 == 3, F.concat(F.col("text"), F.lit(" rev2")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    added = docs.filter(d % 13 == 0).select(
-        (d + 900000).alias("doc_id"),
-        F.concat(F.lit("new doc "), d.cast("string")).alias("text"),
-    )
-    new = mutated.unionByName(added)
-    got = [tuple(r) for r in snapshot_delta(docs, new).collect()]
-    con = _duck("documents")
-    exp = con.sql(_snapshot_delta_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "merge_snapshot_delta", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     from collections import Counter
 
+    docs = _docs(spark).select("doc_id", "text")
+    d = F.col("doc_id")
     c = Counter(r[1] for r in got)
     assert set(c) == {"new", "vanished", "changed", "unchanged"}
     # fixture arithmetic: every status count is derivable exactly
@@ -141,42 +121,13 @@ def test_snapshot_delta_whitespace_invariant(spark):
 
 
 def test_ivf_cell_drift_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _cell_drift_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        ivf_cell_drift,
-    )
     from hummingbirddatapipeline_spark.tables import load
 
-    emb = load(spark, SF, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    v = F.col("vec_id")
-    new = emb.filter(v % 17 != 0).select(
-        "vec_id",
-        F.when(
-            v % 5 == 0,
-            F.expr(
-                "concat(array(embedding[0] + 0.25D),"
-                " slice(embedding, 2, size(embedding) - 1))"
-            ),
-        )
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-    got = [
-        tuple(r) for r in ivf_cell_drift(emb, new, IVF_CENTROIDS_64D).collect()
-    ]
-    con = _duck("embeddings")
-    exp = con.sql(_cell_drift_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "similarity_cell_drift", "embeddings")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 17 != 0)
     # conservation: totals reconcile with the fixture — n_old sums to
     # the corpus, n_new to the recrawl, and global arrivals equal the
     # vectors that actually changed cells (departures additionally

@@ -43,24 +43,27 @@ def _norm(rows):
     return sorted(out, key=repr)
 
 
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
+
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
+    con.close()
+    return got, exp
+
+
 def test_trigram_heldout_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _trigram_heldout_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        trigram_logprob_heldout,
-    )
     from hummingbirddatapipeline_spark.tables import load
 
-    docs = load(spark, SF, "documents")
-    got = [tuple(r) for r in trigram_logprob_heldout(docs).collect()]
-    con = _duck("documents")
-    exp = con.sql(_trigram_heldout_sql(0.4, "3333", "lm0")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_trigram_logprob_heldout", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # only held-out docs are scored, and they are a strict minority
-    n_docs = docs.count()
+    n_docs = load(spark, SF, "documents").count()
     assert 0 < len(got) < n_docs / 2
     for _id, nt, nll in got:
         if nt > 0:
@@ -102,25 +105,10 @@ def test_trigram_backoff_tiers_fire(spark):
 
 
 def test_rendezvous_matches_duckdb_and_minimal_movement(spark):
-    from hummingbirddatapipeline_spark.catalog.relational import (
-        _rendezvous_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.scale import (
-        rendezvous_shards,
-    )
     from hummingbirddatapipeline_spark.tables import load
 
-    docs = load(spark, SF, "documents").select("doc_id")
-    got = [
-        tuple(r)
-        for r in rendezvous_shards(
-            docs, "doc_id", n_shards=8, n_shards_new=9
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_rendezvous_sql(8, 9)).fetchall()
-    con.close()
-    assert len(got) == len(exp) == docs.count()
+    got, exp = _run_pair(spark, "layout_rendezvous_shards", "documents")
+    assert len(got) == len(exp) == load(spark, SF, "documents").count()
     assert _norm(got) == _norm(exp)
     # the HRW contract: every moved key lands on the ADDED shard, and
     # the moved fraction is ~1/9 (binomial 3-sigma band)
@@ -135,21 +123,10 @@ def test_rendezvous_matches_duckdb_and_minimal_movement(spark):
 
 
 def test_event_sequences_match_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.events_q import (
-        _event_seq_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.temporal import (
-        event_sequence_examples,
-    )
     from hummingbirddatapipeline_spark.tables import load
 
     ev = load(spark, SF, "events")
-    got = [
-        tuple(r) for r in event_sequence_examples(ev, history=4).collect()
-    ]
-    con = _duck("events")
-    exp = con.sql(_event_seq_sql(4)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "events_sequence_examples", "events")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # every example carries exactly `history` inputs, and per-user
