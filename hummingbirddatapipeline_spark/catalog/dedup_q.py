@@ -1008,6 +1008,33 @@ def _cluster_histogram_sql(threshold: float = 0.85) -> str:
     """
 
 
+@banked_query("dedup_cluster_histogram", oracle=_cluster_histogram_sql(0.85))
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/graph.
+    cluster_size_histogram) under the full oracle gate — the corpus
+    owner's first dedup-observability view: close the shared Jaccard
+    >= 0.85 pair graph, count clusters per size with every pairless
+    doc accounted as a singleton — the (size, n_clusters, n_docs)
+    distribution that says whether dedup is removing a boilerplate
+    head or a long tail. Exact-once accounting (sum of n_docs == the
+    corpus) is pinned in tests/test_r20_oracles.py.
+
+    Pair-source decision (recorded r11): exact shared pair set under
+    the oracle (DuckDB closes the identical graph recursively); the
+    100 TB feed is the banded-LSH capped path — the histogram itself
+    is pair-source-agnostic.
+
+    Scale shape: pointer-jumping CC (O(log n) rounds of skinny state)
+    + one anti-join for singletons + two tiny aggregates."""
+    from hummingbirddatapipeline_spark.operators.graph import (
+        cluster_size_histogram,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    return cluster_size_histogram(pairs, universe=docs)
+
+
 # --- r21-banked oracle builder (NOT yet registered; registration
 # target: the r20 window alongside the r20 tier — recipe in PLANS.md
 # "r21 bank"). The differential test in tests/test_r21_oracles.py
@@ -1052,6 +1079,33 @@ def _cross_source_sql(threshold: float = 0.85) -> str:
            CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
     FROM ex GROUP BY 1, 2
     """
+
+
+@banked_query("dedup_cross_source_matrix", oracle=_cross_source_sql(0.85))
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K x K cross-source duplication matrix (operators/dedup.
+    cross_source_dup_matrix) under the full oracle gate — dedup
+    provenance: every shared-pair (Jaccard >= 0.85) attributed to its
+    canonically-ordered (source, source) cell with exact pair and
+    distinct-doc counts — 'vendor B is 40% re-crawls of vendor A' as
+    one table. Attribution exactness (A-B/B-A collapse, once-per-cell
+    doc counting) is pinned in tests/test_r21_oracles.py.
+
+    Pair-source decision (r11 record): exact shared pairs under the
+    oracle; capped banded-LSH in production — the matrix is
+    pair-source-agnostic.
+
+    Scale shape: two source-attach joins on the SKINNY pair list +
+    ONE hash aggregate (pairs explode to their two doc rows so
+    count/2 — exact — and COUNT(DISTINCT) share one exchange); no
+    nested loops (contract-pinned)."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    return cross_source_dup_matrix(pairs, docs.select("doc_id", "source"))
 
 
 def _minhash_estimate_sql(

@@ -1626,6 +1626,33 @@ def _pq_distortion_sql(
     return "".join(parts)
 
 
+@banked_query("similarity_pq_distortion", oracle=_pq_distortion_sql(64, 4, 8, 2))
+def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ reconstruction distortion
+    (operators/similarity.pq_distortion) under the SHARED _pq_train
+    codebooks (m=4 subspaces, 8 codes, 2 Lloyd iterations) — the
+    quantity PQ training minimizes, as the acceptance report that
+    picks m/k_codes BEFORE queries regress; the PQ sibling of
+    sq8_fidelity. distortion = fixed-order sum of each subspace's 6dp
+    argmin distance (selection, not new arithmetic); code_sum = exact
+    BIGINT sum(code_s * k_codes^s) hashes the whole code vector. The
+    DuckDB oracle unrolls all m Lloyd trajectories and re-picks every
+    argmin. Lloyd monotonicity end-to-end and exact-twin determinism
+    are pinned in tests/test_r21_oracles.py.
+
+    Scale shape: the report pass is map-side ONLY — codebooks are plan
+    literals, ZERO exchanges and zero joins after training
+    (contract-pinned)."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        pq_distortion,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    return pq_distortion(emb, dim=64, m=4, k_codes=8, n_iter=2)
+
+
 def _source_profile_sql() -> str:
     """Independent DuckDB formulation of the per-source embedding norm
     profile (operators/similarity.embedding_source_profile): row-local

@@ -1708,6 +1708,29 @@ def _leaderboard_sql(
     """
 
 
+@banked_query("text_boilerplate_leaderboard", oracle=_leaderboard_sql(20, 2, 20))
+def text_boilerplate_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-boilerplate window leaderboard (operators/dedup.
+    boilerplate_leaderboard) under the full oracle gate — the
+    observability view over the substring-dup machinery: the top-20
+    most-duplicated 20-token windows with occurrence and distinct-doc
+    counts plus an engine-neutral representative (min doc_id, then min
+    start) and its actual text — what a corpus owner reads to find the
+    nav bars and cookie banners before cutting them. The planted-block
+    dominance contract is pinned in tests/test_r20_oracles.py.
+
+    Scale shape: hashed windows + one hash aggregate; the top-20 cut
+    is orderBy().limit() = TakeOrderedAndProject (per-partition
+    partial top-k, never a global sort); only the 20 winners' text is
+    ever re-attached."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        boilerplate_leaderboard,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_leaderboard(docs, k=20, top=20)
+
+
 def _bpe_fertility_sql() -> str:
     """Independent DuckDB formulation of the per-language tokenizer
     fertility report (operators/tokenization.bpe_fertility_by_lang):
@@ -1733,6 +1756,30 @@ def _bpe_fertility_sql() -> str:
              AS chars_per_token
     FROM base GROUP BY lang
     """
+
+
+@banked_query("text_bpe_fertility", oracle=_bpe_fertility_sql())
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE tokenizer-fertility report
+    (operators/tokenization.bpe_fertility_by_lang) under the full
+    oracle gate — the tokenizer-equity number (Ács 2019 'fertility'):
+    replay the frozen BPE_MERGES over each language's text and report
+    exact BPE-token / word / char counts with 6dp fertility
+    (tokens-per-word) and chars-per-token — the table that shows which
+    languages a tokenizer taxes. DuckDB nests the full frozen-merge
+    replay. Conservation bounds (n_words <= n_bpe <= n_chars+n_words)
+    are pinned in tests/test_r20_oracles.py.
+
+    Scale shape: the text_bpe_segment geometry — merge replay once per
+    UNIQUE word, broadcast re-attach, then one language-keyed
+    aggregate; corpus-scale work is one explode + one broadcast
+    join."""
+    from hummingbirddatapipeline_spark.artifacts import BPE_MERGES
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        bpe_fertility_by_lang,
+    )
+
+    return bpe_fertility_by_lang(load(spark, sf_dir, "documents"), BPE_MERGES)
 
 
 # --- r21-banked oracle builder (NOT yet registered; registration
@@ -1768,6 +1815,27 @@ def _tfidf_keywords_sql(k: int = 3) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+@banked_query("text_tfidf_keywords", oracle=_tfidf_keywords_sql(3))
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (operators/retrieval.
+    tfidf_keywords) under the full oracle gate — sklearn-smoothed idf
+    (ln((1+N)/(1+df)) + 1), scores 6dp-rounded BEFORE the
+    (score desc, term) rank cut so the top-k is engine-deterministic.
+    The df=1-outranks-stopwords constructive pin lives in
+    tests/test_r21_oracles.py.
+
+    Scale shape: one explode -> (doc, term) tf aggregate; the
+    vocabulary-sized df table joins back broadcast; N is the one-row
+    scalar crossJoin (exactly one BNLJ, contract-pinned); one per-doc
+    rank window. The tf subtree evaluates twice (df build + scoring) —
+    the documented two-pass LM shape."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        tfidf_keywords,
+    )
+
+    return tfidf_keywords(load(spark, sf_dir, "documents"), k=3)
 
 
 def _vocab_coverage_sql(vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096)) -> str:

@@ -49,53 +49,32 @@ def _docs(spark):
     return load(spark, SF, "documents")
 
 
-def test_cluster_histogram_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _cluster_histogram_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        jaccard_pairs_prefix,
-    )
-    from hummingbirddatapipeline_spark.operators.graph import (
-        cluster_size_histogram,
-    )
+def _run_pair(spark, name):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    docs = _docs(spark)
-    pairs = jaccard_pairs_prefix(
-        docs, "text", "doc_id", threshold=0.85, shingle_size=1
-    ).select("id_a", "id_b")
-    got = [
-        tuple(r)
-        for r in cluster_size_histogram(pairs, universe=docs).collect()
-    ]
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
     con = _duck()
-    exp = con.sql(_cluster_histogram_sql(0.85)).fetchall()
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_cluster_histogram_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "dedup_cluster_histogram")
     assert len(got) == len(exp) > 1
     assert _norm(got) == _norm(exp)
     # every document is accounted exactly once across the histogram
-    assert sum(r[2] for r in got) == docs.count()
+    assert sum(r[2] for r in got) == _docs(spark).count()
     for size, n_clusters, n_docs in got:
         assert size >= 1 and n_clusters >= 1
         assert n_docs == size * n_clusters
 
 
 def test_boilerplate_leaderboard_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _leaderboard_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        boilerplate_leaderboard,
-    )
-
-    docs = _docs(spark).select("doc_id", "text")
-    got = [
-        tuple(r)
-        for r in boilerplate_leaderboard(docs, k=20, top=20).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_leaderboard_sql(20, 2, 20)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_boilerplate_leaderboard")
     assert len(got) == len(exp) == 20
     assert _norm(got) == _norm(exp)
     # ranks are 1..top in non-increasing occurrence order, every row
@@ -133,27 +112,13 @@ def test_leaderboard_plants_surface_first(spark):
 
 
 def test_bpe_fertility_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.artifacts import BPE_MERGES
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _bpe_fertility_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.tokenization import (
-        bpe_fertility_by_lang,
-    )
-
-    docs = _docs(spark)
-    got = [
-        tuple(r) for r in bpe_fertility_by_lang(docs, BPE_MERGES).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_bpe_fertility_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_bpe_fertility")
     assert len(got) == len(exp) > 1
     assert _norm(got) == _norm(exp)
     # conservation + sanity: doc counts cover the corpus; BPE never
     # splits below one token per word, and merges keep fertility
     # meaningfully below raw character count
-    assert sum(r[1] for r in got) == docs.count()
+    assert sum(r[1] for r in got) == _docs(spark).count()
     for _lang, _nd, n_bpe, n_words, n_chars, fert, cpt in got:
         assert n_bpe >= n_words
         assert fert >= 1.0

@@ -69,32 +69,31 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _run_pair(spark, name, table):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
+
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(table)
+    exp = con.sql(sql).fetchall()
+    con.close()
+    return got, exp
+
+
 def test_cross_source_matrix_matches_duckdb(spark):
     from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _cross_source_sql,
         shared_jaccard_pairs,
     )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        cross_source_dup_matrix,
-    )
 
-    docs = _docs(spark)
-    pairs = shared_jaccard_pairs(spark, SF)
-    got = [
-        tuple(r)
-        for r in cross_source_dup_matrix(
-            pairs, docs.select("doc_id", "source")
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_cross_source_sql(0.85)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "dedup_cross_source_matrix", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
     # conservation: cell pair counts sum to the full pair-set size,
     # cells are canonically ordered, and doc counts are sane
-    assert sum(r[2] for r in got) == pairs.count()
+    assert sum(r[2] for r in got) == shared_jaccard_pairs(spark, SF).count()
     for sa, sb, n_pairs, n_docs in got:
         assert sa <= sb
         assert n_pairs >= 1
@@ -136,17 +135,7 @@ def test_cross_source_matrix_attribution_is_exact(spark):
 
 
 def test_tfidf_keywords_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _tfidf_keywords_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        tfidf_keywords,
-    )
-
-    got = [tuple(r) for r in tfidf_keywords(_docs(spark), k=3).collect()]
-    con = _duck("documents")
-    exp = con.sql(_tfidf_keywords_sql(3)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_tfidf_keywords", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
@@ -184,23 +173,7 @@ def test_tfidf_keywords_surfaces_the_distinctive_term(spark):
 
 
 def test_pq_distortion_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _pq_distortion_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        pq_distortion,
-    )
-
-    emb = _emb(spark)
-    got = [
-        tuple(r)
-        for r in pq_distortion(
-            emb, dim=64, m=4, k_codes=8, n_iter=2
-        ).collect()
-    ]
-    con = _duck("embeddings")
-    exp = con.sql(_pq_distortion_sql(64, 4, 8, 2)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "similarity_pq_distortion", "embeddings")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
