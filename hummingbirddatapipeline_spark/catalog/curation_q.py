@@ -1240,6 +1240,29 @@ def _quality_borda_sql() -> str:
     """
 
 
+@banked_query("curation_quality_borda", oracle=_quality_borda_sql())
+def curation_quality_borda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Borda fusion of three quality signals
+    (operators/retrieval.quality_borda) under the full oracle gate:
+    heuristic quality desc, token count desc, duplicate-token fraction
+    asc — all ranks row_number with doc_id tiebreaks, borda = sum of
+    ranks, output pure integers (NO floats enter the fusion). The
+    shared _QUALITY fragment rounds 2dp on both engines (lossless —
+    the score is a sum of 0.1-multiples). Per-source rank-permutation
+    and repartition-invariance pins live in tests/test_r23_oracles.py.
+
+    Scale shape: per-stratum ranking is both the statistically right
+    pool and the scale-correct layout — ONE stratum-keyed exchange
+    shared by all four windows (contract-pinned: exactly 1 Exchange,
+    0 joins), vs the documented single-partition global-window
+    anti-pattern."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        quality_borda,
+    )
+
+    return quality_borda(load(spark, sf_dir, "documents"))
+
+
 def _gate_kappa_sql(quality_threshold: float = 0.6) -> str:
     """Independent DuckDB formulation of the gate-agreement Cohen's
     kappa (operators/evaluation.gate_agreement_kappa): re-derives both

@@ -1168,6 +1168,44 @@ def _minhash_estimate_sql(
     """
 
 
+@banked_query("dedup_minhash_estimate", oracle=_minhash_estimate_sql(16, 0.3, 200, "mh0"))
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself value-oracled
+    (operators/dedup.minhash_estimate_pairs): per candidate pair over
+    the doc_id < 200 slice (the sf-bounded cap that keeps the exact
+    pair build constant-cost at any SF), matches/K (K=16) next to the
+    exact shingle Jaccard and the observed |error| — the fidelity
+    report that prices K before the banding is trusted, using portable
+    52-bit-md5 per-component hashes both engines replay exactly
+    (production keeps xxhash64). The identical-docs-estimate-1.0 and
+    Broder-envelope pins live in tests/test_r22_oracles.py.
+
+    The pair list is localCheckpointed before the estimator (the
+    banking-time scan-audit lesson: the lazy exact-pair lineage
+    otherwise re-inlines into the estimator's two attach joins).
+
+    Scale shape: at real scale this measurement row runs on a PAIR
+    SAMPLE — estimator fidelity is a sampled audit, never a
+    corpus-wide pass; the attach joins are bounded by the pair
+    list."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        jaccard_pairs_all,
+        minhash_estimate_pairs,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    pairs = (
+        jaccard_pairs_all(docs, "text", "doc_id", threshold=0.3, shingle_size=1)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    return minhash_estimate_pairs(docs, pairs, num_hashes=16, seed="mh0")
+
+
 def _lsh_recall_sql(
     num_hashes: int = 16,
     bands: int = 4,
@@ -1238,6 +1276,37 @@ def _lsh_recall_sql(
     LEFT JOIN cand ON cand.id_a = e.id_a AND cand.id_b = e.id_b
     GROUP BY 1
     """
+
+
+@banked_query("dedup_lsh_recall", oracle=_lsh_recall_sql(16, 4, 0.3, 200, "mh0"))
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Jaccard-decile recall of LSH banding vs the exact pair set
+    (operators/dedup.lsh_recall_report; K=16, 4 bands, doc_id < 200 —
+    the estimator row's sf-bounded cap family) under the full oracle
+    gate — observes the 1-(1-J^r)^b S-curve on real data: the
+    parameter-acceptance report for (num_hashes, bands), same
+    observe-don't-trust philosophy as dedup_minhash_estimate. Bands
+    use the portable md5 signature family with the band's RAW
+    component slice as the bucket key (no bucket re-hash, so the
+    DuckDB replay carries zero hash-collision caveat). Exact twins
+    (J=1.0) ALWAYS caught — pinned in tests/test_r23_oracles.py.
+
+    Uncapped BY DESIGN: a capped report measures the cap, not the
+    banding; production keeps minhash_lsh_candidates + max_bucket +
+    the dropped-buckets audit. The measurement cost is
+    universe-bounded (doc_id < 200), not corpus-bounded."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    return lsh_recall_report(
+        docs, num_hashes=16, bands=4, threshold=0.3, seed="mh0"
+    )
 
 
 def _lsh_candidate_profile_sql(

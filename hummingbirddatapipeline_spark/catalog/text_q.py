@@ -1871,6 +1871,32 @@ def _vocab_coverage_sql(vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096)) 
     """
 
 
+@banked_query(
+    "text_vocab_coverage", oracle=_vocab_coverage_sql((64, 256, 1024, 4096))
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve (operators/tokenization.
+    vocab_coverage) under the full oracle gate — the sizing step that
+    precedes BPE training: for each candidate vocab size V in (64,
+    256, 1024, 4096), the fraction of corpus token occurrences covered
+    by the top-V words (count desc, word asc — deterministic rank);
+    the curve's knee is the Zipf diagnostic. Exact BIGINT counts, one
+    6dp division; the engineered Zipf fixture (8/4/2/1 -> 8/15, 12/15,
+    1.0) is pinned in tests/test_r22_oracles.py.
+
+    Scale shape: one explode -> one map-side-combined hash aggregate;
+    the rank window + conditional sums run on the VOCAB table only —
+    the corpus never moves (contract-pinned: no join, no
+    cartesian)."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(
+        load(spark, sf_dir, "documents"), (64, 256, 1024, 4096)
+    )
+
+
 def _length_groups_sql(
     bin_tokens: int = 64, batch_size: int = 8, seed: str = "lg0"
 ) -> str:
@@ -1904,6 +1930,31 @@ def _length_groups_sql(
                     0.0) AS padding_frac
     FROM batched GROUP BY bin_id, batch_seq
     """
+
+
+@banked_query("text_pack_length_groups", oracle=_length_groups_sql(64, 8, "lg0"))
+def text_pack_length_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching plan (operators/tokenization.
+    pack_length_groups) under the full oracle gate — HuggingFace
+    group_by_length / fairseq max-tokens reduced to its deterministic
+    core: docs bucket into 64-token length bins, md5-shuffle within
+    the bin (content-addressed, NEVER an RNG), cut into batches of 8,
+    each reporting padding_frac = 1 - sum/(max*n). Repartition
+    invariance and full-batches-before-the-tail are pinned in
+    tests/test_r22_oracles.py.
+
+    Scale shape: ONE bin-keyed exchange shared by the row_number
+    window and the batch aggregate (contract-pinned: exactly 1
+    Exchange, 0 joins) — batch planning for a 100 TB corpus is one
+    skinny shuffle."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        pack_length_groups,
+    )
+
+    return pack_length_groups(
+        load(spark, sf_dir, "documents"), bin_tokens=64, batch_size=8,
+        seed="lg0",
+    )
 
 
 def _ngram_novelty_sql(n: int = 2) -> str:
@@ -1942,6 +1993,27 @@ def _ngram_novelty_sql(n: int = 2) -> str:
                 ELSE 0.0 END AS novelty_frac
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
+
+
+@banked_query("text_ngram_novelty", oracle=_ngram_novelty_sql(2))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-unique n-gram fraction
+    (operators/retrieval.ngram_novelty, n=2) under the full oracle
+    gate — the diversity-contribution score, the mirror image of the
+    dup filters: dedup removes what repeats, novelty ranks what
+    remains by what it ADDS. One row per input doc (zero-gram docs
+    kept at 0.0); exact BIGINTs + one 6dp division. Shared-bigram
+    twins scoring 0.0 / all-unique scoring 1.0 pinned in
+    tests/test_r23_oracles.py.
+
+    Scale shape: ONE corpus scan -> skinny (id, gram) checkpoint
+    feeding BOTH the df aggregate and the probe join (the store+probe
+    corpus-LM shape, lineage-cut per the r11 lesson)."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(load(spark, sf_dir, "documents"), n=2)
 
 
 def _concat_manifest_sql(

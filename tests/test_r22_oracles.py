@@ -57,20 +57,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_vocab_coverage_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _vocab_coverage_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.tokenization import (
-        vocab_coverage,
-    )
+def _run_pair(spark, name):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r) for r in vocab_coverage(_docs(spark), _VS).collect()
-    ]
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
     con = _duck()
-    exp = con.sql(_vocab_coverage_sql(_VS)).fetchall()
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_vocab_coverage_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_vocab_coverage")
     assert len(got) == len(exp) == len(_VS)
     assert _norm(got) == _norm(exp)
 
@@ -110,22 +111,7 @@ def test_vocab_coverage_zipf_fixture(spark):
 
 
 def test_length_groups_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _length_groups_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.tokenization import (
-        pack_length_groups,
-    )
-
-    got = [
-        tuple(r)
-        for r in pack_length_groups(
-            _docs(spark), bin_tokens=64, batch_size=8, seed="lg0"
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_length_groups_sql(64, 8, "lg0")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_pack_length_groups")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
@@ -167,29 +153,7 @@ def test_length_groups_batches_are_content_addressed(spark):
 
 
 def test_minhash_estimate_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _minhash_estimate_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        jaccard_pairs_all,
-        minhash_estimate_pairs,
-    )
-
-    docs = _docs(spark).filter(F.col("doc_id") < 200).select(
-        "doc_id", "text"
-    )
-    pairs = jaccard_pairs_all(
-        docs, "text", "doc_id", threshold=0.3, shingle_size=1
-    ).select("id_a", "id_b")
-    got = [
-        tuple(r)
-        for r in minhash_estimate_pairs(
-            docs, pairs, num_hashes=16, seed="mh0"
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_minhash_estimate_sql(16, 0.3, 200, "mh0")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "dedup_minhash_estimate")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 

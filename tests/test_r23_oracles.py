@@ -52,17 +52,22 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_ngram_novelty_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _ngram_novelty_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        ngram_novelty,
-    )
+def _run_pair(spark, name):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [tuple(r) for r in ngram_novelty(_docs(spark), n=2).collect()]
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
     con = _duck()
-    exp = con.sql(_ngram_novelty_sql(2)).fetchall()
+    exp = con.sql(sql).fetchall()
+    con.close()
+    return got, exp
+
+
+def test_ngram_novelty_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_ngram_novelty")
+    con = _duck()
     n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
     con.close()
     assert len(got) == len(exp) == n_docs  # one row per doc, always
@@ -101,17 +106,7 @@ def test_ngram_novelty_fixture(spark):
 
 
 def test_quality_borda_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _quality_borda_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        quality_borda,
-    )
-
-    got = [tuple(r) for r in quality_borda(_docs(spark)).collect()]
-    con = _duck()
-    exp = con.sql(_quality_borda_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "curation_quality_borda")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
@@ -159,25 +154,7 @@ def test_quality_borda_fixture_and_stability(spark):
 
 
 def test_lsh_recall_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _lsh_recall_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        lsh_recall_report,
-    )
-
-    docs = _docs(spark).filter(F.col("doc_id") < 200).select(
-        "doc_id", "text"
-    )
-    got = [
-        tuple(r)
-        for r in lsh_recall_report(
-            docs, num_hashes=16, bands=4, threshold=0.3, seed="mh0"
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_lsh_recall_sql(16, 4, 0.3, 200, "mh0")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "dedup_lsh_recall")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     bands = {r[0]: r for r in got}
