@@ -1317,6 +1317,30 @@ def _gate_kappa_sql(quality_threshold: float = 0.6) -> str:
     """
 
 
+@banked_query("curation_gate_kappa", oracle=_gate_kappa_sql(0.6))
+def curation_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the C4 keep verdict and the composite
+    quality gate, per source (operators/evaluation.
+    gate_agreement_kappa, threshold 0.6) under the full oracle gate —
+    the agreement-beyond-chance report a pipeline owner reads BEFORE
+    labels exist (AUC needs labels, calibration needs probabilities;
+    kappa needs only the two gates). Exact 2x2 BIGINT contingency;
+    po/pe/kappa are fixed-order IEEE chains both engines replay; the
+    pe=1 degenerate stratum is kappa=1.0 by convention. The
+    balanced-2x2 -> exactly 0.0 pin lives in tests/test_r24_oracles.py.
+
+    Scale shape: map-side gates + ONE stratum hash aggregate, zero
+    joins (contract-pinned) — the report is K rows at any corpus
+    size."""
+    from hummingbirddatapipeline_spark.operators.evaluation import (
+        gate_agreement_kappa,
+    )
+
+    return gate_agreement_kappa(
+        load(spark, sf_dir, "documents"), quality_threshold=0.6
+    )
+
+
 def _bloom_fpr_sql(
     split_id: int = 250, n_words: int = 16, n_hashes: int = 3
 ) -> str:

@@ -809,6 +809,27 @@ def _gap_report_sql(min_gap_sec: int = 3600) -> str:
     """
 
 
+@banked_query("events_gap_report", oracle=_gap_report_sql(3600))
+def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps freshness report
+    (operators/temporal.gap_report, min_gap_sec=3600) under the full
+    oracle gate: per user, every silence >= 1h as (key, gap_start_ms,
+    gap_end_ms, gap_ms) — the freshness/SLA primitive and the
+    independent audit of sessionization cuts (a session boundary IS a
+    reported gap). Accepts the canonical epoch-nanos BIGINT ts
+    (tables.load) or TIMESTAMP; ms reduction by INTEGER division (the
+    _with_ts_ms lesson). Tie-order safe: every output column is a ts
+    VALUE, so simultaneous events cannot change the result set (pinned
+    in tests/test_r25_oracles.py).
+
+    Scale shape: ONE key exchange + lag window, zero joins
+    (contract-pinned) — entities are independent, so the report is
+    embarrassingly parallel."""
+    from hummingbirddatapipeline_spark.operators.temporal import gap_report
+
+    return gap_report(load(spark, sf_dir, "events"), min_gap_sec=3600)
+
+
 def _mad_anomaly_sql(k: float = 3.0, key: str = "event_type") -> str:
     """Independent DuckDB formulation of the MAD hourly anomaly report
     (operators/windows.mad_anomaly_hours): re-derives hourly counts,

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import banked_query, query
 from hummingbirddatapipeline_spark.multimodal.core import (
     byte_features,
     sample_frames,
@@ -214,3 +214,27 @@ def _patch_plan_sql(patch: int = 16) -> str:
                 * {patch} - (strlen(text) % 480 + 16) AS BIGINT) AS pad_y
     FROM documents WHERE doc_id % 3 = 0
     """
+
+
+@banked_query("multimodal_patch_plan", oracle=_patch_plan_sql(16))
+def multimodal_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid manifest (multimodal/core.patch_plan, patch=16)
+    over typed image metadata under the full oracle gate: per image
+    the ceil-division grid, total patch count (the image's sequence
+    length for a vision transformer), and implied right/bottom
+    padding. Pure integer arithmetic over width/height from the synth
+    media fixture — content bytes never move, and actual decode stays
+    behind the optional-dependency gate (the frame-plan split). The
+    224x224@16 -> 196-patches-zero-pad closed form is pinned in
+    tests/test_r25_oracles.py.
+
+    Scale shape: ZERO-exchange map pass (contract-pinned: no Exchange
+    at all) — planning patches for a 100 TB image corpus is the
+    metadata scan itself."""
+    from hummingbirddatapipeline_spark.multimodal.core import (
+        patch_plan,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(load(spark, sf_dir, "documents"))
+    return patch_plan(media, patch=16)

@@ -1078,6 +1078,7 @@ def _q14_promo_sql() -> str:
     """
 
 
+@banked_query("q14_promo_effect", oracle=_q14_promo_sql())
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo revenue share by ship month (the TPC-H Q14 shape widened
     to a 12-row monthly report): lineitem x part equi-join with the

@@ -2057,6 +2057,31 @@ def _concat_manifest_sql(
     """
 
 
+@banked_query("text_pack_concat_manifest", oracle=_concat_manifest_sql(128, 8, "cc0"))
+def text_pack_concat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest (operators/tokenization.
+    pack_concat_manifest) under the full oracle gate — the
+    GPT-pretraining layout (docs concatenated into fixed 128-token
+    sequences, crossing boundaries) as its deterministic manifest: per
+    doc the shard (portable md5 route over 8 shards), exact stream
+    offset (per-shard prefix sum), start_seq/start_pos/end_seq/n_seqs.
+    Per-SHARD streams, because the global-concat prefix sum is the
+    single-partition anti-pattern — per-shard is how real writers lay
+    out streams. Stream contiguity (no token lost, none double-placed)
+    and repartition invariance are pinned in tests/test_r24_oracles.py.
+
+    Scale shape: map-side counts, ONE shard-keyed exchange for the
+    running-sum window, zero joins (contract-pinned)."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        pack_concat_manifest,
+    )
+
+    return pack_concat_manifest(
+        load(spark, sf_dir, "documents"), seq_len=128, num_shards=8,
+        seed="cc0",
+    )
+
+
 def _heaps_growth_sql(
     fractions: "tuple[float, ...]" = (0.25, 0.5, 0.75, 1.0),
 ) -> str:
@@ -2105,6 +2130,32 @@ def _heaps_growth_sql(
     )
     {sels}
     """
+
+
+@banked_query("text_heaps_growth", oracle=_heaps_growth_sql((0.25, 0.5, 0.75, 1.0)))
+def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (operators/tokenization.
+    heaps_vocab_growth) under the full oracle gate — the companion of
+    the vocab-coverage Zipf curve: at id-range prefix cuts (25/50/75/
+    100%), n_docs / n_tokens / n_types and the type-token ratio — the
+    measurement behind 'will a tokenizer trained on a sample hold up
+    on the full crawl'. Cut arithmetic pinned cross-engine (FLOOR
+    before CAST — DuckDB's double cast rounds, Spark's truncates).
+    Monotone counts + non-increasing TTR pinned in
+    tests/test_r24_oracles.py.
+
+    Scale shape: ONE corpus explode -> checkpointed skinny (id, word)
+    feeding BOTH the per-word first-occurrence table and per-doc
+    counts (store+probe); prefix stats are K conditional sums against
+    the broadcast 1-row cut frame (the documented single-row
+    crossJoin)."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        heaps_vocab_growth,
+    )
+
+    return heaps_vocab_growth(
+        load(spark, sf_dir, "documents"), (0.25, 0.5, 0.75, 1.0)
+    )
 
 
 def _char_entropy_sql() -> str:

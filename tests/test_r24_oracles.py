@@ -52,23 +52,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_concat_manifest_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _concat_manifest_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.tokenization import (
-        pack_concat_manifest,
-    )
+def _run_pair(spark, name):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in pack_concat_manifest(
-            _docs(spark), seq_len=128, num_shards=8, seed="cc0"
-        ).collect()
-    ]
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
     con = _duck()
-    exp = con.sql(_concat_manifest_sql(128, 8, "cc0")).fetchall()
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_concat_manifest_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_pack_concat_manifest")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
 
@@ -112,20 +110,7 @@ def test_concat_manifest_repartition_stable(spark):
 
 
 def test_heaps_growth_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _heaps_growth_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.tokenization import (
-        heaps_vocab_growth,
-    )
-
-    got = [
-        tuple(r)
-        for r in heaps_vocab_growth(_docs(spark), _FRACS).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_heaps_growth_sql(_FRACS)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_heaps_growth")
     assert len(got) == len(exp) == len(_FRACS)
     assert _norm(got) == _norm(exp)
 
@@ -162,22 +147,7 @@ def test_heaps_growth_fixture(spark):
 
 
 def test_gate_kappa_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _gate_kappa_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.evaluation import (
-        gate_agreement_kappa,
-    )
-
-    got = [
-        tuple(r)
-        for r in gate_agreement_kappa(
-            _docs(spark), quality_threshold=0.6
-        ).collect()
-    ]
-    con = _duck()
-    exp = con.sql(_gate_kappa_sql(0.6)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "curation_gate_kappa")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _src, n, n11, n10, n01, n00, po, pe, kappa in got:

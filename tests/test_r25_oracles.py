@@ -50,22 +50,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_gap_report_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.events_q import (
-        _gap_report_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.temporal import (
-        gap_report,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in gap_report(_load(spark, "events"), min_gap_sec=3600)
-        .collect()
-    ]
-    con = _duck("events")
-    exp = con.sql(_gap_report_sql(3600)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_gap_report_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "events_gap_report", "events")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _u, start, end, gap in got:
@@ -97,19 +96,7 @@ def test_gap_report_fixture(spark):
 
 
 def test_patch_plan_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.multimodal_q import (
-        _patch_plan_sql,
-    )
-    from hummingbirddatapipeline_spark.multimodal.core import (
-        patch_plan,
-        synth_media_from_documents,
-    )
-
-    media = synth_media_from_documents(_load(spark, "documents"))
-    got = [tuple(r) for r in patch_plan(media, patch=16).collect()]
-    con = _duck("documents")
-    exp = con.sql(_patch_plan_sql(16)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "multimodal_patch_plan", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _id, w, h, npx, npy, n, pad_x, pad_y in got:
@@ -146,15 +133,7 @@ def test_patch_plan_fixture(spark):
 
 
 def test_q14_promo_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.relational import (
-        _q14_promo_sql,
-        q14_promo_effect,
-    )
-
-    got = [tuple(r) for r in q14_promo_effect(spark, SF).collect()]
-    con = _duck("lineitem", "part")
-    exp = con.sql(_q14_promo_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "q14_promo_effect", "lineitem", "part")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for month, promo, total, pct in got:
