@@ -1368,6 +1368,36 @@ def _lsh_candidate_profile_sql(
     """
 
 
+@banked_query(
+    "dedup_lsh_candidate_profile",
+    oracle=_lsh_candidate_profile_sql(16, 4, 200, "mh0"),
+)
+def dedup_lsh_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision-side LSH report (operators/dedup.
+    lsh_candidate_profile; K=16, 4 bands, doc_id < 200 — the
+    estimator/recall cap family) under the full oracle gate: the
+    exact-Jaccard decile histogram of what banding EMITS — recall asks
+    what banding catches; this prices what the verifier must reject.
+    Same portable-signature machinery as dedup_lsh_recall; candidates
+    attach shingle sets by equi-join (bounded by the candidate list);
+    fractions against a window total over the <= 11-row aggregate.
+    Cross-row pin (profile's 0.9-band candidates == recall's caught
+    twins) lives in tests/test_r27_oracles.py.
+
+    Scale shape: universe-bounded measurement, equi-joins only
+    (contract-pinned: no nested loops)."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        lsh_candidate_profile,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    return lsh_candidate_profile(docs, num_hashes=16, bands=4, seed="mh0")
+
+
 def _source_overlap_sql() -> str:
     """Independent DuckDB formulation of the K x K source vocabulary
     overlap (operators/dedup.source_overlap_matrix): distinct

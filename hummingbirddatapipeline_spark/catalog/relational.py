@@ -1164,6 +1164,29 @@ _Q19_BRACKETS = (
 )
 
 
+@banked_query("dq_embedding_coverage", oracle=_embedding_coverage_sql())
+def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional referential-integrity report over documents x
+    embeddings (operators/expectations.embedding_coverage) under the
+    full oracle gate — per source: n_docs / n_matched / n_doc_only /
+    coverage, with vectors that have no document folded into one
+    __orphan__ row (the per-source operational view;
+    check_foreign_key stays the one-directional primitive).
+    Planted-hole / planted-orphan exactness is pinned in
+    tests/test_r26_oracles.py.
+
+    Scale shape: both sides project to SKINNY ids before ONE
+    full-outer equi-join — text and vector payloads never move; the
+    report is K+1 rows at any scale."""
+    from hummingbirddatapipeline_spark.operators.expectations import (
+        embedding_coverage,
+    )
+
+    return embedding_coverage(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
 def _q19_bracket_sql() -> str:
     """Independent DuckDB formulation of the bracketed-predicate
     revenue query (the TPC-H Q19 shape): per bracket, matched line
@@ -1187,6 +1210,7 @@ def _q19_bracket_sql() -> str:
     """
 
 
+@banked_query("q19_bracket_revenue", oracle=_q19_bracket_sql())
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bracketed-predicate revenue (the TPC-H Q19 shape, per-bracket
     rows instead of one grand total): each bracket is a conjunctive

@@ -1677,6 +1677,31 @@ def _source_profile_sql() -> str:
     """
 
 
+@banked_query("similarity_source_profile", oracle=_source_profile_sql())
+def similarity_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding norm profile
+    (operators/similarity.embedding_source_profile) under the full
+    oracle gate — the drift view per ingest source (a shifted norm
+    distribution = re-embedded with a different model): n plus
+    mean/min/max norms as e6 BIGINTs, the mean from EXACT integer
+    sums so the report is partitioning-invariant. sqrt is
+    IEEE-correctly-rounded, so the row-local norm is safe
+    cross-engine (the unit_norm_e6 precedent, validated on RAW norms).
+    The 3-4-5 fixture and the doubling-scale invariance are pinned in
+    tests/test_r26_oracles.py.
+
+    Scale shape: norms reduce map-side to ONE long per vector BEFORE
+    the source attach — the embedding array never crosses the join;
+    one K-row aggregate."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_source_profile,
+    )
+
+    return embedding_source_profile(
+        load(spark, sf_dir, "embeddings"), load(spark, sf_dir, "documents")
+    )
+
+
 def _centroid_drift_sql() -> str:
     """Independent DuckDB formulation of the per-source centroid drift
     (operators/similarity.centroid_drift_by_source): e6-quantized

@@ -2183,6 +2183,29 @@ def _char_entropy_sql() -> str:
     """
 
 
+@banked_query("text_char_entropy", oracle=_char_entropy_sql())
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-level Shannon entropy in nats
+    (functions/text.char_entropy) under the full oracle gate — the
+    gibberish/compressibility signal. Cross-engine exactness by
+    construction: the fold runs over the SORTED distinct char array
+    (identical IEEE order both engines), probabilities bind once in an
+    inner transform (the interpreted-HOF double-eval trap), the char
+    array binds once via the single-element-array transform (the
+    word_shingles lesson), ln rounds at 6dp (the unigram_logprob
+    precedent). Closed-form anchors ('aaaa' -> 0, 'ab' -> ln 2,
+    'abcd' -> ln 4, empty -> 0.0) pinned in tests/test_r26_oracles.py.
+
+    Scale shape: ZERO-shuffle map pass — the signal is the scan."""
+    from hummingbirddatapipeline_spark.functions.text import char_entropy
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        char_entropy(F.col("text")).alias("entropy"),
+    )
+
+
 def _pmi_collocations_sql(min_count: int = 5, k: int = 20) -> str:
     """Independent DuckDB formulation of the PMI collocation miner
     (operators/retrieval.pmi_collocations): rebuilds bigram/unigram
@@ -2224,6 +2247,30 @@ def _pmi_collocations_sql(min_count: int = 5, k: int = 20) -> str:
       FROM cand
     ) WHERE rank <= {k}
     """
+
+
+@banked_query("text_pmi_collocations", oracle=_pmi_collocations_sql(5, 20))
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-bigram collocations by PMI (Church & Hanks 1990;
+    operators/retrieval.pmi_collocations, min_count=5) under the full
+    oracle gate — the classic phrase miner, corpus-level companion of
+    the bigram LM rows. Exact counts; PMI is one fixed-order IEEE
+    chain ending in a single ln, 6dp-rounded BEFORE the
+    (pmi desc, bigram) cut. The fixture encodes PMI's signature
+    behavior (a perfectly-coupled rare pair BEATS a frequent loosely
+    coupled one — coupling, not mass) in tests/test_r27_oracles.py.
+
+    Scale shape: ONE text scan -> checkpointed token-array frame
+    feeding both explodes; count tables broadcast back; <= 2 one-row
+    BNLJ scalar attaches (contract-pinned); rank window on the
+    vocabulary-bounded collocation table."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        load(spark, sf_dir, "documents"), min_count=5, k=20
+    )
 
 
 def _source_kl_sql() -> str:

@@ -51,23 +51,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_embedding_coverage_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.relational import (
-        _embedding_coverage_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.expectations import (
-        embedding_coverage,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in embedding_coverage(
-            _load(spark, "documents"), _load(spark, "embeddings")
-        ).collect()
-    ]
-    con = _duck("documents", "embeddings")
-    exp = con.sql(_embedding_coverage_sql()).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_embedding_coverage_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "dq_embedding_coverage", "documents", "embeddings")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for src, n_docs, n_matched, n_doc_only, n_vec_only, cov in got:
@@ -102,22 +100,9 @@ def test_embedding_coverage_fixture(spark):
 
 
 def test_source_profile_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _source_profile_sql,
+    got, exp = _run_pair(
+        spark, "similarity_source_profile", "documents", "embeddings"
     )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        embedding_source_profile,
-    )
-
-    got = [
-        tuple(r)
-        for r in embedding_source_profile(
-            _load(spark, "embeddings"), _load(spark, "documents")
-        ).collect()
-    ]
-    con = _duck("documents", "embeddings")
-    exp = con.sql(_source_profile_sql()).fetchall()
-    con.close()
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _src, n, mean_e6, mn, mx in got:
@@ -151,24 +136,7 @@ def test_source_profile_scale_invariance(spark):
 
 
 def test_char_entropy_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _char_entropy_sql,
-    )
-    from hummingbirddatapipeline_spark.functions.text import char_entropy
-
-    got = [
-        tuple(r)
-        for r in _load(spark, "documents")
-        .select(
-            "doc_id",
-            F.length("text").cast("long").alias("n_chars"),
-            char_entropy(F.col("text")).alias("entropy"),
-        )
-        .collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_char_entropy_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_char_entropy", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _id, n_chars, ent in got:

@@ -47,23 +47,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_pmi_collocations_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _pmi_collocations_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        pmi_collocations,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in pmi_collocations(
-            _load(spark, "documents"), min_count=5, k=20
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_pmi_collocations_sql(5, 20)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_pmi_collocations_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_pmi_collocations", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     ranks = sorted(r[5] for r in got)
@@ -104,25 +102,7 @@ def test_pmi_collocations_fixture(spark):
 
 
 def test_lsh_candidate_profile_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _lsh_candidate_profile_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        lsh_candidate_profile,
-    )
-
-    docs = _load(spark, "documents").filter(F.col("doc_id") < 200).select(
-        "doc_id", "text"
-    )
-    got = [
-        tuple(r)
-        for r in lsh_candidate_profile(
-            docs, num_hashes=16, bands=4, seed="mh0"
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_lsh_candidate_profile_sql(16, 4, 200, "mh0")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "dedup_lsh_candidate_profile", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     total_frac = sum(r[2] for r in got)
@@ -158,15 +138,7 @@ def test_lsh_profile_consistency_with_recall(spark):
 
 
 def test_q19_bracket_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.relational import (
-        _q19_bracket_sql,
-        q19_bracket_revenue,
-    )
-
-    got = [tuple(r) for r in q19_bracket_revenue(spark, SF).collect()]
-    con = _duck("lineitem", "part")
-    exp = con.sql(_q19_bracket_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "q19_bracket_revenue", "lineitem", "part")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for bracket, n, cents in got:
