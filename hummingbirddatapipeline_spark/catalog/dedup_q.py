@@ -1427,6 +1427,27 @@ def _source_overlap_sql() -> str:
     """
 
 
+@banked_query("dedup_source_overlap", oracle=_source_overlap_sql())
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K x K source vocabulary-Jaccard matrix
+    (operators/dedup.source_overlap_matrix) under the full oracle
+    gate — the cheap first look before any pair engine runs: which
+    source pairs share vocabulary at all (the vocabulary-level sibling
+    of dedup_cross_source_matrix). Canonically-ordered cells, exact
+    counts, one 6dp division; disjoint sources emit NO row. The
+    1-shared-of-3 -> J=1/3 closed form is pinned in
+    tests/test_r28_oracles.py.
+
+    Scale shape: the word-keyed self-join fans each word to at most
+    C(K,2) cells — catalog-bounded, never corpus-quadratic; everything
+    downstream of the first aggregate is vocabulary-sized."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(load(spark, sf_dir, "documents"))
+
+
 def _countmin_error_sql(
     depth: int = 4,
     width: int = 64,
@@ -1467,6 +1488,30 @@ def _countmin_error_sql(
     JOIN sketch s ON s.d = h.d AND s.b = h.b
     GROUP BY t.w, t.c, t.rank
     """
+
+
+@banked_query("sketch_countmin_error", oracle=_countmin_error_sql(4, 64, 20, "cm0"))
+def sketch_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch next to exact counts for the top-20
+    words (operators/dedup.countmin_error_report, depth=4, width=64)
+    under the full oracle gate — the frequency member of the
+    observe-don't-trust sketch family: the report that picks
+    depth x width before native approx functions are trusted. Portable
+    md5 row hashes -> bit-identical counters on both engines. The CM
+    THEOREM (never an underestimate) holds row-by-row on real data;
+    the collision-free-width -> exact and width=1 -> total-count
+    closed forms are pinned in tests/test_r29_oracles.py.
+
+    Scale shape: one explode + one map-side-combined count aggregate;
+    everything after the first aggregate is vocabulary-sized; the
+    sketch itself is depth x width longs."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        countmin_error_report,
+    )
+
+    return countmin_error_report(
+        load(spark, sf_dir, "documents"), depth=4, width=64, top=20
+    )
 
 
 def _cluster_cohesion_sql(threshold: float = 0.85) -> str:

@@ -862,3 +862,29 @@ def _mad_anomaly_sql(k: float = 3.0, key: str = "event_type") -> str:
     FROM withmed w JOIN mad d USING ({key})
     WHERE d.mad > 0 AND abs(w.n_events - w.med) > {k} * d.mad
     """
+
+
+@banked_query("events_mad_anomaly", oracle=_mad_anomaly_sql(3.0, "event_type"))
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD hourly anomaly flags (operators/windows.
+    mad_anomaly_hours, k=3) under the full oracle gate — the robust
+    cousin of events_anomaly_zscore: a spike inflates a stddev and
+    hides itself; it cannot move a median. Spark percentile(x, 0.5)
+    == DuckDB median() bit-for-bit on integer counts (verified on
+    even and odd cardinalities before the operator was written) —
+    medians/MADs are exact half/quarter integers; MAD = 0 strata flag
+    nothing by convention. Grain decision (recorded at banking): the
+    per-USER hourly stream is measured-vacuous (every MAD 0 at every
+    SF), so the row runs the event_type grain (~89 anomalies at
+    sf0.01); the operator keeps key_col for per-entity use. The
+    1/1/2/2/3/50 closed form is pinned in tests/test_r28_oracles.py.
+
+    Scale shape: one hourly aggregate + one key-partitioned
+    median/MAD window — two exchanges on the same key family,
+    embarrassingly parallel across keys."""
+    from hummingbirddatapipeline_spark.operators.windows import (
+        mad_anomaly_hours,
+    )
+
+    ev = _with_ts_ms(load(spark, sf_dir, "events"))
+    return mad_anomaly_hours(ev, k=3.0, key_col="event_type")

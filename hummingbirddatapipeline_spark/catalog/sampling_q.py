@@ -970,3 +970,29 @@ def _priority_sample_sql(
     FROM documents WHERE {weight_col} > 0
     QUALIFY rank <= {k}
     """
+
+
+@banked_query(
+    "sample_priority_weighted", oracle=_priority_sample_sql(50, "n_chars", "pw0")
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential priorities
+    (Efraimidis & Spirakis 2006; operators/sampling.
+    priority_weighted_sample, k=50 by n_chars) under the full oracle
+    gate: each row draws a content-addressed md5 uniform (the repo's
+    no-RNG rule), its key is -ln(u)/w, and the k smallest keys win —
+    keys 6dp-rounded before the (key asc, id) cut so the cut is
+    engine-deterministic. Repartition invariance, the
+    overwhelming-weight-always-wins bias check, and zero-weight
+    exclusion are pinned in tests/test_r29_oracles.py.
+
+    Scale shape: map-side keys + ONE top-k window, no joins — a
+    weighted corpus sample at 100 TB is one TakeOrdered-shaped
+    pass."""
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        priority_weighted_sample,
+    )
+
+    return priority_weighted_sample(
+        load(spark, sf_dir, "documents"), k=50, weight_col="n_chars"
+    )

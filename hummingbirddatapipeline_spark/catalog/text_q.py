@@ -2312,6 +2312,29 @@ def _source_kl_sql() -> str:
     """
 
 
+@banked_query("text_source_kl", oracle=_source_kl_sql())
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) per source
+    (operators/retrieval.source_unigram_kl) under the full oracle
+    gate — the domain-shift number behind temperature-mixing/DoReMi
+    decisions (DSIR's importance weights are its per-document view).
+    The scaled-long trick applied to a float-valued aggregate: each
+    (source, word) term p*ln(p/q) is row-local IEEE (one ln),
+    quantized to an e9 LONG, summed EXACTLY — partitioning-invariant
+    where a float sum over an unordered vocabulary is not. The
+    disjoint-equal-sources -> exactly ln2 and matching-source ->
+    exactly 0 closed forms are pinned in tests/test_r28_oracles.py.
+
+    Scale shape: ONE corpus explode; all later tables derive from the
+    vocab-sized (source, word) aggregate; <= 1 BNLJ (the 1-row N
+    attach, contract-pinned)."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        source_unigram_kl,
+    )
+
+    return source_unigram_kl(load(spark, sf_dir, "documents"))
+
+
 def _signature_ngrams_sql(k: int = 5, min_count: int = 5) -> str:
     """Independent DuckDB formulation of the per-source signature
     words (operators/retrieval.source_signature_ngrams): rebuilds the
@@ -2347,6 +2370,30 @@ def _signature_ngrams_sql(k: int = 5, min_count: int = 5) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+@banked_query("text_signature_ngrams", oracle=_signature_ngrams_sql(5, 5))
+def text_signature_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 characteristic words by lift
+    (operators/retrieval.source_signature_ngrams, min_count=5) under
+    the full oracle gate — (c_sw/N_s)/(c_w/N), the qualitative
+    companion of text_source_kl: KL says HOW FAR a source sits from
+    the mixture, this says WHICH words carry the difference. Pure
+    rational arithmetic — NO libm anywhere; 6dp lift rounds before the
+    (lift desc, word) cut. The exclusive-word-lift-K and
+    uniform-word-lift-1 closed forms are pinned in
+    tests/test_r29_oracles.py.
+
+    Scale shape: one explode -> (source, word) aggregate; totals
+    broadcast back; per-source rank windows share one source-keyed
+    exchange (parallel across sources)."""
+    from hummingbirddatapipeline_spark.operators.retrieval import (
+        source_signature_ngrams,
+    )
+
+    return source_signature_ngrams(
+        load(spark, sf_dir, "documents"), k=5, min_count=5
+    )
 
 
 def _length_profile_sql() -> str:

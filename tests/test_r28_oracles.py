@@ -47,21 +47,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_source_kl_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _source_kl_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        source_unigram_kl,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in source_unigram_kl(_load(spark, "documents")).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_source_kl_sql()).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_source_kl_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "text_source_kl", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     # KL is non-negative up to per-term e9 quantization (each term
@@ -101,19 +101,8 @@ def test_source_kl_fixture(spark):
 
 
 def test_source_overlap_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _source_overlap_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        source_overlap_matrix,
-    )
-
-    got = [
-        tuple(r)
-        for r in source_overlap_matrix(_load(spark, "documents")).collect()
-    ]
+    got, exp = _run_pair(spark, "dedup_source_overlap", "documents")
     con = _duck("documents")
-    exp = con.sql(_source_overlap_sql()).fetchall()
     n_src = con.sql(
         "SELECT COUNT(DISTINCT source) FROM documents"
     ).fetchone()[0]
@@ -156,24 +145,7 @@ def test_source_overlap_fixture(spark):
 
 
 def test_mad_anomaly_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.events_q import (
-        _mad_anomaly_sql,
-        _with_ts_ms,
-    )
-    from hummingbirddatapipeline_spark.operators.windows import (
-        mad_anomaly_hours,
-    )
-
-    ev = _with_ts_ms(_load(spark, "events"))
-    got = [
-        tuple(r)
-        for r in mad_anomaly_hours(
-            ev, k=3.0, key_col="event_type"
-        ).collect()
-    ]
-    con = _duck("events")
-    exp = con.sql(_mad_anomaly_sql(3.0, "event_type")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "events_mad_anomaly", "events")
     # sf0.001's per-type stream is calm enough that both sides may be
     # empty (matching-empty is still a valid differential); sf0.01
     # (the BANK_SF_DIR dry-run / driver scale) yields ~89 rows

@@ -47,23 +47,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_countmin_error_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _countmin_error_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        countmin_error_report,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in countmin_error_report(
-            _load(spark, "documents"), depth=4, width=64, top=20
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_countmin_error_sql(4, 64, 20)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_countmin_error_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "sketch_countmin_error", "documents")
     assert len(got) == len(exp) == 20
     assert _norm(got) == _norm(exp)
     # the CM theorem on real data: never an underestimate
@@ -106,22 +104,7 @@ def test_countmin_width1_sums_everything(spark):
 
 
 def test_priority_sample_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.sampling_q import (
-        _priority_sample_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.sampling import (
-        priority_weighted_sample,
-    )
-
-    got = [
-        tuple(r)
-        for r in priority_weighted_sample(
-            _load(spark, "documents"), k=50, weight_col="n_chars"
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_priority_sample_sql(50, "n_chars")).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "sample_priority_weighted", "documents")
     assert len(got) == len(exp) == 50
     assert _norm(got) == _norm(exp)
 
@@ -158,22 +141,7 @@ def test_priority_sample_weight_bias_and_stability(spark):
 
 
 def test_signature_ngrams_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _signature_ngrams_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.retrieval import (
-        source_signature_ngrams,
-    )
-
-    got = [
-        tuple(r)
-        for r in source_signature_ngrams(
-            _load(spark, "documents"), k=5, min_count=5
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_signature_ngrams_sql(5, 5)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_signature_ngrams", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _src, _w, c_sw, c_w, lift, rank in got:
