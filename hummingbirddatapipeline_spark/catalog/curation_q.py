@@ -1400,3 +1400,29 @@ def _bloom_fpr_sql(
                  CAST({float(n_hashes)!r} AS DOUBLE)), 6) AS fpr_theory
     FROM agg CROSS JOIN nm
     """
+
+
+@banked_query("sketch_bloom_fpr", oracle=_bloom_fpr_sql(250, 16, 3))
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed Bloom-filter FPR on true non-members next to the
+    theoretical (1-(1-1/m)^(kn))^k
+    (operators/contamination.bloom_fpr_report; members = vocabulary of
+    docs < 250, probes = words exclusive to the far side) under the
+    full oracle gate — the membership member of the
+    observe-don't-trust sketch family: the number the
+    screen-then-verify layout budgets its exact-check stage against.
+    Same engine-exact conventions as bloom_gram_screen (52-bit md5
+    positions, 63 usable bits per BIGINT word). The
+    saturated-filter -> fpr 1.0 and empty-member -> exactly 0/0.0
+    closed forms are pinned in tests/test_r31_oracles.py.
+
+    Scale shape: the filter is ONE broadcast row of BIGINTs; probing
+    is vocabulary-sized — the report costs two vocab aggregates."""
+    from hummingbirddatapipeline_spark.operators.contamination import (
+        bloom_fpr_report,
+    )
+
+    return bloom_fpr_report(
+        load(spark, sf_dir, "documents"), split_id=250, n_words=16,
+        n_hashes=3,
+    )

@@ -1573,6 +1573,33 @@ def _cluster_cohesion_sql(threshold: float = 0.85) -> str:
     """
 
 
+@banked_query("dedup_cluster_cohesion", oracle=_cluster_cohesion_sql(0.85))
+def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster density + exact e6-long mean Jaccard over the
+    near-dup graph (operators/graph.cluster_cohesion) under the full
+    oracle gate — the quality view the size histogram cannot see: a
+    0.99-clique vs a sparse 0.85-chain of the same size (the chain is
+    what transitive closure over-merges, and density is how an owner
+    finds those before cutting clusters). The pair build keeps the
+    jaccard column (the shared skinny pair cache drops it), and the
+    operator cuts the pair lineage itself at entry (the banking-time
+    scan-audit fix). The clique-vs-isolated-pair closed forms are
+    pinned in tests/test_r30_oracles.py.
+
+    Scale shape: pointer-jumping CC + one id_a equi-join attach + one
+    cluster-keyed aggregate; mean is an exact e6 long sum —
+    partitioning-invariant."""
+    from hummingbirddatapipeline_spark.operators.graph import (
+        cluster_cohesion,
+    )
+
+    pairs = jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.85, shingle_size=1,
+    )
+    return cluster_cohesion(pairs)
+
+
 def _hll_error_sql(b: int = 6, seed: str = "hl0") -> str:
     """Independent DuckDB formulation of the portable-HLL error report
     (operators/dedup.hll_error_report): same 52-bit md5 split, the
@@ -1640,6 +1667,28 @@ def _hll_error_sql(b: int = 6, seed: str = "hl0") -> str:
     """
 
 
+@banked_query("sketch_hll_error", oracle=_hll_error_sql(6, "hl0"))
+def sketch_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog vs the exact vocabulary count
+    (operators/dedup.hll_error_report, b=6 -> m=64 registers) under
+    the full oracle gate — the cardinality member of the
+    observe-don't-trust sketch family: rho via a GENERATED integer
+    CASE chain (no libm log2), registers fold in bucket order
+    (fixed-order IEEE sum of exact powers of two), small-range
+    linear-counting branch included. The observed rel_err sits within
+    4x the 1.04/sqrt(m) stderr; the 3-word corpus lands exactly on
+    the linear-counting closed form (tests/test_r30_oracles.py).
+
+    Scale shape: one explode + one m-row register aggregate — the
+    sketch is m longs; the exact side is the one vocabulary count the
+    report exists to eventually replace."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        hll_error_report,
+    )
+
+    return hll_error_report(load(spark, sf_dir, "documents"), b=6)
+
+
 def _best_match_sql(
     threshold: float = 0.3, max_id: int = 200
 ) -> str:
@@ -1700,3 +1749,26 @@ def _best_match_sql(
     JOIN base da ON da.doc_id = rc.id_a
     JOIN base db ON db.doc_id = rc.id_b
     """
+
+
+@banked_query("dedup_cross_source_best_match", oracle=_best_match_sql(0.3, 200))
+def dedup_cross_source_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches across sources
+    (operators/dedup.cross_source_best_match, threshold 0.3, doc_id <
+    200 — the estimator/recall cap family) under the full oracle
+    gate — the reciprocal-best-hit rule: the actionable pair list
+    behind dedup_cross_source_matrix's rates, MUTUAL-best so
+    boilerplate hubs don't flood the output (each doc appears in at
+    most one pair; hub suppression pinned in
+    tests/test_r30_oracles.py).
+
+    Scale shape: the skinny attached-pairs frame is checkpointed
+    before the four consumers (union branches + fwd/rev rank-1 sides)
+    — the 16x-rescans banking-time catch; after that, equi-joins and
+    rank windows only."""
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        cross_source_best_match,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return cross_source_best_match(docs, threshold=0.3)

@@ -1744,3 +1744,26 @@ def _centroid_drift_sql() -> str:
              AS cos_to_global
     FROM per_source ps CROSS JOIN gl
     """
+
+
+@banked_query("similarity_centroid_drift", oracle=_centroid_drift_sql())
+def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of each source's embedding centroid to the global
+    centroid (operators/similarity.centroid_drift_by_source) under the
+    full oracle gate — the DIRECTION drift completing
+    similarity_source_profile's magnitude view (a shifted direction =
+    re-embedded with a different model). cos(sum_s, sum_global) ==
+    cos(centroids) under positive scalings, so the whole chain runs on
+    e6-quantized EXACT per-dim long sums (partitioning-invariant),
+    dim-ordered fold, one sqrt pair, 6dp. Orthogonal sources landing
+    exactly on cos 45 = 0.707107 pinned in tests/test_r31_oracles.py.
+
+    Scale shape: vectors reduce map-side to per-dim long sums before
+    anything shuffles; the exchange carries K x dim longs total."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        centroid_drift_by_source,
+    )
+
+    return centroid_drift_by_source(
+        load(spark, sf_dir, "embeddings"), load(spark, sf_dir, "documents")
+    )

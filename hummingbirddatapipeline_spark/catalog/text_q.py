@@ -2415,3 +2415,25 @@ def _length_profile_sql() -> str:
       FROM documents
     ) GROUP BY source
     """
+
+
+@banked_query("text_length_profile", oracle=_length_profile_sql())
+def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact interpolated token-count percentiles
+    (operators/tokenization.length_profile_by_source; p25/50/75/95 +
+    exact-long e2 mean) under the full oracle gate — the sizing table
+    behind seq_len/bin/batch choices (pack_length_groups and
+    pack_concat_manifest consume exactly these numbers). Spark
+    percentile == DuckDB quantile_cont under the (n-1)*p rule — the
+    MAD row's verified pairing extended to the quartile grid; the
+    [1,2,3,4] closed-form grid (p95 compared against the
+    same-arithmetic IEEE value — 3*0.95 is inexact) is pinned in
+    tests/test_r31_oracles.py.
+
+    Scale shape: one token-count projection + one source-keyed
+    percentile aggregate — K rows out at any corpus size."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        length_profile_by_source,
+    )
+
+    return length_profile_by_source(load(spark, sf_dir, "documents"))

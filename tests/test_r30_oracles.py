@@ -48,25 +48,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_cluster_cohesion_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _cluster_cohesion_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        jaccard_pairs_prefix,
-    )
-    from hummingbirddatapipeline_spark.operators.graph import (
-        cluster_cohesion,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    pairs = jaccard_pairs_prefix(
-        _load(spark, "documents"), "text", "doc_id",
-        threshold=0.85, shingle_size=1,
-    )
-    got = [tuple(r) for r in cluster_cohesion(pairs).collect()]
-    con = _duck("documents")
-    exp = con.sql(_cluster_cohesion_sql(0.85)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_cluster_cohesion_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "dedup_cluster_cohesion", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for cid, n, n_pairs, mean_e6, density in got:
@@ -102,20 +98,7 @@ def test_cluster_cohesion_fixture(spark):
 
 
 def test_hll_error_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _hll_error_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        hll_error_report,
-    )
-
-    got = [
-        tuple(r)
-        for r in hll_error_report(_load(spark, "documents"), b=6).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_hll_error_sql(6)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "sketch_hll_error", "documents")
     assert len(got) == len(exp) == 1
     assert _norm(got) == _norm(exp)
     m, n_exact, est, rel_err = got[0]
@@ -149,21 +132,7 @@ def test_hll_small_range_exact_regime(spark):
 
 
 def test_best_match_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.dedup_q import (
-        _best_match_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.dedup import (
-        cross_source_best_match,
-    )
-
-    docs = _load(spark, "documents").filter(F.col("doc_id") < 200)
-    got = [
-        tuple(r)
-        for r in cross_source_best_match(docs, threshold=0.3).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_best_match_sql(0.3, 200)).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "dedup_cross_source_best_match", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     seen_a, seen_b = set(), set()

@@ -47,23 +47,21 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_bloom_fpr_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.curation_q import (
-        _bloom_fpr_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.contamination import (
-        bloom_fpr_report,
-    )
+def _run_pair(spark, name, *tables):
+    """Differential through catalog.resolve_pair — the exact
+    registration code; promoting the tier to @query changes nothing."""
+    from hummingbirddatapipeline_spark.catalog import resolve_pair
 
-    got = [
-        tuple(r)
-        for r in bloom_fpr_report(
-            _load(spark, "documents"), split_id=250, n_words=16, n_hashes=3
-        ).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_bloom_fpr_sql(250, 16, 3)).fetchall()
+    fn, sql = resolve_pair(name)
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    con = _duck(*tables)
+    exp = con.sql(sql).fetchall()
     con.close()
+    return got, exp
+
+
+def test_bloom_fpr_matches_duckdb(spark):
+    got, exp = _run_pair(spark, "sketch_bloom_fpr", "documents")
     assert len(got) == len(exp) == 1
     assert _norm(got) == _norm(exp)
     m, n_members, n_probes, n_fp, fpr, fpr_theory = got[0]
@@ -99,22 +97,9 @@ def test_bloom_fpr_saturated_filter(spark):
 
 
 def test_centroid_drift_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.similarity_q import (
-        _centroid_drift_sql,
+    got, exp = _run_pair(
+        spark, "similarity_centroid_drift", "documents", "embeddings"
     )
-    from hummingbirddatapipeline_spark.operators.similarity import (
-        centroid_drift_by_source,
-    )
-
-    got = [
-        tuple(r)
-        for r in centroid_drift_by_source(
-            _load(spark, "embeddings"), _load(spark, "documents")
-        ).collect()
-    ]
-    con = _duck("documents", "embeddings")
-    exp = con.sql(_centroid_drift_sql()).fetchall()
-    con.close()
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _src, n_vecs, cos in got:
@@ -144,20 +129,7 @@ def test_centroid_drift_fixture(spark):
 
 
 def test_length_profile_matches_duckdb(spark):
-    from hummingbirddatapipeline_spark.catalog.text_q import (
-        _length_profile_sql,
-    )
-    from hummingbirddatapipeline_spark.operators.tokenization import (
-        length_profile_by_source,
-    )
-
-    got = [
-        tuple(r)
-        for r in length_profile_by_source(_load(spark, "documents")).collect()
-    ]
-    con = _duck("documents")
-    exp = con.sql(_length_profile_sql()).fetchall()
-    con.close()
+    got, exp = _run_pair(spark, "text_length_profile", "documents")
     assert len(got) == len(exp) > 0
     assert _norm(got) == _norm(exp)
     for _src, n, p25, p50, p75, p95, mean_e2 in got:
