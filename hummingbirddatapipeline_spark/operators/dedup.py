@@ -1292,15 +1292,24 @@ def strip_boilerplate_chunks(
     """
     from hummingbirddatapipeline_spark.functions.text import cdc_chunks
 
-    chunks = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            cdc_chunks(F.col(text_col), window=window, divisor=divisor)
-        ).alias("__c"),
-    ).select(
-        id_col,
-        F.col("__c.chunk_hash").alias("__h"),
-        F.col("__c.n_tokens").alias("__nt"),
+    # the skinny chunk stream feeds BOTH the boilerplate roster and the
+    # per-doc recount; without a lineage cut Catalyst re-inlines the
+    # full text scan + chunking expressions under each consumer (the
+    # r11 banking-time scan-audit lesson — caught by
+    # tools/bank_scan_audit.py)
+    chunks = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(
+                cdc_chunks(F.col(text_col), window=window, divisor=divisor)
+            ).alias("__c"),
+        )
+        .select(
+            id_col,
+            F.col("__c.chunk_hash").alias("__h"),
+            F.col("__c.n_tokens").alias("__nt"),
+        )
+        .localCheckpoint(eager=False)
     )
     boiler = (
         chunks.filter(F.col("__h").isNotNull())
@@ -1454,6 +1463,11 @@ def cut_dup_spans(
             F.col("chunk_idx").alias("__start"),
             F.xxhash64("chunk_text").alias("__wh"),
         )
+        # the skinny window stream feeds BOTH the occurrence aggregate
+        # and the cut join; the lineage cut keeps Catalyst from
+        # re-inlining the text scan + windowing under each consumer
+        # (bank_scan_audit catch)
+        .localCheckpoint(eager=False)
     )
     # one aggregate serves both: dup filter + canonical (min doc, start)
     occ = (

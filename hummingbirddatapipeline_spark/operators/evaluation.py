@@ -188,24 +188,21 @@ def hash_ngram_features(
     toks = docs.select(
         F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("__t")
     )
-    uni = toks.select(
-        id_col,
-        F.explode(
-            F.transform("__t", lambda t: F.concat(F.lit("1:"), t))
-        ).alias("__g"),
-    )
-    grams = uni
+    # unigrams and bigrams generate inside ONE array expression and
+    # explode once — a unionByName of two explodes re-inlines the text
+    # scan per branch (bank_scan_audit catch; the repetition-battery
+    # single-tagged-explode idiom)
+    uni_arr = "transform(__t, t -> concat('1:', t))"
     if use_bigrams:
-        big = toks.filter(F.size("__t") >= 2).select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(__t) - 2),"
-                    " i -> concat('2:', __t[i], ' ', __t[i + 1]))"
-                )
-            ).alias("__g"),
+        gram_arr = (
+            f"concat({uni_arr}, CASE WHEN size(__t) >= 2 THEN "
+            "transform(sequence(0, size(__t) - 2),"
+            " i -> concat('2:', __t[i], ' ', __t[i + 1])) "
+            "ELSE array() END)"
         )
-        grams = uni.unionByName(big)
+    else:
+        gram_arr = uni_arr
+    grams = toks.select(id_col, F.explode(F.expr(gram_arr)).alias("__g"))
     fidx = (
         F.conv(F.substring(F.md5(F.col("__g")), 1, 13), 16, 10)
         .cast("long")

@@ -34,6 +34,30 @@ def test_every_query_has_oracle():
     assert not (set(BENCH_ONLY) & set(QUERIES))
 
 
+def test_banked_registry_hygiene():
+    """The banked registry is the pre-staged registration code for
+    BANK.md's tiers: every banked row must carry an oracle, must NOT
+    be driver-visible (disjoint from QUERIES and BENCH_ONLY — a leak
+    here silently changes the driver window), and the registry must
+    cover BANK.md's row names exactly — a rename on either side is a
+    recipe/row drift that would break a future registration round."""
+    import re
+
+    from hummingbirddatapipeline_spark.catalog import (
+        BANKED,
+        BANKED_ORACLES,
+        BENCH_ONLY,
+        QUERIES,
+    )
+
+    assert set(BANKED) == set(BANKED_ORACLES)
+    assert not (set(BANKED) & set(QUERIES))
+    assert not (set(BANKED) & set(BENCH_ONLY))
+    with open("/root/repo/BANK.md") as f:
+        bank_names = re.findall(r"\| r\d+ \| (\S+) \|", f.read())
+    assert bank_names and set(bank_names) == set(BANKED)
+
+
 def test_driver_window_rotation_policy():
     """The driver samples the first 50 registered queries; make the
     rotation policy executable: (1) every DRIVER_WINDOW name exists and
