@@ -14,7 +14,6 @@ import math
 import os
 
 import duckdb
-from pyspark.sql import functions as F
 
 # BANK_SF_DIR lets the registration dry-run re-check every banked
 # differential at the driver gate's scale (sf0.01) without

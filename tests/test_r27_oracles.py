@@ -10,7 +10,6 @@ import math
 import os
 
 import duckdb
-from pyspark.sql import functions as F
 
 SF = os.environ.get("BANK_SF_DIR", "/root/testdata/sf0.001")
 
