@@ -122,6 +122,87 @@ HEADLINE = [
     "sample_unimax_budget",
     "similarity_hamming_topk",
     "similarity_pq_topk",
+    # ------------------------------------------------------------------
+    # Pre-staged bank rows (catalog.BANKED; BANK.md). The `n in
+    # runnable` filter below skips them until their tier is promoted to
+    # @query, at which point they join the bench automatically — the
+    # registration flip needs no bench edit.
+    # r13 tier
+    "curation_bloom_screen",
+    "text_chunk_boilerplate",
+    "curation_logreg_train",
+    # r14 tier
+    "text_dup_spans",
+    "text_perplexity_buckets",
+    "similarity_matryoshka_recall",
+    # r15 tier
+    "similarity_ivfpq_topk",
+    "sample_interleave_order",
+    "similarity_sq8_fidelity",
+    # r16 tier
+    "text_cut_dup_spans",
+    "dedup_label_propagation",
+    "web_template_traps",
+    # r17 tier
+    "eval_auc_by_source",
+    "eval_calibration_bins",
+    "feature_hash_ngrams",
+    # r18 tier
+    "sample_epoch_plan",
+    "merge_snapshot_delta",
+    "similarity_cell_drift",
+    # r19 tier
+    "text_trigram_logprob_heldout",
+    "layout_rendezvous_shards",
+    "events_sequence_examples",
+    # r20 tier
+    "dedup_cluster_histogram",
+    "text_boilerplate_leaderboard",
+    "text_bpe_fertility",
+    # r21 tier
+    "dedup_cross_source_matrix",
+    "text_tfidf_keywords",
+    "similarity_pq_distortion",
+    # r22 tier
+    "text_vocab_coverage",
+    "text_pack_length_groups",
+    "dedup_minhash_estimate",
+    # r23 tier
+    "text_ngram_novelty",
+    "curation_quality_borda",
+    "dedup_lsh_recall",
+    # r24 tier
+    "text_pack_concat_manifest",
+    "text_heaps_growth",
+    "curation_gate_kappa",
+    # r25 tier
+    "events_gap_report",
+    "multimodal_patch_plan",
+    "q14_promo_effect",
+    # r26 tier
+    "dq_embedding_coverage",
+    "similarity_source_profile",
+    "text_char_entropy",
+    # r27 tier
+    "text_pmi_collocations",
+    "dedup_lsh_candidate_profile",
+    "q19_bracket_revenue",
+    # r28 tier
+    "text_source_kl",
+    "dedup_source_overlap",
+    "events_mad_anomaly",
+    # r29 tier
+    "sketch_countmin_error",
+    "sample_priority_weighted",
+    "text_signature_ngrams",
+    # r30 tier
+    "dedup_cluster_cohesion",
+    "sketch_hll_error",
+    "dedup_cross_source_best_match",
+    # r31 tier
+    "sketch_bloom_fpr",
+    "similarity_centroid_drift",
+    "text_length_profile",
 ]
 
 

@@ -56,6 +56,19 @@ def test_banked_registry_hygiene():
     with open("/root/repo/BANK.md") as f:
         bank_names = re.findall(r"\| r\d+ \| (\S+) \|", f.read())
     assert bank_names and set(bank_names) == set(BANKED)
+    # bench.py's HEADLINE pre-lists every banked row (the `in runnable`
+    # filter skips them until promotion, then they join the bench with
+    # no edit) and holds no name unknown to any registry
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    head = set(bench.HEADLINE)
+    assert set(BANKED) <= head
+    assert head <= set(BANKED) | set(QUERIES) | set(BENCH_ONLY)
 
 
 def test_driver_window_rotation_policy():
