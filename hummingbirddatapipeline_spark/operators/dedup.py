@@ -1453,6 +1453,13 @@ def cut_dup_spans(
         ws_token_count,
     )
 
+    # The window stream feeds BOTH the occurrence aggregate and the cut
+    # join, so the text scan + windowing run twice — BY DESIGN
+    # (recorded decline): at stride 1 the (id, start, hash) stream is
+    # ~16 bytes PER TOKEN POSITION, i.e. larger than the text itself,
+    # so a localCheckpoint materializes more bytes than the second scan
+    # reads (and A/B'd slightly slower cold at sf0.1). Same class as
+    # the exact-pair-engine self-join sides.
     wins = (
         chunk_token_windows(
             docs, text_col, id_col, chunk_tokens=k, stride=1
@@ -1463,11 +1470,6 @@ def cut_dup_spans(
             F.col("chunk_idx").alias("__start"),
             F.xxhash64("chunk_text").alias("__wh"),
         )
-        # the skinny window stream feeds BOTH the occurrence aggregate
-        # and the cut join; the lineage cut keeps Catalyst from
-        # re-inlining the text scan + windowing under each consumer
-        # (bank_scan_audit catch)
-        .localCheckpoint(eager=False)
     )
     # one aggregate serves both: dup filter + canonical (min doc, start)
     occ = (

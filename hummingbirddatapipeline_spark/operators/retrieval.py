@@ -442,62 +442,54 @@ def trigram_logprob_heldout(
     train = toks.filter(~F.col("__held"))
     held = toks.filter(F.col("__held"))
 
-    # all three count tables come from ONE tagged explode of the train
-    # side (the repetition-battery idiom) — separate uni/bi/tri
-    # explodes re-inline the corpus text scan per branch
-    # (bank_scan_audit catch); the aggregated table is vocab-sized,
-    # so the lineage cut is cheap
-    _gram_struct = "array<struct<n:int,w1:string,w2:string,w3:string>>"
-    counts = (
-        train.select(
-            F.explode(
-                F.expr(
-                    "concat("
-                    " transform(t, w -> struct(1 AS n, w AS w1,"
-                    "   CAST(NULL AS STRING) AS w2,"
-                    "   CAST(NULL AS STRING) AS w3)),"
-                    " CASE WHEN size(t) >= 2 THEN"
-                    "   transform(sequence(0, size(t) - 2),"
-                    "     i -> struct(2 AS n, t[i] AS w1,"
-                    "       t[i + 1] AS w2, CAST(NULL AS STRING) AS w3))"
-                    f"  ELSE CAST(array() AS {_gram_struct}) END,"
-                    " CASE WHEN size(t) >= 3 THEN"
-                    "   transform(sequence(0, size(t) - 3),"
-                    "     i -> struct(3 AS n, t[i] AS w1,"
-                    "       t[i + 1] AS w2, t[i + 2] AS w3))"
-                    f"  ELSE CAST(array() AS {_gram_struct}) END)"
-                )
-            ).alias("g")
-        )
-        .groupBy("g.n", "g.w1", "g.w2", "g.w3")
-        .agg(F.count("*").cast("double").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    uni = counts.filter(F.col("n") == 1).select(
-        F.col("w1").alias("w"), F.col("c").alias("c1")
-    )
-    bi = counts.filter(F.col("n") == 2).select(
-        "w1", "w2", F.col("c").alias("c2")
-    )
-    tri = counts.filter(F.col("n") == 3).select(
-        "w1", "w2", "w3", F.col("c").alias("c3")
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c1"))
+        .localCheckpoint()
     )
     total = uni.agg(F.sum("c1").alias("t_occ"))
-    # ONE held-side scan: explode_outer keeps short docs (< 3 tokens)
-    # as a NULL-position row so the final roster needs no second pass
-    pos = held.select(
-        id_col,
-        F.explode_outer(
-            F.expr(
-                "CASE WHEN size(t) >= 3 THEN"
-                " transform(sequence(0, size(t) - 3),"
-                "   i -> struct(t[i] AS w1, t[i + 1] AS w2,"
-                "     t[i + 2] AS w3))"
-                " ELSE CAST(array() AS"
-                "   array<struct<w1:string,w2:string,w3:string>>) END"
-            )
-        ).alias("p"),
-    ).select(id_col, "p.w1", "p.w2", "p.w3")
+    bi = (
+        train.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").cast("double").alias("c2"))
+    )
+    tri = (
+        train.filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2,"
+                    " t[i + 2] AS w3))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2", "p.w3")
+        .agg(F.count("*").cast("double").alias("c3"))
+    )
+    pos = (
+        held.filter(F.size("t") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2,"
+                    " t[i + 2] AS w3))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2", "p.w3")
+    )
     j = (
         pos.join(tri, ["w1", "w2", "w3"], "left")
         .join(bi.select("w1", "w2", "c2"), ["w1", "w2"], "left")
@@ -526,17 +518,19 @@ def trigram_logprob_heldout(
         )
         .otherwise(a * a * F.lit(1.0) / F.col("t_occ"))
     )
-    # NULL-position rows (short docs from explode_outer) score NULL:
-    # count/avg skip them, so those docs report (0, NULL) with no
-    # second held-side pass
-    nll = F.when(F.col("w1").isNotNull(), -F.log(score))
-    return (
-        j.select(id_col, nll.alias("__nll"))
-        .groupBy(id_col)
-        .agg(
-            F.count("__nll").cast("long").alias("n_trigrams"),
-            F.round(F.avg("__nll"), 4).alias("mean_nll"),
-        )
+    per_doc = j.select(id_col, (-F.log(score)).alias("__nll")).groupBy(
+        id_col
+    ).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(F.avg("__nll"), 4).alias("mean_nll"),
+    )
+    counted = held.select(
+        id_col, F.size("t").alias("__nt")
+    ).join(per_doc, id_col, "left")
+    return counted.select(
+        F.col(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        F.col("mean_nll"),
     )
 
 

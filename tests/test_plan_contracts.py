@@ -710,27 +710,25 @@ def test_cell_drift_one_rollup_no_assemble_joins(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
-def test_trigram_heldout_two_explodes(spark, sf_dir):
-    """The held-out trigram LM must explode exactly TWICE: one tagged
-    train-side explode feeding all three count tables (the
-    bank_scan_audit fix — separate uni/bi/tri explodes re-ran the
-    train scan per table) and one explode_outer held-out scoring pass
-    (short docs ride as NULL-position rows, so no roster re-scan). The
-    count tables equi-join skinny and the corpus total rides a
-    single-row broadcast — never a cartesian. The count-table
-    checkpoint hides the train explode behind a LogicalRDD, so the
-    residual plan shows only the held pass."""
+def test_trigram_heldout_four_explodes(spark, sf_dir):
+    """The held-out trigram LM must explode exactly four times (three
+    train-side count tables + one held-out scoring pass), equi-join
+    the skinny count tables, and ride the corpus total on a single-row
+    broadcast — never a cartesian. The repeated train-text scans are
+    BY DESIGN (recorded decline, PLANS.md): a tagged combined n-gram
+    aggregate must be checkpointed against its five consumers, and on
+    real Zipfian text that table is near corpus scale — the
+    bigram_logprob / DSIR trade; the tagged variant also A/B'd 2x
+    slower cold at sf0.1."""
     from hummingbirddatapipeline_spark.operators.retrieval import (
         trigram_logprob_heldout,
     )
     from hummingbirddatapipeline_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    df = trigram_logprob_heldout(docs)
-    plan = _physical(df)
+    plan = _physical(trigram_logprob_heldout(docs))
     assert "CartesianProduct" not in plan
-    assert plan.count("Generate explode") <= 2
-    assert plan.count("Scan parquet") <= 2  # train counts + held pass
+    assert plan.count("Generate explode") == 4
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar total
 
 

@@ -51,6 +51,15 @@ BY_DESIGN = {
     "text_bpe_fertility": "bpe_segment's dictionary-replay shape "
     "(unique-word table + posexplode re-attach) plus the word/char "
     "stats pass — the registered text_bpe_segment's accepted class",
+    "text_trigram_logprob_heldout": "bi/tri count tables re-scan the "
+    "pruned train text instead of materializing a tagged combined "
+    "aggregate (near corpus-scale on Zipfian text; the bigram_logprob "
+    "/ DSIR decline-record trade, A/B'd 2x slower cold at sf0.1 — "
+    "PLANS.md); only the vocab-sized unigram table checkpoints",
+    "text_cut_dup_spans": "the stride-1 window stream feeds the "
+    "occurrence aggregate AND the cut join; at ~16 bytes per token "
+    "position the stream outweighs the text, so re-scanning beats "
+    "materializing (recorded decline, A/B'd at sf0.1 — PLANS.md)",
 }
 
 n_flagged = 0
