@@ -2047,7 +2047,12 @@ def _concat_manifest_sql(
                       0) AS off
       FROM routed
     )
-    SELECT doc_id, shard, n AS n_tokens, off AS "offset",
+    SELECT doc_id, shard, n AS n_tokens,
+           -- the window SUM widens to HUGEINT; the driver's value hash
+           -- is integer-width-sensitive, so cast back to BIGINT (the
+           -- check_oracle int128 gate — caught by the bare-session
+           -- banked sweep before this row's promotion round)
+           CAST(off AS BIGINT) AS "offset",
            CAST(off // {seq_len} AS BIGINT) AS start_seq,
            CAST(off % {seq_len} AS BIGINT) AS start_pos,
            CAST((off + n - 1) // {seq_len} AS BIGINT) AS end_seq,
