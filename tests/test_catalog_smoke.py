@@ -55,7 +55,13 @@ def test_banked_registry_hygiene():
     assert not (set(BANKED) & set(BENCH_ONLY))
     with open("/root/repo/BANK.md") as f:
         bank_names = re.findall(r"\| r\d+ \| (\S+) \|", f.read())
-    assert bank_names and set(bank_names) == set(BANKED)
+    # every banked row is indexed in BANK.md, and every BANK.md row is
+    # either still banked or already PROMOTED to the driver surface —
+    # so a rename on either side fails here, but a registration flip
+    # does not require a same-commit BANK.md edit (caught in the r12
+    # flip rehearsal)
+    assert bank_names and set(BANKED) <= set(bank_names)
+    assert set(bank_names) <= set(BANKED) | set(QUERIES)
     # bench.py's HEADLINE pre-lists every banked row (the `in runnable`
     # filter skips them until promotion, then they join the bench with
     # no edit) and holds no name unknown to any registry
