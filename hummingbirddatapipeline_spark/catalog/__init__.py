@@ -33,17 +33,18 @@ ORACLES: dict[str, str] = {}
 # oracle — but bench.py runs them alongside the catalog.
 BENCH_ONLY: dict[str, QueryFn] = {}
 
-# Banked registry: fully-written registration rows for the bank tiers
-# (BANK.md) that are NOT yet driver-visible. Each entry is the EXACT
-# code a future registration round promotes — same row function, same
-# oracle SQL — kept out of QUERIES/ORACLES so the driver window and
-# the correctness gate are untouched until the tier's round.
-# Promotion = change the row's decorator from @banked_query to @query
-# (one word), then update DRIVER_WINDOW and the bench HEADLINE block
-# per the tier's PLANS.md recipe. tests/ drive these rows through
-# resolve_pair(), which reads QUERIES first and falls back to BANKED —
-# so the tier differential files keep passing across the flip with no
-# edit.
+# Banked registry: EMPTY since round 12 — the entire 57-row bank was
+# promoted to QUERIES in one flip (r11 VERDICT item 1) and banking is
+# retired as a practice (r11 VERDICT item 3: any new operator lands as
+# a registered @query row in the round it is built, window slot
+# permitting or not). The machinery stays because the tier
+# differential tests (tests/test_r1*..r3*_oracles.py) resolve rows
+# through resolve_pair(), which reads QUERIES first and falls back to
+# BANKED — they passed verbatim across the flip. Promotion, should a
+# row ever be banked again, = change the row's decorator from
+# @banked_query to @query (one word), then update DRIVER_WINDOW;
+# bench.py needs NO edit (HEADLINE pre-lists names and its
+# `in runnable` filter activates them at registration).
 BANKED: dict[str, QueryFn] = {}
 BANKED_ORACLES: dict[str, str] = {}
 
@@ -171,94 +172,94 @@ def _load_modules() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 registered
-# queries per round (dict insertion order). With 130+ catalog entries,
+# queries per round (dict insertion order). With 203 catalog entries,
 # which rows get hard driver signal is a choice — so make it explicit.
-# (Per-round window history and the bank ledger live in PLANS.md §
-# "Driver-window ledger"; this comment keeps only the CURRENT policy.)
+# (Per-round window history lives in PLANS.md § "Driver-window
+# ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-11 window (the pre-computed math in PLANS.md "r11 window
-# math", registrations doubled per the r10 VERDICT next-round item 1):
-# (a) the 7 newly registered rows — the r11 AND r12 banked tiers
-#     promoted together (winnowing cross-corpus containment, DoReMi
-#     domain reweight, quality-score distillation, CDC chunking,
-#     UniMax waterfilling, Hamming ANN, PQ/ADC ANN) — never sampled,
-#     so they must sit inside the first 50 slots;
-# (b) two rows whose plans changed this round after their last green
-#     sample and must re-sample (the r10 VERDICT's deferred
-#     repeated-scan fixes): text_bm25_topk (single-projection tf/dl —
-#     3x -> 1x text scans) and search_hybrid_rrf (checkpointed top-50
-#     lists; inherits the bm25 fix). sample_split_ngram_overlap (the
-#     third deferred fix: one shared gram explode for both splitters)
-#     is already in (c) below.
-# (c) the full r8-stale back-fill: ALL 41 rows whose last driver
-#     sample is r8 (the 39 from the r10 ledger plus scoring_990_model
-#     and text_bpe_segment, displaced from the r10 window by its
-#     close-out swap).
-# NOTE (documented deviation, r11): the round-11 ADVICE hardenings
-# touch three r10-green rows (curation_funnel / curation_funnel_gated:
-# empty-input stage-count coalesce; similarity_ivf_topk is in (c)
-# anyway) — output proven identical at sf0.001 AND sf0.01 by the local
-# differential; with 7 registrations + 41 r8-stale + 2 scan-fix
-# re-samples the window is exactly full, so the funnel rows re-sample
-# at the FRONT of the r12 window instead (ledger: PLANS.md).
-# Everything outside the window is last-sample-green (r9/r10), which
-# tests/test_catalog_smoke.test_driver_window_rotation_policy
-# enforces against the CORRECTNESS_r*.json history. After r11 nothing
-# in the catalog has a last driver sample older than r9.
+# Round-12 window (r11 VERDICT item 1: flip the ENTIRE 57-row bank and
+# fill the window with 50 never-sampled rows, nothing else —
+# first-ever proof outranks re-sampling unchanged green rows): all 57
+# banked tiers registered this round; the 50 below are every one of
+# them except the 7 in DEFERRED_FIRST_SAMPLE, which lead the r13
+# window (window math for r13-r15 pre-published in PLANS.md).
+#
+# Rotation policy (relaxed per the same VERDICT item): a never-sampled
+# row must enter the window within ONE round of registration — it may
+# sit outside the current window only if it is listed in
+# DEFERRED_FIRST_SAMPLE (enforced by
+# tests/test_catalog_smoke.test_driver_window_rotation_policy against
+# the CORRECTNESS_r*.json history). Everything else outside the window
+# must be last-sample-green.
 DRIVER_WINDOW: list[str] = [
-    # (a) newly registered round-11 operators (r11 + r12 banked tiers)
-    "text_winnow_containment",
-    "sample_doremi_reweight",
-    "curation_score_distill",
-    "text_cdc_chunks",
-    "sample_unimax_budget",
-    "similarity_hamming_topk",
-    "similarity_pq_topk",
-    # (b) changed-this-round re-samples (deferred scan-audit fixes)
-    "text_bm25_topk",
-    "search_hybrid_rrf",
-    # (c) staleness back-fill: all 41 rows last sampled r8
-    "anti_join_idle_customers",
-    "asof_latest_order_per_customer",
-    "bucket_customer_balance",
-    "classify_and_prioritize",
-    "conditional_counters",
-    "dedup_representatives_by_score",
-    "distinct_customers_per_nation",
-    "embedding_quantize_roundtrip",
-    "events_rolling_window_feats",
-    "events_touch_attribution",
-    "extract_context_window",
-    "extract_multi_pattern",
-    "feature_profile_drift",
-    "feature_quantile_transform",
-    "feature_target_encode",
-    "merge_cdc_apply",
-    "merge_conditional_upsert",
-    "merge_upsert_idempotent",
-    "pivot_nation_revenue_by_year",
-    "q1_pricing_summary",
-    "q5_nation_revenue",
-    "sample_contrastive_negatives",
-    "sample_split_leakfree",
-    "sample_split_ngram_overlap",
-    "scoring_990_model",
-    "scoring_customer_health",
-    "semi_join_active_customers",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "similarity_near_dup_clusters",
-    "similarity_near_dup_clusters_banded",
-    "similarity_near_dup_embeddings",
-    "stream_dedup_union",
-    "stream_enrich_nation_counts",
-    "stream_hourly_tumbling",
-    "stream_interval_join_pairs",
-    "stream_sessionization",
-    "text_bpe_segment",
-    "text_dedup_representatives",
-    "unpivot_returnflag_metrics",
+    # never-sampled rows registered this round, tier order (BANK.md)
+    "curation_bloom_screen",
+    "text_chunk_boilerplate",
+    "curation_logreg_train",
+    "text_dup_spans",
+    "text_perplexity_buckets",
+    "similarity_matryoshka_recall",
+    "similarity_ivfpq_topk",
+    "sample_interleave_order",
+    "similarity_sq8_fidelity",
+    "text_cut_dup_spans",
+    "dedup_label_propagation",
+    "web_template_traps",
+    "eval_auc_by_source",
+    "eval_calibration_bins",
+    "feature_hash_ngrams",
+    "sample_epoch_plan",
+    "merge_snapshot_delta",
+    "similarity_cell_drift",
+    "text_trigram_logprob_heldout",
+    "layout_rendezvous_shards",
+    "events_sequence_examples",
+    "dedup_cluster_histogram",
+    "text_boilerplate_leaderboard",
+    "text_bpe_fertility",
+    "dedup_cross_source_matrix",
+    "text_tfidf_keywords",
+    "similarity_pq_distortion",
+    "text_vocab_coverage",
+    "text_pack_length_groups",
+    "dedup_minhash_estimate",
+    "text_ngram_novelty",
+    "curation_quality_borda",
+    "dedup_lsh_recall",
+    "text_pack_concat_manifest",
+    "text_heaps_growth",
+    "curation_gate_kappa",
+    "events_gap_report",
+    "multimodal_patch_plan",
+    "q14_promo_effect",
+    "dq_embedding_coverage",
+    "similarity_source_profile",
+    "text_char_entropy",
+    "text_pmi_collocations",
+    "dedup_lsh_candidate_profile",
+    "q19_bracket_revenue",
+    "text_source_kl",
+    "dedup_source_overlap",
+    "events_mad_anomaly",
+    "sketch_countmin_error",
+    "sample_priority_weighted",
+]
+
+# Registered this round but outside the (full) 50-slot window: these
+# MUST lead the next round's window — the relaxed rotation invariant
+# the policy test enforces. Alongside them the r13 window head carries
+# the two owed funnel re-samples (curation_funnel,
+# curation_funnel_gated — the recorded r11 deviation) and the
+# changed-this-round curation_score_distill re-sample (per-stratum
+# teacher percentile, r11 VERDICT item 2); full math in PLANS.md.
+DEFERRED_FIRST_SAMPLE: list[str] = [
+    "text_signature_ngrams",
+    "dedup_cluster_cohesion",
+    "sketch_hll_error",
+    "dedup_cross_source_best_match",
+    "sketch_bloom_fpr",
+    "similarity_centroid_drift",
+    "text_length_profile",
 ]
 
 

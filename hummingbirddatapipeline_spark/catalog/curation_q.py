@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.pipelines.curation import curate_corpus
 from hummingbirddatapipeline_spark.tables import load
 
@@ -725,7 +725,7 @@ def _bloom_screen_sql(
     """
 
 
-@banked_query("curation_bloom_screen", oracle=_bloom_screen_sql(5, 256, 3))
+@query("curation_bloom_screen", oracle=_bloom_screen_sql(5, 256, 3))
 def curation_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination screen
     (operators/contamination.bloom_gram_screen) under the full oracle
@@ -758,13 +758,16 @@ def curation_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _distill_stump_sql(top_frac: float = 0.3) -> str:
     """Independent DuckDB formulation of quality-score distillation:
     rebuilds the teacher labels (percent-rank over the 2dp heuristic
-    quality, top ``top_frac`` positive), the per-distinct-student-value
-    cumulative agreement counts for BOTH stump directions, and the
-    deterministic argmax (max agreement -> direction '>=' -> lowest
-    threshold), then applies the winning stump to every doc."""
+    quality PER SOURCE STRATUM — the FineWeb-Edu per-domain-percentile
+    practice, and the 100 TB shape: the window exchange keys on the
+    stratum instead of moving the corpus to one reducer; r11 VERDICT
+    item 2), the per-distinct-student-value cumulative agreement
+    counts for BOTH stump directions, and the deterministic argmax
+    (max agreement -> direction '>=' -> lowest threshold), then
+    applies the winning stump to every doc."""
     return f"""
     WITH scored AS (
-      SELECT doc_id, {_QUALITY} AS teacher,
+      SELECT doc_id, source, {_QUALITY} AS teacher,
              ROUND(n_chars / CAST(len(list_filter(
                string_split_regex(trim(text), '\\s+'), x -> x <> ''))
                AS DOUBLE), 6) AS student
@@ -772,7 +775,8 @@ def _distill_stump_sql(top_frac: float = 0.3) -> str:
     ),
     lab AS (
       SELECT doc_id, student,
-             PERCENT_RANK() OVER (ORDER BY teacher, doc_id)
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY teacher, doc_id)
                >= {1.0 - top_frac} AS teacher_label
       FROM scored
     ),
@@ -819,21 +823,26 @@ def _distill_stump_sql(top_frac: float = 0.3) -> str:
 def curation_score_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier score distillation under the full oracle
     gate (pipelines/curation.distill_quality_stump): teacher
-    percentile labels (top 30% of the 2dp heuristic quality score)
-    distilled into the best single-feature decision stump over the
-    observed student values (chars-per-token, 6dp) — the
-    FineWeb-Edu / DCLM teacher-to-cheap-student setting reduced to its
-    deterministic core. Both stump directions are scored from ONE
-    cumulative-sum pass of pure integer agreement counts; ties break
-    to '>=' then the LOWEST threshold — no floats enter the argmax.
-    DuckDB re-derives the teacher percentiles, the cumulative counts,
-    and the argmax independently; internal consistency (reported
-    n_correct == recounted agreement of the applied stump) and the
-    perfect-separator recovery are pinned in tests/test_r11_oracles.py.
+    percentile labels (top 30% of the 2dp heuristic quality score,
+    ranked PER SOURCE STRATUM) distilled into the best single-feature
+    decision stump over the observed student values (chars-per-token,
+    6dp) — the FineWeb-Edu / DCLM teacher-to-cheap-student setting
+    reduced to its deterministic core. Both stump directions are
+    scored from ONE cumulative-sum pass of pure integer agreement
+    counts; ties break to '>=' then the LOWEST threshold — no floats
+    enter the argmax. DuckDB re-derives the teacher percentiles, the
+    cumulative counts, and the argmax independently; internal
+    consistency (reported n_correct == recounted agreement of the
+    applied stump) and the perfect-separator recovery are pinned in
+    tests/test_r11_oracles.py.
 
-    Scale shape: one teacher window (per-stratum at real scale), one
-    aggregate to distinct student values, one tiny window over those,
-    one broadcast of the winning stump row back onto the docs."""
+    Scale shape: one teacher window KEYED ON THE STRATUM (r12, per the
+    r11 VERDICT: the r11 fixture ranked globally — a single-partition
+    sort of the corpus whose 100x receipt showed 25x wall; the
+    per-source form exchanges on `source` like every other grouped
+    window), one aggregate to distinct student values, one tiny window
+    over those, one broadcast of the winning stump row back onto the
+    docs."""
     from hummingbirddatapipeline_spark.functions.text import (
         quality_score,
         ws_token_count,
@@ -845,13 +854,14 @@ def curation_score_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
+        "source",
         F.round(quality_score(F.col("text")), 2).alias("teacher"),
         F.round(
             F.col("n_chars") / ws_token_count(F.col("text")).cast("double"),
             6,
         ).alias("student"),
     )
-    return distill_quality_stump(scored, top_frac=0.3)
+    return distill_quality_stump(scored, top_frac=0.3, strata_col="source")
 
 
 def _logreg_quality_sql(
@@ -896,7 +906,7 @@ def _logreg_quality_sql(
     score = sigf
     return f"""
     WITH feat AS (
-      SELECT doc_id, {_QUALITY} AS teach,
+      SELECT doc_id, source, {_QUALITY} AS teach,
              ROUND(CAST(len({T}) AS DOUBLE), 6) AS x0,
              ROUND(COALESCE(list_sum(list_transform({T},
                      t -> length(t))) / CAST(NULLIF(len({T}), 0)
@@ -906,9 +916,11 @@ def _logreg_quality_sql(
     ),
     lab AS (
       SELECT doc_id, x0, x1, x2,
-             PERCENT_RANK() OVER (ORDER BY teach, doc_id)
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY teach, doc_id)
                >= {1.0 - top_frac} AS yb,
-             CASE WHEN PERCENT_RANK() OVER (ORDER BY teach, doc_id)
+             CASE WHEN PERCENT_RANK() OVER (PARTITION BY source
+                                            ORDER BY teach, doc_id)
                >= {1.0 - top_frac} THEN 1.0 ELSE 0.0 END AS yd
       FROM feat
     ),
@@ -956,13 +968,15 @@ def _logreg_quality_sql(
     """
 
 
-@banked_query("curation_logreg_train", oracle=_logreg_quality_sql(1.0, 3, 0.3))
+@query("curation_logreg_train", oracle=_logreg_quality_sql(1.0, 3, 0.3))
 def curation_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine logistic-regression quality-classifier training
     (pipelines/curation.logreg_quality_train) under the full oracle
     gate — the fastText/DCLM classifier lifecycle's training half,
-    reduced to its deterministic core: teacher percentile labels (top
-    30% of the 2dp heuristic quality), three 6dp features (token
+    reduced to its deterministic core: per-source teacher percentile
+    labels (top 30% of the 2dp heuristic quality within each source
+    stratum — the same stratum-keyed window as the distill row, not a
+    single-partition global sort), three 6dp features (token
     count, mean token length, char count), exact-decimal
     standardization, and 3 full-batch gradient-descent iterations over
     the rational sigmoid x/(1+|x|) with DECIMAL(38,10) gradient sums —
@@ -988,11 +1002,15 @@ def curation_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     teach = F.round(quality_score(F.col("text")), 2)
+    # teacher percentile ranked per source stratum — the same
+    # stratum-keyed window the distill row uses (r11 VERDICT item 2:
+    # a Window.partitionBy() global rank is a single-partition sort
+    # of the whole corpus at scale)
     feats = docs.select(
         "doc_id",
         (
             F.percent_rank().over(
-                Window.partitionBy().orderBy(teach, F.col("doc_id"))
+                Window.partitionBy("source").orderBy(teach, F.col("doc_id"))
             )
             >= F.lit(0.7)
         ).alias("teacher_label"),
@@ -1043,7 +1061,7 @@ def _url_traps_sql(max_per_template: int = 20) -> str:
     """
 
 
-@banked_query("web_template_traps", oracle=_url_traps_sql(10))
+@query("web_template_traps", oracle=_url_traps_sql(10))
 def web_template_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection by URL path templating
     (functions/web.url_template_traps) over the shared dirty-URL
@@ -1108,7 +1126,7 @@ def _auc_by_source_sql() -> str:
     """
 
 
-@banked_query("eval_auc_by_source", oracle=_auc_by_source_sql())
+@query("eval_auc_by_source", oracle=_auc_by_source_sql())
 def eval_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC per source (operators/evaluation.
     auc_by_group) under the full oracle gate — the Mann-Whitney rank
@@ -1173,7 +1191,7 @@ def _calibration_bins_sql(
     """
 
 
-@banked_query("eval_calibration_bins", oracle=_calibration_bins_sql(1.0, 3, 0.3, 10))
+@query("eval_calibration_bins", oracle=_calibration_bins_sql(1.0, 3, 0.3, 10))
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram calibration bins (operators/evaluation.
     calibration_bins) over the in-engine logistic quality model under
@@ -1240,7 +1258,7 @@ def _quality_borda_sql() -> str:
     """
 
 
-@banked_query("curation_quality_borda", oracle=_quality_borda_sql())
+@query("curation_quality_borda", oracle=_quality_borda_sql())
 def curation_quality_borda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Borda fusion of three quality signals
     (operators/retrieval.quality_borda) under the full oracle gate:
@@ -1317,7 +1335,7 @@ def _gate_kappa_sql(quality_threshold: float = 0.6) -> str:
     """
 
 
-@banked_query("curation_gate_kappa", oracle=_gate_kappa_sql(0.6))
+@query("curation_gate_kappa", oracle=_gate_kappa_sql(0.6))
 def curation_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the C4 keep verdict and the composite
     quality gate, per source (operators/evaluation.
@@ -1402,7 +1420,7 @@ def _bloom_fpr_sql(
     """
 
 
-@banked_query("sketch_bloom_fpr", oracle=_bloom_fpr_sql(250, 16, 3))
+@query("sketch_bloom_fpr", oracle=_bloom_fpr_sql(250, 16, 3))
 def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed Bloom-filter FPR on true non-members next to the
     theoretical (1-(1-1/m)^(kn))^k

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 import weakref
 
 from hummingbirddatapipeline_spark.catalog import (
-    banked_query,
     bench_query,
     query,
     register_invalidate_hook,
@@ -909,7 +908,7 @@ def _label_prop_sql(
     return "".join(parts)
 
 
-@banked_query("dedup_label_propagation", oracle=_label_prop_sql(0.85, 3, "1999"))
+@query("dedup_label_propagation", oracle=_label_prop_sql(0.85, 3, "1999"))
 def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002,
     synchronous clamped-seed variant; operators/graph.
@@ -1008,7 +1007,7 @@ def _cluster_histogram_sql(threshold: float = 0.85) -> str:
     """
 
 
-@banked_query("dedup_cluster_histogram", oracle=_cluster_histogram_sql(0.85))
+@query("dedup_cluster_histogram", oracle=_cluster_histogram_sql(0.85))
 def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram (operators/graph.
     cluster_size_histogram) under the full oracle gate — the corpus
@@ -1081,7 +1080,7 @@ def _cross_source_sql(threshold: float = 0.85) -> str:
     """
 
 
-@banked_query("dedup_cross_source_matrix", oracle=_cross_source_sql(0.85))
+@query("dedup_cross_source_matrix", oracle=_cross_source_sql(0.85))
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K x K cross-source duplication matrix (operators/dedup.
     cross_source_dup_matrix) under the full oracle gate — dedup
@@ -1168,7 +1167,7 @@ def _minhash_estimate_sql(
     """
 
 
-@banked_query("dedup_minhash_estimate", oracle=_minhash_estimate_sql(16, 0.3, 200, "mh0"))
+@query("dedup_minhash_estimate", oracle=_minhash_estimate_sql(16, 0.3, 200, "mh0"))
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash ESTIMATOR itself value-oracled
     (operators/dedup.minhash_estimate_pairs): per candidate pair over
@@ -1278,7 +1277,7 @@ def _lsh_recall_sql(
     """
 
 
-@banked_query("dedup_lsh_recall", oracle=_lsh_recall_sql(16, 4, 0.3, 200, "mh0"))
+@query("dedup_lsh_recall", oracle=_lsh_recall_sql(16, 4, 0.3, 200, "mh0"))
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-Jaccard-decile recall of LSH banding vs the exact pair set
     (operators/dedup.lsh_recall_report; K=16, 4 bands, doc_id < 200 —
@@ -1368,7 +1367,7 @@ def _lsh_candidate_profile_sql(
     """
 
 
-@banked_query(
+@query(
     "dedup_lsh_candidate_profile",
     oracle=_lsh_candidate_profile_sql(16, 4, 200, "mh0"),
 )
@@ -1427,7 +1426,7 @@ def _source_overlap_sql() -> str:
     """
 
 
-@banked_query("dedup_source_overlap", oracle=_source_overlap_sql())
+@query("dedup_source_overlap", oracle=_source_overlap_sql())
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K x K source vocabulary-Jaccard matrix
     (operators/dedup.source_overlap_matrix) under the full oracle
@@ -1490,7 +1489,7 @@ def _countmin_error_sql(
     """
 
 
-@banked_query("sketch_countmin_error", oracle=_countmin_error_sql(4, 64, 20, "cm0"))
+@query("sketch_countmin_error", oracle=_countmin_error_sql(4, 64, 20, "cm0"))
 def sketch_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable count-min sketch next to exact counts for the top-20
     words (operators/dedup.countmin_error_report, depth=4, width=64)
@@ -1573,7 +1572,7 @@ def _cluster_cohesion_sql(threshold: float = 0.85) -> str:
     """
 
 
-@banked_query("dedup_cluster_cohesion", oracle=_cluster_cohesion_sql(0.85))
+@query("dedup_cluster_cohesion", oracle=_cluster_cohesion_sql(0.85))
 def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster density + exact e6-long mean Jaccard over the
     near-dup graph (operators/graph.cluster_cohesion) under the full
@@ -1667,7 +1666,7 @@ def _hll_error_sql(b: int = 6, seed: str = "hl0") -> str:
     """
 
 
-@banked_query("sketch_hll_error", oracle=_hll_error_sql(6, "hl0"))
+@query("sketch_hll_error", oracle=_hll_error_sql(6, "hl0"))
 def sketch_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog vs the exact vocabulary count
     (operators/dedup.hll_error_report, b=6 -> m=64 registers) under
@@ -1751,7 +1750,7 @@ def _best_match_sql(
     """
 
 
-@banked_query("dedup_cross_source_best_match", oracle=_best_match_sql(0.3, 200))
+@query("dedup_cross_source_best_match", oracle=_best_match_sql(0.3, 200))
 def dedup_cross_source_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal best matches across sources
     (operators/dedup.cross_source_best_match, threshold 0.3, doc_id <

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.entity_resolution import (
     fuzzy_join_levenshtein,
     fuzzy_join_lsh,
@@ -415,7 +415,7 @@ def _snapshot_delta_sql() -> str:
     """
 
 
-@banked_query("merge_snapshot_delta", oracle=_snapshot_delta_sql())
+@query("merge_snapshot_delta", oracle=_snapshot_delta_sql())
 def merge_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/incremental.snapshot_delta)
     under the full oracle gate — the recrawl-maintenance primitive:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.tables import load
 
 _HOUR_MS = 3_600_000
@@ -766,7 +766,7 @@ def _event_seq_sql(history: int = 4) -> str:
     """
 
 
-@banked_query("events_sequence_examples", oracle=_event_seq_sql(4))
+@query("events_sequence_examples", oracle=_event_seq_sql(4))
 def events_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event-prediction training examples
     (operators/temporal.event_sequence_examples) under the full oracle
@@ -809,7 +809,7 @@ def _gap_report_sql(min_gap_sec: int = 3600) -> str:
     """
 
 
-@banked_query("events_gap_report", oracle=_gap_report_sql(3600))
+@query("events_gap_report", oracle=_gap_report_sql(3600))
 def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Islands-and-gaps freshness report
     (operators/temporal.gap_report, min_gap_sec=3600) under the full
@@ -864,7 +864,7 @@ def _mad_anomaly_sql(k: float = 3.0, key: str = "event_type") -> str:
     """
 
 
-@banked_query("events_mad_anomaly", oracle=_mad_anomaly_sql(3.0, "event_type"))
+@query("events_mad_anomaly", oracle=_mad_anomaly_sql(3.0, "event_type"))
 def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD hourly anomaly flags (operators/windows.
     mad_anomaly_hours, k=3) under the full oracle gate — the robust

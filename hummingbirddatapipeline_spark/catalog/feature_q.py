@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.scale import (
     impute_median,
     psi_drift,
@@ -361,7 +361,7 @@ def _hash_ngrams_sql(n_features: int = 256, use_bigrams: bool = True) -> str:
     """
 
 
-@banked_query("feature_hash_ngrams", oracle=_hash_ngrams_sql(256, True))
+@query("feature_hash_ngrams", oracle=_hash_ngrams_sql(256, True))
 def feature_hash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick n-gram featurizer (Weinberger et al. 2009 — the
     fastText/VW feature layout; operators/evaluation.

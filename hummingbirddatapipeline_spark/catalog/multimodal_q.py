@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.multimodal.core import (
     byte_features,
     sample_frames,
@@ -216,7 +216,7 @@ def _patch_plan_sql(patch: int = 16) -> str:
     """
 
 
-@banked_query("multimodal_patch_plan", oracle=_patch_plan_sql(16))
+@query("multimodal_patch_plan", oracle=_patch_plan_sql(16))
 def multimodal_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ViT patch-grid manifest (multimodal/core.patch_plan, patch=16)
     over typed image metadata under the full oracle gate: per image

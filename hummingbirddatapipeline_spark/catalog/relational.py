@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.functions.scalar import money_cents
 from hummingbirddatapipeline_spark.tables import load
 
@@ -1030,7 +1030,7 @@ def _rendezvous_sql(
     """
 
 
-@banked_query("layout_rendezvous_shards", oracle=_rendezvous_sql(8, 9))
+@query("layout_rendezvous_shards", oracle=_rendezvous_sql(8, 9))
 def layout_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous/HRW shard assignment (Thaler & Ravishankar 1998;
     operators/scale.rendezvous_shards) under the full oracle gate —
@@ -1078,7 +1078,7 @@ def _q14_promo_sql() -> str:
     """
 
 
-@banked_query("q14_promo_effect", oracle=_q14_promo_sql())
+@query("q14_promo_effect", oracle=_q14_promo_sql())
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo revenue share by ship month (the TPC-H Q14 shape widened
     to a 12-row monthly report): lineitem x part equi-join with the
@@ -1164,7 +1164,7 @@ _Q19_BRACKETS = (
 )
 
 
-@banked_query("dq_embedding_coverage", oracle=_embedding_coverage_sql())
+@query("dq_embedding_coverage", oracle=_embedding_coverage_sql())
 def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional referential-integrity report over documents x
     embeddings (operators/expectations.embedding_coverage) under the
@@ -1210,7 +1210,7 @@ def _q19_bracket_sql() -> str:
     """
 
 
-@banked_query("q19_bracket_revenue", oracle=_q19_bracket_sql())
+@query("q19_bracket_revenue", oracle=_q19_bracket_sql())
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bracketed-predicate revenue (the TPC-H Q19 shape, per-bracket
     rows instead of one grand total): each bracket is a conjunctive

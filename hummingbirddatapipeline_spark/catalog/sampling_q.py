@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.functions.privacy import (
     PII_PATTERNS,
     pii_flags,
@@ -858,7 +858,7 @@ def _interleave_sql(seed: str = "mix0") -> str:
     """
 
 
-@banked_query("sample_interleave_order", oracle=_interleave_sql("mix0"))
+@query("sample_interleave_order", oracle=_interleave_sql("mix0"))
 def sample_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-scheduled deterministic mixture ordering
     (operators/sampling.interleave_order) under the full oracle gate —
@@ -925,7 +925,7 @@ def _epoch_plan_sql(
     """
 
 
-@banked_query("sample_epoch_plan", oracle=_epoch_plan_sql(100_000, 4.0, "ep0"))
+@query("sample_epoch_plan", oracle=_epoch_plan_sql(100_000, 4.0, "ep0"))
 def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget -> order epoch plan (operators/sampling.epoch_plan)
     under the full oracle gate — UniMax waterfilling (Chung et al.
@@ -972,7 +972,7 @@ def _priority_sample_sql(
     """
 
 
-@banked_query(
+@query(
     "sample_priority_weighted", oracle=_priority_sample_sql(50, "n_chars", "pw0")
 )
 def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, query
+from hummingbirddatapipeline_spark.catalog import query
 from hummingbirddatapipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -1160,7 +1160,7 @@ def _matryoshka_sql(
 # single source of truth and r15 registration is a decorator + window
 # change, exactly like the r11-r14 banks).
 
-@banked_query("similarity_matryoshka_recall", oracle=_matryoshka_sql((16, 64), 10, 5))
+@query("similarity_matryoshka_recall", oracle=_matryoshka_sql((16, 64), 10, 5))
 def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation recall (Kusupati et al. 2022;
     operators/similarity.matryoshka_recall) under the full oracle
@@ -1243,7 +1243,7 @@ def _sq8_fidelity_sql() -> str:
     """
 
 
-@banked_query("similarity_sq8_fidelity", oracle=_sq8_fidelity_sql())
+@query("similarity_sq8_fidelity", oracle=_sq8_fidelity_sql())
 def similarity_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension uint8 scalar-quantization fidelity
     (operators/similarity.sq8_fidelity) under the full oracle gate —
@@ -1398,7 +1398,7 @@ def _ivfpq_topk_sql(
     return "".join(parts)
 
 
-@banked_query("similarity_ivfpq_topk", oracle=_ivfpq_topk_sql(64, 4, 8, 2, 4, 5, 10))
+@query("similarity_ivfpq_topk", oracle=_ivfpq_topk_sql(64, 4, 8, 2, 4, 5, 10))
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (Jégou et al. 2011 — the billion-scale
     layout; operators/similarity.ivfpq_topk) under the full oracle
@@ -1508,7 +1508,7 @@ def _cell_drift_sql() -> str:
     """
 
 
-@banked_query("similarity_cell_drift", oracle=_cell_drift_sql())
+@query("similarity_cell_drift", oracle=_cell_drift_sql())
 def similarity_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-quantizer embedding-drift monitor
     (operators/similarity.ivf_cell_drift) under the full oracle gate —
@@ -1626,7 +1626,7 @@ def _pq_distortion_sql(
     return "".join(parts)
 
 
-@banked_query("similarity_pq_distortion", oracle=_pq_distortion_sql(64, 4, 8, 2))
+@query("similarity_pq_distortion", oracle=_pq_distortion_sql(64, 4, 8, 2))
 def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ reconstruction distortion
     (operators/similarity.pq_distortion) under the SHARED _pq_train
@@ -1677,7 +1677,7 @@ def _source_profile_sql() -> str:
     """
 
 
-@banked_query("similarity_source_profile", oracle=_source_profile_sql())
+@query("similarity_source_profile", oracle=_source_profile_sql())
 def similarity_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding norm profile
     (operators/similarity.embedding_source_profile) under the full
@@ -1746,7 +1746,7 @@ def _centroid_drift_sql() -> str:
     """
 
 
-@banked_query("similarity_centroid_drift", oracle=_centroid_drift_sql())
+@query("similarity_centroid_drift", oracle=_centroid_drift_sql())
 def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each source's embedding centroid to the global
     centroid (operators/similarity.centroid_drift_by_source) under the

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import banked_query, bench_query, query
+from hummingbirddatapipeline_spark.catalog import bench_query, query
 from hummingbirddatapipeline_spark.functions import text as TX
 from hummingbirddatapipeline_spark.operators.dedup import exact_dedup, jaccard_pairs_prefix
 from hummingbirddatapipeline_spark.tables import load
@@ -1307,7 +1307,7 @@ def _chunk_boilerplate_sql(
     """
 
 
-@banked_query("text_chunk_boilerplate", oracle=_chunk_boilerplate_sql(2))
+@query("text_chunk_boilerplate", oracle=_chunk_boilerplate_sql(2))
 def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level boilerplate removal (CCNet's paragraph-hash dedup
     re-expressed over CDC chunks; operators/dedup.
@@ -1377,7 +1377,7 @@ def _dup_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
     """
 
 
-@banked_query("text_dup_spans", oracle=_dup_spans_sql(20, 2))
+@query("text_dup_spans", oracle=_dup_spans_sql(20, 2))
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated-span extraction (operators/dedup.
     dup_span_extract) under the full oracle gate — the ACTIONABLE
@@ -1460,7 +1460,7 @@ def _perplexity_buckets_sql(lam: float = 0.9) -> str:
     """
 
 
-@banked_query("text_perplexity_buckets", oracle=_perplexity_buckets_sql(0.9))
+@query("text_perplexity_buckets", oracle=_perplexity_buckets_sql(0.9))
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2020;
     operators/retrieval.perplexity_buckets) under the full oracle
@@ -1549,7 +1549,7 @@ def _cut_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:
     """
 
 
-@banked_query("text_cut_dup_spans", oracle=_cut_spans_sql(20, 2))
+@query("text_cut_dup_spans", oracle=_cut_spans_sql(20, 2))
 def text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lee et al. 2022 substring-dedup CUT (operators/dedup.
     cut_dup_spans) under the full oracle gate — the step that actually
@@ -1638,7 +1638,7 @@ def _trigram_heldout_sql(
     """
 
 
-@banked_query(
+@query(
     "text_trigram_logprob_heldout",
     oracle=_trigram_heldout_sql(0.4, "3333", "lm0"),
 )
@@ -1708,7 +1708,7 @@ def _leaderboard_sql(
     """
 
 
-@banked_query("text_boilerplate_leaderboard", oracle=_leaderboard_sql(20, 2, 20))
+@query("text_boilerplate_leaderboard", oracle=_leaderboard_sql(20, 2, 20))
 def text_boilerplate_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst-boilerplate window leaderboard (operators/dedup.
     boilerplate_leaderboard) under the full oracle gate — the
@@ -1758,7 +1758,7 @@ def _bpe_fertility_sql() -> str:
     """
 
 
-@banked_query("text_bpe_fertility", oracle=_bpe_fertility_sql())
+@query("text_bpe_fertility", oracle=_bpe_fertility_sql())
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language BPE tokenizer-fertility report
     (operators/tokenization.bpe_fertility_by_lang) under the full
@@ -1817,7 +1817,7 @@ def _tfidf_keywords_sql(k: int = 3) -> str:
     """
 
 
-@banked_query("text_tfidf_keywords", oracle=_tfidf_keywords_sql(3))
+@query("text_tfidf_keywords", oracle=_tfidf_keywords_sql(3))
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF keywords (operators/retrieval.
     tfidf_keywords) under the full oracle gate — sklearn-smoothed idf
@@ -1871,7 +1871,7 @@ def _vocab_coverage_sql(vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096)) 
     """
 
 
-@banked_query(
+@query(
     "text_vocab_coverage", oracle=_vocab_coverage_sql((64, 256, 1024, 4096))
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,7 +1932,7 @@ def _length_groups_sql(
     """
 
 
-@banked_query("text_pack_length_groups", oracle=_length_groups_sql(64, 8, "lg0"))
+@query("text_pack_length_groups", oracle=_length_groups_sql(64, 8, "lg0"))
 def text_pack_length_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-grouped batching plan (operators/tokenization.
     pack_length_groups) under the full oracle gate — HuggingFace
@@ -1995,7 +1995,7 @@ def _ngram_novelty_sql(n: int = 2) -> str:
     """
 
 
-@banked_query("text_ngram_novelty", oracle=_ngram_novelty_sql(2))
+@query("text_ngram_novelty", oracle=_ngram_novelty_sql(2))
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc corpus-unique n-gram fraction
     (operators/retrieval.ngram_novelty, n=2) under the full oracle
@@ -2062,7 +2062,7 @@ def _concat_manifest_sql(
     """
 
 
-@banked_query("text_pack_concat_manifest", oracle=_concat_manifest_sql(128, 8, "cc0"))
+@query("text_pack_concat_manifest", oracle=_concat_manifest_sql(128, 8, "cc0"))
 def text_pack_concat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing manifest (operators/tokenization.
     pack_concat_manifest) under the full oracle gate — the
@@ -2137,7 +2137,7 @@ def _heaps_growth_sql(
     """
 
 
-@banked_query("text_heaps_growth", oracle=_heaps_growth_sql((0.25, 0.5, 0.75, 1.0)))
+@query("text_heaps_growth", oracle=_heaps_growth_sql((0.25, 0.5, 0.75, 1.0)))
 def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve (operators/tokenization.
     heaps_vocab_growth) under the full oracle gate — the companion of
@@ -2188,7 +2188,7 @@ def _char_entropy_sql() -> str:
     """
 
 
-@banked_query("text_char_entropy", oracle=_char_entropy_sql())
+@query("text_char_entropy", oracle=_char_entropy_sql())
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-level Shannon entropy in nats
     (functions/text.char_entropy) under the full oracle gate — the
@@ -2254,7 +2254,7 @@ def _pmi_collocations_sql(min_count: int = 5, k: int = 20) -> str:
     """
 
 
-@banked_query("text_pmi_collocations", oracle=_pmi_collocations_sql(5, 20))
+@query("text_pmi_collocations", oracle=_pmi_collocations_sql(5, 20))
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word-bigram collocations by PMI (Church & Hanks 1990;
     operators/retrieval.pmi_collocations, min_count=5) under the full
@@ -2317,7 +2317,7 @@ def _source_kl_sql() -> str:
     """
 
 
-@banked_query("text_source_kl", oracle=_source_kl_sql())
+@query("text_source_kl", oracle=_source_kl_sql())
 def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KL(P_source || P_corpus) per source
     (operators/retrieval.source_unigram_kl) under the full oracle
@@ -2377,7 +2377,7 @@ def _signature_ngrams_sql(k: int = 5, min_count: int = 5) -> str:
     """
 
 
-@banked_query("text_signature_ngrams", oracle=_signature_ngrams_sql(5, 5))
+@query("text_signature_ngrams", oracle=_signature_ngrams_sql(5, 5))
 def text_signature_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 characteristic words by lift
     (operators/retrieval.source_signature_ngrams, min_count=5) under
@@ -2422,7 +2422,7 @@ def _length_profile_sql() -> str:
     """
 
 
-@banked_query("text_length_profile", oracle=_length_profile_sql())
+@query("text_length_profile", oracle=_length_profile_sql())
 def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact interpolated token-count percentiles
     (operators/tokenization.length_profile_by_source; p25/50/75/95 +

@@ -385,9 +385,9 @@ def distill_quality_stump(
     distinct student values, one window over that (tiny) value table,
     one broadcast of the single winning stump row back onto the
     corpus. ``strata_col`` is the 100 TB lever: the registered catalog
-    fixture ranks the teacher GLOBALLY (a single-partition window —
-    fine at oracle scale, and the 100x receipt shows it dominating at
-    39.9 s), while production passes a stratum (source/language) so
+    fixture passes ``strata_col="source"`` (since r12 — the r11
+    fixture ranked globally, a single-partition window whose 100x
+    receipt showed it dominating at 39.9 s; r11 VERDICT item 2), so
     the teacher percentile is per-stratum — the FineWeb-Edu
     per-domain-percentile practice — and the window exchange keys on
     the stratum instead of moving the corpus to one reducer. The stump

@@ -82,14 +82,24 @@ def test_driver_window_rotation_policy():
     rotation policy executable: (1) every DRIVER_WINDOW name exists and
     registers before any non-window name, (2) the window fits the
     driver's 50-slot budget, (3) every query OUTSIDE the first 50 slots
-    (which the driver will NOT sample this round) was driver-green when
-    last sampled — checked against the actual CORRECTNESS_r{N}.json
-    records, so a red or never-sampled row can never rotate out."""
+    (which the driver will NOT sample this round) either was
+    driver-green when last sampled — checked against the actual
+    CORRECTNESS_r{N}.json records, so a red row can never rotate out —
+    or is a registered-this-round row explicitly listed in
+    DEFERRED_FIRST_SAMPLE, which commits it to the HEAD of the next
+    round's window (the r11 VERDICT's relaxed invariant: a
+    never-sampled row must enter the window within one round of
+    registration; the zero-never-sampled form was self-imposed and
+    drove the banking anti-pattern)."""
     import glob
     import json
     import os
 
-    from hummingbirddatapipeline_spark.catalog import DRIVER_WINDOW, QUERIES
+    from hummingbirddatapipeline_spark.catalog import (
+        DEFERRED_FIRST_SAMPLE,
+        DRIVER_WINDOW,
+        QUERIES,
+    )
 
     names = list(QUERIES)
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
@@ -99,18 +109,39 @@ def test_driver_window_rotation_policy():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
+    sampled: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
+            sampled.add(name)
             # last-sample-wins: a later red overrides an earlier green
             ok = bool(rec.get("rows_match")) and bool(rec.get("hash_match"))
             (green.add if ok else green.discard)(name)
-    dark = [n for n in names[50:] if n not in green]
+
+    # deferral is only for NEVER-sampled rows, and a deferred name must
+    # be real and actually outside the window (a stale entry for a row
+    # already sampled green must be removed, not carried)
+    assert set(DEFERRED_FIRST_SAMPLE) <= set(QUERIES)
+    assert not (set(DEFERRED_FIRST_SAMPLE) & set(DRIVER_WINDOW))
+    stale = [n for n in DEFERRED_FIRST_SAMPLE if n in sampled]
+    assert not stale, (
+        f"DEFERRED_FIRST_SAMPLE rows already driver-sampled: {stale} — "
+        "drop them from the deferral list (green) or pull them into the "
+        "window (red)"
+    )
+
+    dark = [
+        n
+        for n in names[50:]
+        if n not in green and n not in DEFERRED_FIRST_SAMPLE
+    ]
     assert not dark, (
-        f"queries outside the driver window without a green driver row "
-        f"from their last sample: {dark} — keep them inside the first "
-        "50 slots until the driver has verified them"
+        f"queries outside the driver window that are neither "
+        f"last-sample-green nor deferred-first-sample: {dark} — keep "
+        "them inside the first 50 slots until the driver has verified "
+        "them, or list them in DEFERRED_FIRST_SAMPLE to commit them to "
+        "the next round's window head"
     )
 
 

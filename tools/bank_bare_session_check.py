@@ -1,12 +1,17 @@
-"""Differential sweep of catalog.BANKED under the DRIVER'S exact bare
-session (local[4], UTC, default configs — NOT the repo's tuned session
-factory) at the driver gate's scale, INCLUDING check_oracle's
-integer-width gate (a DuckDB HUGEINT/int128 output column hash-fails
-the driver even when every value matches — the gate the tier tests'
-Python-int compare cannot see; it caught text_pack_concat_manifest's
-window-SUM offset before that row's promotion round).
+"""Differential sweep of the FULL registered catalog (plus any banked
+rows, while any exist) under the DRIVER'S exact bare session (local[4],
+UTC, default configs — NOT the repo's tuned session factory) at the
+driver gate's scale, INCLUDING check_oracle's integer-width gate (a
+DuckDB HUGEINT/int128 output column hash-fails the driver even when
+every value matches — the gate the tier tests' Python-int compare
+cannot see; it caught text_pack_concat_manifest's window-SUM offset
+before that row's promotion round).
 
-Run before any registration round ships:
+Since r12 (the bank drained to zero) this sweeps QUERIES/ORACLES — the
+round-close checklist's bare-session leg now covers every driver-facing
+row, not just pre-staged ones.
+
+Run before a round ships:
 
     python tools/bank_bare_session_check.py [sf_dir] [row_name ...]
 
@@ -34,15 +39,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = co.duck_connect(sf_dir)
 
-    from hummingbirddatapipeline_spark.catalog import BANKED, BANKED_ORACLES
+    from hummingbirddatapipeline_spark.catalog import (
+        BANKED,
+        BANKED_ORACLES,
+        ORACLES,
+        QUERIES,
+    )
+
+    queries = {**QUERIES, **BANKED}
+    oracles = {**ORACLES, **BANKED_ORACLES}
+    unknown = sorted(only - set(queries))
+    if unknown:
+        print(f"unknown row name(s): {unknown}")
+        return 1
 
     n_pass = n_fail = 0
-    for name in sorted(only or BANKED):
+    for name in sorted(only or queries):
         try:
-            sdf = BANKED[name](spark, sf_dir)
+            sdf = queries[name](spark, sf_dir)
             cols = sdf.columns
             rows = [tuple(r) for r in sdf.collect()]
-            rel = con.sql(BANKED_ORACLES[name])
+            rel = con.sql(oracles[name])
             dcols = list(rel.columns)
             dtypes = dict(zip(dcols, rel.types))
             drows = rel.fetchall()

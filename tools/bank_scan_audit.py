@@ -1,19 +1,21 @@
-"""Repeated-scan audit over the BANKED (unregistered) catalog rows
-— tools/scan_audit.py's signature logic applied before registration.
+"""Repeated-scan audit with a BY_DESIGN classification table —
+tools/scan_audit.py's signature logic plus the recorded
+accepted-shape decisions.
 
 Catalyst re-inlines repeated DataFrame references, so an operator's
 values can be differential-green while its executed plan re-reads the
 corpus once per consumer (the r11 doremi lesson; this harness caught
 cross_source_best_match at 16x corpus text scans at banking time).
 
-Since the bank was pre-staged into catalog.BANKED (the exact
-registration code, driver-invisible), the sweep drives the registry
-itself: every @banked_query row's plan is audited with its real
-registration fixture — no hand-maintained operator list to drift.
+Historically this swept catalog.BANKED (the pre-staged registration
+rows). Since r12 the bank is drained to zero, so the sweep now covers
+QUERIES plus whatever BANKED holds (normally nothing) — same plans,
+same fixtures.
 
     python tools/bank_scan_audit.py [sf_dir] [row_name ...]
 
-Exit code 0 always (advisory); FLAG lines are the work list. The
+Unknown row names exit 1 with a message before the sweep. Otherwise
+exit code 0 always (advisory); FLAG lines are the work list. The
 PLANS.md late-bank audit section records the by-design remainders
 (the exact-pair-engine two-pass shape, stats-then-transform, the
 two-pass corpus LMs)."""
@@ -35,7 +37,9 @@ spark = (SparkSession.builder.master("local[8]")
 spark.sparkContext.setLogLevel("ERROR")
 mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
-from hummingbirddatapipeline_spark.catalog import BANKED  # noqa: E402
+from hummingbirddatapipeline_spark.catalog import BANKED, QUERIES  # noqa: E402
+
+ROWS = {**QUERIES, **BANKED}
 
 # Documented by-design repeated-scan shapes (same classes the
 # registered-catalog scan audit accepts); a flag here prints
@@ -62,10 +66,16 @@ BY_DESIGN = {
     "materializing (recorded decline, A/B'd at sf0.1 — PLANS.md)",
 }
 
+unknown = sorted(ONLY - set(ROWS))
+if unknown:
+    print(f"unknown row name(s): {unknown}")
+    spark.stop()
+    sys.exit(1)
+
 n_flagged = 0
-names = sorted(ONLY or BANKED)
+names = sorted(ONLY or ROWS)
 for name in names:
-    df = BANKED[name](spark, SF)
+    df = ROWS[name](spark, SF)
     plan = df._jdf.queryExecution().explainString(mode)
     sigs, loc, pf = [], "?", ""
     for s in re.findall(r"Location:[^\n]*|PushedFilters: [^\n]*|ReadSchema: [^\n]*", plan):
