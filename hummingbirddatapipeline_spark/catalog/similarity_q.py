@@ -427,8 +427,16 @@ def similarity_near_dup_clusters_banded(
     # what a real pipeline does: you materialize the corpus once, not
     # re-derive twins inside every downstream operator.
     uni = emb.unionByName(twins).localCheckpoint()
+    # n-aware banding: the corpus-size hint sizes the bucket space so
+    # expected bucket load stays O(1) as the corpus grows (the sf1
+    # receipts measured the fixed-space alternative at 301x candidates
+    # for 10x vectors). The count is a bounded metadata pull on the
+    # checkpointed union — at driver scales (n <= ~4k) the tuner falls
+    # back to the identical single-long (12, 5) configuration, so the
+    # oracle-gated plan is unchanged there; past ~2^13 vectors the
+    # signature widens to one long per band.
     pairs = embedding_near_dup_pairs(
-        uni, threshold=0.9, expected_dup_sim=0.9999
+        uni, threshold=0.9, expected_dup_sim=0.9999, n_items=uni.count()
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return cc.select(

@@ -196,7 +196,9 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int]:
+def _tune_banding(
+    threshold: float, target_miss: float = 1e-6, n_items: int | None = None
+) -> tuple[int, int]:
     """Pick (planes_per_band, bands) for sign-LSH at a cosine threshold.
 
     ``p = acos(t)/pi`` is the chance one random hyperplane separates a
@@ -208,8 +210,40 @@ def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int
     thresholds (>=0.9, the dedup regime) get selective banding that is
     genuinely sub-quadratic; permissive thresholds degrade gracefully
     toward coarse buckets — still an equi-join plan, never a cartesian.
+
+    ``n_items`` sizes the bucket space to the corpus: with ~n items per
+    band the expected bucket load is n/2^r, so r must track log2(n) or
+    the self-join goes quadratic no matter how good the miss guarantee
+    is. When the n-aware r exceeds what 63 bits allow, the returned
+    (r, b) has r*b > 63 and the caller switches from the single packed
+    long to one signature long PER BAND (``lsh_band_signatures``) —
+    same equi-join plan, unbounded plane budget.
     """
     p = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+
+    def bands_for(r: int) -> int | None:
+        match = (1.0 - p) ** r
+        if not 0.0 < match < 1.0:
+            return None
+        # log1p keeps precision when match underflows toward 0 at high
+        # r on permissive thresholds (log(1-match) would hit log(1)=0)
+        return math.ceil(math.log(target_miss) / math.log1p(-match))
+
+    if n_items is not None and n_items > 1:
+        # n-aware: bucket space >= corpus size per band (capped at 62
+        # bits per band long; b explodes as match^r shrinks, so cap r
+        # where b stays sane — <= 64 bands keeps the explode bounded)
+        r_n = min(max(math.ceil(math.log2(n_items)), 1), 62)
+        while r_n > 1:
+            b_n = bands_for(r_n)
+            if b_n is not None and b_n <= 64:
+                break
+            r_n -= 1
+        b_n = bands_for(r_n)
+        if b_n is not None and b_n <= 64 and r_n * b_n > 63:
+            return r_n, b_n
+        # else: the 63-bit scan below already reaches the n-aware r
+
     # Scan r from the full bit budget down: the tuner must return the
     # MOST selective configuration the packed int64 signature allows,
     # because bucket count per band is 2^r while occupancy grows with
@@ -222,15 +256,65 @@ def _tune_banding(threshold: float, target_miss: float = 1e-6) -> tuple[int, int
     # the 63-bit budget anyway, so mid/low-threshold plans are
     # byte-identical to the old tuner's.
     for r in range(63, 0, -1):
-        match = (1.0 - p) ** r
-        if not 0.0 < match < 1.0:
-            continue
-        # log1p keeps precision when match underflows toward 0 at high
-        # r on permissive thresholds (log(1-match) would hit log(1)=0)
-        b = math.ceil(math.log(target_miss) / math.log1p(-match))
-        if r * b <= 63:
+        b = bands_for(r)
+        if b is not None and r * b <= 63:
             return r, b
     return 1, 63
+
+
+def lsh_band_signatures(
+    vec_col,
+    *,
+    per_band: int,
+    bands: int,
+    seed: int,
+    planes: list[list[float]] | None = None,
+):
+    """Per-band sign-bit signatures as ``array<long>`` — the widened
+    form of ``lsh_signature`` for configurations whose total plane
+    count exceeds one packed int64 (n-aware tuning at large corpora:
+    r ~ log2(n) planes/band x b bands). One Arrow-batched matmul per
+    batch against all ``per_band * bands`` seeded hyperplanes, then
+    each band's bits pack into its OWN int64 (element i = band i's
+    bucket), so the downstream explode reads ``element_at(sig, i+1)``
+    instead of masking one long. Same determinism contract as
+    ``lsh_signature`` (seeded planes, dim derived from the first Arrow
+    batch executor-side)."""
+    if per_band < 1 or per_band > 62:
+        raise ValueError("per_band must be in 1..62")
+    total = per_band * bands
+    if planes is not None:
+        P0 = np.asarray(planes, dtype=np.float64)  # (total, D)
+        if P0.shape[0] != total:
+            raise ValueError("planes rows must equal per_band * bands")
+    else:
+        if seed is None:
+            raise ValueError("pass planes, or seed")
+        P0 = None
+    weights = np.uint64(1) << np.arange(per_band, dtype=np.uint64)
+    plane_cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("array<long>")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy())  # (B, D)
+        P = P0
+        if P is None:
+            P = plane_cache.get(V.shape[1])
+            if P is None:
+                P = np.asarray(
+                    _hyperplanes(V.shape[1], total, seed), dtype=np.float64
+                )
+                plane_cache[V.shape[1]] = P
+        bits = (V @ P.T) >= 0.0  # (B, total)
+        # (B, bands, per_band) -> per-band packed longs (B, bands)
+        packed = (
+            bits.reshape(len(V), bands, per_band).astype(np.uint64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(packed.view(np.int64)))
+
+    return _sig(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def embedding_near_dup_pairs(
@@ -244,6 +328,7 @@ def embedding_near_dup_pairs(
     bands: int | None = None,
     seed: int = 42,
     expected_dup_sim: float | None = None,
+    n_items: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
@@ -267,6 +352,15 @@ def embedding_near_dup_pairs(
     borderline pairs near the threshold itself. The verify filter is
     unchanged, so precision is never affected.
 
+    ``n_items`` (a corpus-size hint; an exact count is unnecessary)
+    lets the tuner size the bucket space to the data: r tracks
+    log2(n_items) so expected bucket load stays O(1) as the corpus
+    grows. When the n-aware configuration exceeds one packed int64
+    (r*b > 63) the signature widens to one long per band
+    (``lsh_band_signatures``) — identical equi-join plan, unbounded
+    plane budget. Without the hint, tuning uses the most selective
+    configuration a single packed long allows.
+
     Scale: the banded plan is shuffle-on-bucket + hash join — no
     CartesianProduct — and at dedup-regime thresholds (>=0.9) candidate
     volume is sub-quadratic in corpus size.
@@ -283,7 +377,8 @@ def embedding_near_dup_pairs(
 
     if n_planes is None or bands is None:
         per_band, n_bands = _tune_banding(
-            threshold if expected_dup_sim is None else expected_dup_sim
+            threshold if expected_dup_sim is None else expected_dup_sim,
+            n_items=n_items,
         )
         if per_band < 3:
             # Selectivity cutoff: at permissive thresholds (~<=0.4) the
@@ -303,18 +398,36 @@ def embedding_near_dup_pairs(
         per_band = max(1, n_planes // bands)
     total_planes = per_band * n_bands
     planes = _hyperplanes(dim, total_planes, seed) if dim is not None else None
-    masks = [
-        ((1 << per_band) - 1) << (i * per_band) for i in range(n_bands)
-    ]
-    bandarr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.col("__sig").bitwiseAND(F.lit(m).cast("long")).alias("bucket"),
-            )
-            for i, m in enumerate(masks)
+    if total_planes <= 63:
+        masks = [
+            ((1 << per_band) - 1) << (i * per_band) for i in range(n_bands)
         ]
-    )
+        sig = lsh_signature(item_vec, planes, n_planes=total_planes, seed=seed)
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.col("__sig").bitwiseAND(F.lit(m).cast("long")).alias("bucket"),
+                )
+                for i, m in enumerate(masks)
+            ]
+        )
+    else:
+        # widened path: one signature long PER BAND (n-aware tuning at
+        # corpora past the single-long budget); bucket i = element i
+        sig = lsh_band_signatures(
+            item_vec, per_band=per_band, bands=n_bands, seed=seed,
+            planes=planes,
+        )
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.element_at(F.col("__sig"), i + 1).alias("bucket"),
+                )
+                for i in range(n_bands)
+            ]
+        )
     # ids-only banding: the band self-join and candidate dedup move
     # 4-long skinny rows; the wide embeddings attach once per surviving
     # pair at the verify stage (at permissive thresholds the candidate
@@ -322,10 +435,7 @@ def embedding_near_dup_pairs(
     # shuffle is what bounds the bytes moved).
     banded = (
         items.select(item_id, item_vec)
-        .withColumn(
-            "__sig",
-            lsh_signature(item_vec, planes, n_planes=total_planes, seed=seed),
-        )
+        .withColumn("__sig", sig)
         .select(item_id, F.explode(bandarr).alias("bb"))
         .select(item_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )

@@ -461,3 +461,81 @@ def test_incremental_store_roundtrips_through_parquet(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_tune_banding_n_aware_tracks_corpus_size():
+    """With an n_items hint the tuner must size the bucket space to the
+    corpus (r ~ log2 n), going past the single-long 63-bit budget when
+    needed — expected bucket load stays O(1) as the corpus grows."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        _tune_banding,
+    )
+
+    base_r, base_b = _tune_banding(0.9999)
+    assert base_r * base_b <= 63
+    r, b = _tune_banding(0.9999, n_items=1_000_000)
+    assert r >= 20  # log2(1e6) ~ 19.9
+    assert r * b > 63  # widened-signature regime
+    # miss guarantee preserved: (1 - match^r)^b <= ~1e-6
+    import math
+
+    p = math.acos(0.9999) / math.pi
+    assert (1.0 - (1.0 - p) ** r) ** b <= 1.1e-6
+    # small corpora never tune BELOW the single-long optimum
+    r_s, b_s = _tune_banding(0.9999, n_items=400)
+    assert (r_s, b_s) == (base_r, base_b)
+
+
+def test_widened_band_signatures_equal_brute(spark):
+    """The per-band array<long> signature path (r*b > 63) must produce
+    the same verified pair set as brute force on a twin fixture whose
+    true pairs sit at the tuning point."""
+    import numpy as np
+
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        tw = v + rng.normal(scale=1e-4, size=16)  # cosine ~0.99999+
+        tw /= np.linalg.norm(tw)
+        rows.append((i + 1000, [float(x) for x in tw]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, 0.99, brute=True).collect()
+    }
+    widened = embedding_near_dup_pairs(
+        df, 0.99, expected_dup_sim=0.99999, n_items=1_000_000
+    )
+    got = {(r["id_a"], r["id_b"]) for r in widened.collect()}
+    assert got == exact
+    assert len(got) >= 40  # every twin pair recalled
+
+
+def test_widened_band_path_is_equi_join(spark):
+    """The widened signature path keeps the (band, bucket) equi-join
+    plan — no CartesianProduct, no corpus-sized nested loop."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        embedding_near_dup_pairs(
+            df, 0.99, expected_dup_sim=0.99999, n_items=1_000_000
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
