@@ -203,6 +203,11 @@ HEADLINE = [
     "sketch_bloom_fpr",
     "similarity_centroid_drift",
     "text_length_profile",
+    # r12 registrations (built + registered same round, no banking)
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "similarity_banded_widened_clusters",
+    "q10_returned_items",
 ]
 
 

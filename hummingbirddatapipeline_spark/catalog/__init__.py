@@ -260,6 +260,13 @@ DEFERRED_FIRST_SAMPLE: list[str] = [
     "sketch_bloom_fpr",
     "similarity_centroid_drift",
     "text_length_profile",
+    # built AND registered in r12 after the window was frozen (the
+    # no-banking rule: a new operator registers the round it is
+    # built); they lead the r13 window with the seven above
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "similarity_banded_widened_clusters",
+    "q10_returned_items",
 ]
 
 

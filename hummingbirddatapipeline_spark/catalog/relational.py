@@ -1251,3 +1251,194 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 / Q18 adaptations (registered the round they were built,
+# per the r12 no-banking rule)
+# --------------------------------------------------------------------------
+def _q6_forecast_sql() -> str:
+    """Independent DuckDB formulation of the forecast-revenue-change
+    query (classic TPC-H Q6 on the available columns): one pushed-down
+    scan filter, exact cent sum of l_extendedprice * l_discount."""
+    return """
+    SELECT
+      CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+           AS BIGINT) AS revenue_cents,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """
+
+
+@query("q6_forecast_revenue", oracle=_q6_forecast_sql())
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change (TPC-H Q6 shape): what revenue would
+    have been earned had the 5-7% discounts in the 1996 ship year not
+    applied to small-quantity items. Single-table, zero joins: every
+    predicate (date range, discount band, quantity cap) is pushed to
+    the parquet scan, and the exact-cent sum is one map-side-combined
+    aggregate to a single row — the canonical filter-pushdown probe:
+    at 100 TB the scan is the entire cost and the plan moves nothing.
+
+    The discount band compares doubles both engines derive as k/100
+    from the same data, so the boundary values (0.05, 0.07) select
+    identical rows bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                money_cents(F.col("l_extendedprice") * F.col("l_discount"))
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q18_volume_sql(min_qty: int = 250, k: int = 100) -> str:
+    """Independent DuckDB formulation of the large-volume-customer
+    report (classic TPC-H Q18 shape): group lineitem by order, keep
+    orders past the quantity threshold, attach order + customer, top-k
+    under a total order."""
+    return f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_price_cents,
+           CAST(q.total_qty AS BIGINT) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty}
+    ) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY q.total_qty DESC, o.o_orderkey
+    LIMIT {k}
+    """
+
+
+@query("q18_large_volume_customers", oracle=_q18_volume_sql())
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose summed
+    line quantity exceeds 250 units, with customer attribution, top
+    100 by volume under a total order (qty desc, orderkey tiebreak).
+
+    Scale shape: the per-order quantity aggregate is map-side combined
+    on the fact table's natural key and the HAVING filter collapses
+    the join input to the rare tail BEFORE any wide row moves —
+    orders/customer attach to the survivors only (at this selectivity
+    AQE picks broadcast for the probe side at any realistic sf). The
+    rank window runs over the filtered tail, compiling to the
+    WindowGroupLimit k-cut like every other top-k row."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    joined = (
+        qty.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            money_cents(F.col("o_totalprice")).alias("total_price_cents"),
+            "total_qty",
+        )
+    )
+    w = Window.orderBy(F.desc("total_qty"), F.col("o_orderkey"))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 100)
+        .drop("__rk")
+    )
+
+
+def _q10_returned_sql(k: int = 20) -> str:
+    """Independent DuckDB formulation of the returned-item report
+    (classic TPC-H Q10 shape): revenue lost to returns ('R' flag) per
+    customer over the 1997 order year, nation attached, top-k under a
+    total order."""
+    return f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS lost_revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue_cents DESC, c.c_custkey
+    LIMIT {k}
+    """
+
+
+@query("q10_returned_items", oracle=_q10_returned_sql())
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): which customers
+    returned the most 1997-order revenue, with nation attribution —
+    top 20 by lost revenue under a total order (cents desc, custkey
+    tiebreak).
+
+    Scale shape: the order-year predicate prunes orders AT THE SCAN
+    and the 'R' flag prunes lineitem the same way; the fact-fact join
+    shuffles only the two pruned sides on orderkey, then customer and
+    nation are classic broadcast dimensions. The aggregate is keyed on
+    customer (map-side combined) and the rank window compiles to the
+    WindowGroupLimit k-cut."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            od.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("lost_revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    w = Window.orderBy(F.desc("lost_revenue_cents"), F.col("c_custkey"))
+    return (
+        agg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 20)
+        .drop("__rk")
+    )

@@ -341,9 +341,10 @@ _install_hybrid_oracle()
 _TWIN_OFFSET = 1_000_000
 
 
-@query(
-    "similarity_near_dup_clusters_banded",
-    oracle=f"""
+# Shared by the banded row and its widened-signature twin below: the
+# oracle is the EXACT brute-force closure, so any banding that meets
+# its recall guarantee must reproduce it bit-for-bit.
+_BANDED_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
@@ -382,7 +383,12 @@ _TWIN_OFFSET = 1_000_000
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM cc
     ORDER BY node
-    """,
+    """
+
+
+@query(
+    "similarity_near_dup_clusters_banded",
+    oracle=_BANDED_CLUSTERS_ORACLE,
 )
 def similarity_near_dup_clusters_banded(
     spark: SparkSession, sf_dir: str
@@ -437,6 +443,60 @@ def similarity_near_dup_clusters_banded(
     # signature widens to one long per band.
     pairs = embedding_near_dup_pairs(
         uni, threshold=0.9, expected_dup_sim=0.9999, n_items=uni.count()
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        "node",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+
+
+@query(
+    "similarity_banded_widened_clusters",
+    oracle=_BANDED_CLUSTERS_ORACLE,
+)
+def similarity_banded_widened_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WIDENED per-band signature path under the full oracle gate:
+    identical fixture, threshold, and closure as
+    similarity_near_dup_clusters_banded, but the corpus-size hint is
+    forced to 2^20 so the tuner leaves the single packed int64 (20
+    planes/band x 6 bands = 120 planes, one signature long PER BAND
+    via operators/similarity.lsh_band_signatures) at EVERY scale
+    factor — the configuration a ~10^6-vector corpus would get. The
+    oracle is the exact brute-force closure, so this row driver-gates
+    the widened path's recall guarantee (~4e-7 miss/pair at the 0.9999
+    tuning point) and its array<long> bucketing end-to-end. Same
+    equi-join plan contract as the single-long path
+    (tests/test_dedup_similarity.py::test_widened_band_path_is_equi_join).
+
+    Scale shape: identical to the banded row — skinny (band, bucket,
+    id) explode, bucket self-join, exact cosine verify, pointer-
+    jumping closure; the only difference is 6 array elements per item
+    instead of 5 masked views of one long, which is what keeps bucket
+    load O(1) on corpora past 2^13 vectors."""
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    uni = emb.unionByName(twins).localCheckpoint()
+    pairs = embedding_near_dup_pairs(
+        uni, threshold=0.9, expected_dup_sim=0.9999, n_items=1 << 20
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return cc.select(
