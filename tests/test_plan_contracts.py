@@ -828,3 +828,46 @@ def test_decontaminate_scans_corpus_text_once(spark, sf_dir):
     text_scans = re.findall(r"ReadSchema: [^\n]*text:string", plan)
     assert len(text_scans) == 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """TPC-H Q6's whole claim is filter pushdown: the ship-date range,
+    discount band, and quantity cap must appear in the parquet scan's
+    PushedFilters, and the plan must contain no join at all."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    blob = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in blob, blob
+    assert "Join" not in plan
+
+
+def test_q10_q18_join_shapes(spark, sf_dir):
+    """Q10: broadcast dims, no cartesian. Q18: the per-order aggregate
+    runs BELOW the joins (tail-collapse before wide rows move), no
+    cartesian."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    p10 = _physical(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p10
+    assert "CartesianProduct" not in p10
+
+    p18 = _physical(QUERIES["q18_large_volume_customers"](spark, sf_dir))
+    assert "CartesianProduct" not in p18
+    # the quantity aggregate + HAVING filter sit below the first join:
+    # find the first Join operator line and require a HashAggregate
+    # deeper in the tree (higher indentation can't be relied on in
+    # toString, so check textual order: SortMergeJoin/BroadcastHashJoin
+    # must appear before the LAST HashAggregate mention)
+    lines = p18.splitlines()
+    join_idx = min(
+        i for i, ln in enumerate(lines)
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    )
+    agg_idx = max(
+        i for i, ln in enumerate(lines) if "HashAggregate" in ln
+    )
+    assert agg_idx > join_idx, p18

@@ -94,8 +94,10 @@ def gen_tables(spark: SparkSession, sf: float, out_dir: str) -> dict:
     n_ord = int(1_500_000 * sf)
     n_ev = int(1_000_000 * sf)
     n_users = max(1, int(15_000 * sf))
-    n_doc = int(50_000 * sf)
-    n_vec = int(20_000 * sf)
+    # documents/embeddings floor at 500 in the driver's testdata
+    # (sf0.001 and sf0.01 both hold 500 docs / 500 vecs; linear above)
+    n_doc = max(500, int(50_000 * sf))
+    n_vec = max(500, int(20_000 * sf))
     counts = {}
 
     region = spark.createDataFrame(
@@ -144,11 +146,14 @@ def gen_tables(spark: SparkSession, sf: float, out_dir: str) -> dict:
 
     # o_orderdate is a pure function of the key so lineitem can derive
     # ship dates with NO join back to orders (join-free FK consistency)
+    # timestamp_ntz, matching the driver testdata's column type exactly
+    # (the UTC-pinned session makes the wall values identical either
+    # way; the faithfulness test pins the dtype)
     def odate(okey):
         return F.timestamp_seconds(
             F.lit(788_918_400)  # 1995-01-01 UTC
             + _mod("o_date", okey, 2404) * 86_400
-        )
+        ).cast("timestamp_ntz")
 
     orders = _rng(spark, n_ord, "o_orderkey").select(
         F.col("o_orderkey"),
@@ -224,7 +229,7 @@ def gen_tables(spark: SparkSession, sf: float, out_dir: str) -> dict:
             F.lit(1_704_067_200_000_000)  # 2024-01-01 UTC in micros
             + (F.col("event_id") * F.lit(span_us / max(n_ev, 1))).cast("long")
             + _mod("e_jit", F.col("event_id"), 1_000_000)
-        ).alias("ts"),
+        ).cast("timestamp_ntz").alias("ts"),
         _mod("e_user", F.col("event_id"), n_users).alias("user_id"),
         _pick("e_type", F.col("event_id"), EVENT_TYPES).alias("event_type"),
         F.round(_unif("e_val", F.col("event_id")) * 150.0, 2).alias("value"),
