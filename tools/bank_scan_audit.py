@@ -64,6 +64,35 @@ BY_DESIGN = {
     "occurrence aggregate AND the cut join; at ~16 bytes per token "
     "position the stream outweighs the text, so re-scanning beats "
     "materializing (recorded decline, A/B'd at sf0.1 — PLANS.md)",
+    # The entries below were classified when the audit first swept the
+    # FULL registered catalog (r12) instead of only the bank: each is
+    # an instance of an accepted class already recorded above or in
+    # PLANS.md r10/r11 for a sibling row. All are 2x scans whose
+    # second read is a distinct LOGICAL side, not a Catalyst re-inline.
+    "curation_funnel": "one flags-frame pass (the r10 27->0 fix) plus "
+    "the exact-pair-engine text pass — the funnel's near-dup stage "
+    "necessarily reads the corpus once itself",
+    "dedup_incremental_batch": "batch-vs-store semantics: the probe "
+    "batch and the index store are distinct logical sides that the "
+    "fixture derives from the same table",
+    "sample_dsir_select": "DSIR's two LM sides (in-domain target vs "
+    "corpus background) each count over text — the two-pass corpus-LM "
+    "accepted class (the bigram_logprob decline-record trade)",
+    "similarity_hamming_topk": "stats-then-transform: threshold stats "
+    "pass then encode pass — documented by-design on the row since "
+    "r11 registration",
+    "similarity_lsh_topk": "items side and sampled-queries side each "
+    "band the embeddings table — two logical sides of the top-k join",
+    "similarity_near_dup_embeddings": "exact-pair self-join sides at "
+    "the demo threshold (the brute escape hatch; the accepted class "
+    "of dedup_lsh_recall above)",
+    "text_bpe_segment": "dictionary-replay shape: unique-word table "
+    "plus posexplode re-attach (named as this row's accepted class "
+    "in the text_bpe_fertility entry above)",
+    "text_jaccard_near_dups": "exact-pair self-join sides (the "
+    "accepted near-dup pair-engine class)",
+    "text_unigram_logprob": "two-pass corpus LM: count table plus "
+    "scoring pass (the bigram_logprob accepted class)",
 }
 
 unknown = sorted(ONLY - set(ROWS))
