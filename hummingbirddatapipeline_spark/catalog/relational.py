@@ -97,7 +97,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine means the wide 4-rows-per-order fact stream never crosses
     the wire, and the groupBy after the join disappears (orderkey is
     already unique). Orders are cut to the BUILDING segment by the
-    broadcast customer dim before joining. Identical semantics (the
+    customer join — no static broadcast hint: customer grows with sf,
+    so the strategy is left to AQE's size-gated dynamic broadcast
+    (session.py), which picks broadcast wherever it fits and degrades
+    to a shuffled join past the ceiling instead of throwing at 8 GB
+    the way a forced hint would. Identical semantics (the
     per-order revenue sum is unaffected by the customer filter; inner
     joins drop the same rows either side of the aggregate); measured
     42.6 -> ~13 s at the 100x probe. Final top-10 is a TakeOrdered,
@@ -110,7 +114,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev_cents).alias("revenue_cents")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li_agg, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue_cents"), "o_orderkey")
@@ -151,7 +155,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -549,7 +553,7 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     supplier_rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(
             F.sum(
@@ -1083,14 +1087,16 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo revenue share by ship month (the TPC-H Q14 shape widened
     to a 12-row monthly report): lineitem x part equi-join with the
     small dimension BROADCAST, exact cent sums, one 6dp division.
-    Banked (r25 tier) — registration flips a @query decorator onto
-    this function with _q14_promo_sql().
+    Registered since r12 (formerly the r25 bank tier) with
+    _q14_promo_sql() as its oracle.
 
-    Scale shape: part is the classic broadcast dimension (bounded by
-    the catalog, not the fact table); the fact side filters on the
-    ship-date predicate AT THE SCAN (pushed down), so the join moves
-    one year of lineitem and zero shuffles: broadcast-hash join +
-    12-group map-side-combined aggregate.
+    Scale shape: part grows with sf, so there is NO static broadcast
+    hint — AQE's size-gated dynamic broadcast (session.py) picks the
+    broadcast-hash join at every scale where part's projected two
+    columns fit, and degrades to a shuffled join past the ceiling
+    instead of throwing. The fact side filters on the ship-date
+    predicate AT THE SCAN (pushed down), so the join moves one year
+    of lineitem; 12-group map-side-combined aggregate.
     """
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
@@ -1105,7 +1111,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pt.select("p_partkey", "p_type")),
+        .join(pt.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
@@ -1215,14 +1221,16 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bracketed-predicate revenue (the TPC-H Q19 shape, per-bracket
     rows instead of one grand total): each bracket is a conjunctive
     (brand, size range, quantity range) predicate; a line matches at
-    most one (brands are disjoint). Banked (r27 tier) — registration
-    flips a @query decorator onto this with `_q19_bracket_sql()`.
+    most one (brands are disjoint). Registered since r12 (formerly
+    the r27 bank tier) with `_q19_bracket_sql()` as its oracle.
 
-    Scale shape: part BROADCASTS (the catalog dimension); the OR-of-
+    Scale shape: part grows with sf, so the join strategy is left to
+    AQE's size-gated dynamic broadcast (no static hint — a forced
+    broadcast throws at the 8 GB ceiling at target scale); the OR-of-
     brackets is one CASE projection after the join, so the fact side
     streams once with no second pass per bracket; exact cent sums per
     the q1 money convention. The brand/size half of each bracket
-    prunes on the broadcast side before the probe.
+    prunes on the build side before the probe.
     """
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
@@ -1236,7 +1244,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(bracket)
     return (
         li.join(
-            F.broadcast(pt.select("p_partkey", "p_brand", "p_size")),
+            pt.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .withColumn("bracket", bracket)
@@ -1401,8 +1409,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the order-year predicate prunes orders AT THE SCAN
     and the 'R' flag prunes lineitem the same way; the fact-fact join
-    shuffles only the two pruned sides on orderkey, then customer and
-    nation are classic broadcast dimensions. The aggregate is keyed on
+    shuffles only the two pruned sides on orderkey; nation keeps its
+    static broadcast hint (25 fixed rows) while customer — which
+    grows with sf — is left to AQE's size-gated dynamic broadcast,
+    so the plan degrades instead of throwing at the 8 GB broadcast
+    ceiling at target scale. The aggregate is keyed on
     customer (map-side combined) and the rank window compiles to the
     WindowGroupLimit k-cut."""
     li = load(spark, sf_dir, "lineitem")
@@ -1419,7 +1430,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(cu.select("c_custkey", "c_name", "c_nationkey")),
+            cu.select("c_custkey", "c_name", "c_nationkey"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(

@@ -9,8 +9,11 @@ NEW master (inputs never mutated — the versioned-output answer to the
 reference's in-place CSV overwrite) and ``upsert_changelog`` derives the
 audit rows from the same join, so merged+changelog always agree.
 
-At scale the updates side is entity-keyed and small relative to master:
-a broadcast join, no master shuffle. On Delta this becomes
+At scale the updates side is entity-keyed and usually small relative to
+master, but it GROWS with ingest — so no static broadcast hint: AQE's
+size-gated dynamic broadcast picks the broadcast join whenever the
+batch fits and degrades to a shuffled join past the ceiling instead of
+throwing at 8 GB. On Delta this becomes
 ``MERGE INTO ... WHEN MATCHED AND <rule> THEN UPDATE`` with table
 history as the changelog; plain parquet gets the join+overwrite here.
 
@@ -63,7 +66,7 @@ def conditional_upsert(
         F.col(value_col).alias("__u_val"),
         F.col(confidence_col).alias("__u_conf"),
     )
-    j = master.join(F.broadcast(upd), master[key] == upd["__u_key"], "left")
+    j = master.join(upd, master[key] == upd["__u_key"], "left")
     old_rank = confidence_rank_col(F.col(confidence_col), rank)
     new_rank = confidence_rank_col(F.col("__u_conf"), rank)
     do = _should_update(F.col(value_col), old_rank, F.col("__u_val"), new_rank)

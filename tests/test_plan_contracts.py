@@ -830,6 +830,76 @@ def test_decontaminate_scans_corpus_text_once(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# Tables whose row count scales with the scale factor, identified in
+# analyzed-plan Relation nodes by a column unique to their parquet
+# schema (Relation prints the FULL schema regardless of projection).
+_SCALING_TABLE_MARKERS = {
+    "c_custkey#": "customer",
+    "s_suppkey#": "supplier",
+    "p_partkey#": "part",
+    "o_orderkey#": "orders",
+    "l_linenumber#": "lineitem",
+    "doc_id#": "documents",
+    "vec_id#": "embeddings",
+    "event_id#": "events",
+}
+# A hint subtree containing any of these nodes is bounded by
+# construction (K-row aggregates / limits / distinct model state) —
+# its size does not scale with the base table, so a broadcast hint on
+# it is the sanctioned skinny-frame pattern.
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate")
+# (row, table) pairs where a hint on a scaling-table SCAN is by
+# design: the ANN probe-side contract. The operators broadcast the
+# QUERY frame, which is bounded by API contract (a handful of probe
+# vectors); the catalog fixtures happen to carve it out of
+# embeddings.parquet with a vec_id filter, so the relation under the
+# hint is the embeddings scan even though the frame is K rows.
+_HINT_WHITELIST = {
+    ("similarity_cosine_topk", "embeddings"),
+    ("similarity_pq_topk", "embeddings"),
+    ("similarity_matryoshka_recall", "embeddings"),
+    ("similarity_ivfpq_topk", "embeddings"),
+    ("search_hybrid_rrf", "embeddings"),
+}
+
+
+def test_no_static_broadcast_hint_on_scaling_tables(spark, sf_dir):
+    """The r12 VERDICT defect class: a forced F.broadcast() on a table
+    that grows with sf overrides AQE's size-gated dynamic broadcast
+    (session.py) and THROWS at the 8 GB broadcast ceiling at target
+    scale, where the unhinted plan would simply degrade to a shuffled
+    join. Contract: across the ENTIRE catalog, no broadcast hint may
+    wrap an sf-scaling table scan unless the hinted subtree is bounded
+    by an aggregate/limit/distinct (skinny derived frames) or is the
+    whitelisted ANN probe-side contract. nation/region (fixed 25/5
+    rows) and literal model-state frames never match a marker."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    violations: dict[str, list[str]] = {}
+
+    def hint_tables(node, out):
+        cls = node.getClass().getSimpleName()
+        if cls == "ResolvedHint" and "broadcast" in str(node.hints().toString()):
+            sub = str(node.toString())
+            if not any(b in sub for b in _BOUNDING_NODES):
+                for line in sub.splitlines():
+                    if "Relation" not in line:
+                        continue
+                    for marker, table in _SCALING_TABLE_MARKERS.items():
+                        if marker in line:
+                            out.append(table)
+        for i in range(node.children().size()):
+            hint_tables(node.children().apply(i), out)
+
+    for name, fn in QUERIES.items():
+        found: list[str] = []
+        hint_tables(fn(spark, sf_dir)._jdf.queryExecution().analyzed(), found)
+        bad = [t for t in found if (name, t) not in _HINT_WHITELIST]
+        if bad:
+            violations[name] = bad
+    assert not violations, violations
+
+
 def test_q6_predicates_reach_the_scan(spark, sf_dir):
     """TPC-H Q6's whole claim is filter pushdown: the ship-date range,
     discount band, and quantity cap must appear in the parquet scan's
