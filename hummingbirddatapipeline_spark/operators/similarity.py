@@ -233,12 +233,27 @@ def _tune_banding(
         # n-aware: bucket space >= corpus size per band (capped at 62
         # bits per band long; b explodes as match^r shrinks, so cap r
         # where b stays sane — <= 64 bands keeps the explode bounded)
-        r_n = min(max(math.ceil(math.log2(n_items)), 1), 62)
+        r_target = min(max(math.ceil(math.log2(n_items)), 1), 62)
+        r_n = r_target
         while r_n > 1:
             b_n = bands_for(r_n)
             if b_n is not None and b_n <= 64:
                 break
             r_n -= 1
+        if r_n < r_target:
+            # The O(1)-bucket-load promise is hint-degraded: holding the
+            # ~1e-6 miss guarantee at this tuning point within the
+            # 64-band explode cap forces r below log2(n_items), so
+            # expected bucket load grows ~n/2^r instead of staying
+            # constant. Callers at mid thresholds should expect
+            # super-linear candidate volume (or raise expected_dup_sim /
+            # route dense cells through the GEMM path).
+            warnings.warn(
+                f"n_items={n_items} wants r>={r_target} planes/band but "
+                f"the 64-band cap clips r to {r_n} at this tuning point "
+                f"— expected bucket load is O(n/2^{r_n}), not O(1)",
+                stacklevel=3,
+            )
         b_n = bands_for(r_n)
         if b_n is not None and b_n <= 64 and r_n * b_n > 63:
             return r_n, b_n
@@ -349,7 +364,14 @@ def embedding_near_dup_pairs(
     that similarity instead of at the worst-case threshold yields far
     more selective bands (e.g. 8 planes/band x 5 bands vs 3 x 14 at
     t=0.9 — ~3.5x fewer candidates) at the cost of weaker recall for
-    borderline pairs near the threshold itself. The verify filter is
+    borderline pairs near the threshold itself — and since the tuner
+    scans the FULL 63-bit budget (r12), tuning points >= ~0.9987 now
+    land on wider bands than before (12x5 where the old scan stopped
+    at 8x5), so the borderline penalty grows with selectivity: a
+    cosine-0.90 pair's miss probability under a 0.9999 tuning point
+    is ~18% at 8 planes/band but ~43% at 12. The ~1e-6 guarantee
+    holds AT the tuning point either way; only set expected_dup_sim
+    when true duplicates genuinely sit there. The verify filter is
     unchanged, so precision is never affected.
 
     ``n_items`` (a corpus-size hint; an exact count is unnecessary)
@@ -374,6 +396,21 @@ def embedding_near_dup_pairs(
     b = items.select(F.col(item_id).alias("id_b"), F.col(item_vec).alias("vb"))
     if brute:
         return verify(a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))
+
+    if n_planes is not None and bands is not None:
+        # Validate the explicit configuration up front: past one packed
+        # int64 the widened path packs each band into its own long,
+        # which holds at most 62 sign bits — failing here names the
+        # limit instead of surfacing as a ValueError inside the
+        # signature UDF builder.
+        explicit_per_band = max(1, n_planes // bands)
+        if explicit_per_band > 62:
+            raise ValueError(
+                f"n_planes={n_planes} over bands={bands} gives "
+                f"{explicit_per_band} planes per band; the per-band "
+                "int64 signature holds at most 62 — pass more bands "
+                "or fewer planes"
+            )
 
     if n_planes is None or bands is None:
         per_band, n_bands = _tune_banding(

@@ -4,6 +4,7 @@ recalls most brute-force neighbors; SimHash groups identical texts."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hummingbirddatapipeline_spark.operators.dedup import (
@@ -539,3 +540,85 @@ def test_widened_band_path_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tune_banding_warns_when_band_cap_clips_r():
+    """ADVICE r12: at mid thresholds the 64-band explode cap forces r
+    below log2(n_items) — the O(1)-bucket-load promise silently
+    degrades. The tuner must say so: callers need to know bucket load
+    will grow with the corpus (and e.g. route dense cells to the GEMM
+    path) instead of trusting the n-aware docstring."""
+    import warnings
+
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        _tune_banding,
+    )
+
+    with pytest.warns(UserWarning, match="64-band cap clips r"):
+        r, b = _tune_banding(0.9, n_items=1_000_000)
+    assert r < 20  # clipped below log2(1e6)
+    assert b <= 64
+    # the dedup-regime tuning point reaches the full n-aware r silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r_hi, _ = _tune_banding(0.9999, n_items=1_000_000)
+    assert r_hi >= 20
+
+
+def test_explicit_overwide_config_raises_named_error(spark):
+    """ADVICE r12: an explicit n_planes/bands combination exceeding 62
+    planes per band must fail fast at the operator boundary with the
+    limit named — not surface as a ValueError from inside the widened
+    signature UDF builder."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="62"):
+        embedding_near_dup_pairs(df, 0.9, n_planes=130, bands=2)
+
+
+def test_threshold_tuned_recall_holds_for_borderline_pairs(spark):
+    """ADVICE r12: the twin-only fixtures can't detect misses of pairs
+    BELOW an expected_dup_sim tuning point, so pin the guarantee that
+    matters instead: with DEFAULT threshold tuning (no tuning-point
+    shift), pairs sitting barely above the verify threshold must be
+    recalled — banded equals brute on a fixture of cosine ~0.91 pairs
+    at t=0.9 (the ~1e-6 worst-pair miss guarantee applies AT the
+    threshold)."""
+    import math
+
+    import numpy as np
+
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    theta = math.acos(0.91)
+    for i in range(40):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        u = rng.normal(size=16)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        w = math.cos(theta) * v + math.sin(theta) * u  # cosine(v,w)=0.91
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, 0.9, brute=True).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, 0.9).collect()
+    }
+    assert banded == exact
+    assert len(banded) >= 40  # every borderline pair recalled
