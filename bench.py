@@ -208,6 +208,8 @@ HEADLINE = [
     "q18_large_volume_customers",
     "similarity_banded_widened_clusters",
     "q10_returned_items",
+    # r13 registrations (built + registered same round, no banking)
+    "similarity_hybrid_dense_clusters",
 ]
 
 

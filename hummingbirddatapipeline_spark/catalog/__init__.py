@@ -177,82 +177,30 @@ def _load_modules() -> None:
 # (Per-round window history lives in PLANS.md § "Driver-window
 # ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-12 window (r11 VERDICT item 1: flip the ENTIRE 57-row bank and
-# fill the window with 50 never-sampled rows, nothing else —
-# first-ever proof outranks re-sampling unchanged green rows): all 57
-# banked tiers registered this round; the 50 below are every one of
-# them except the 7 in DEFERRED_FIRST_SAMPLE, which lead the r13
-# window (window math for r13-r15 pre-published in PLANS.md).
+# Round-13 window (r12 VERDICT items 1-2 + this round's ledger rule):
+# (a) the 11 never-sampled rows at the HEAD (the 7 r12-deferred tiers
+#     plus the 4 late r12 registrations) + the 1 registered-this-round
+#     row (similarity_hybrid_dense_clusters — the dense-regime
+#     auto-switch, no banking);
+# (b) the 3 owed re-samples (curation_funnel, curation_funnel_gated —
+#     the recorded r11 deviation — and curation_score_distill, changed
+#     in r12);
+# (c) the 8 changed-this-round rows (six de-hinted relational rows +
+#     the two conditional-upsert rows + the refactor-touched banded
+#     clusters row — re-sample after any code change, ledger rule);
+# (d) 27 of the r9-stale rows (alphabetical back-fill; the 8 displaced
+#     by (a)/(c) additions shift to r14 per the published ledger rule
+#     — see PLANS.md "Window math, r13-r15" amendment).
 #
-# Rotation policy (relaxed per the same VERDICT item): a never-sampled
-# row must enter the window within ONE round of registration — it may
-# sit outside the current window only if it is listed in
+# Rotation policy (relaxed per the r11 VERDICT): a never-sampled row
+# must enter the window within ONE round of registration — it may sit
+# outside the current window only if it is listed in
 # DEFERRED_FIRST_SAMPLE (enforced by
 # tests/test_catalog_smoke.test_driver_window_rotation_policy against
 # the CORRECTNESS_r*.json history). Everything else outside the window
 # must be last-sample-green.
 DRIVER_WINDOW: list[str] = [
-    # never-sampled rows registered this round, tier order (BANK.md)
-    "curation_bloom_screen",
-    "text_chunk_boilerplate",
-    "curation_logreg_train",
-    "text_dup_spans",
-    "text_perplexity_buckets",
-    "similarity_matryoshka_recall",
-    "similarity_ivfpq_topk",
-    "sample_interleave_order",
-    "similarity_sq8_fidelity",
-    "text_cut_dup_spans",
-    "dedup_label_propagation",
-    "web_template_traps",
-    "eval_auc_by_source",
-    "eval_calibration_bins",
-    "feature_hash_ngrams",
-    "sample_epoch_plan",
-    "merge_snapshot_delta",
-    "similarity_cell_drift",
-    "text_trigram_logprob_heldout",
-    "layout_rendezvous_shards",
-    "events_sequence_examples",
-    "dedup_cluster_histogram",
-    "text_boilerplate_leaderboard",
-    "text_bpe_fertility",
-    "dedup_cross_source_matrix",
-    "text_tfidf_keywords",
-    "similarity_pq_distortion",
-    "text_vocab_coverage",
-    "text_pack_length_groups",
-    "dedup_minhash_estimate",
-    "text_ngram_novelty",
-    "curation_quality_borda",
-    "dedup_lsh_recall",
-    "text_pack_concat_manifest",
-    "text_heaps_growth",
-    "curation_gate_kappa",
-    "events_gap_report",
-    "multimodal_patch_plan",
-    "q14_promo_effect",
-    "dq_embedding_coverage",
-    "similarity_source_profile",
-    "text_char_entropy",
-    "text_pmi_collocations",
-    "dedup_lsh_candidate_profile",
-    "q19_bracket_revenue",
-    "text_source_kl",
-    "dedup_source_overlap",
-    "events_mad_anomaly",
-    "sketch_countmin_error",
-    "sample_priority_weighted",
-]
-
-# Registered this round but outside the (full) 50-slot window: these
-# MUST lead the next round's window — the relaxed rotation invariant
-# the policy test enforces. Alongside them the r13 window head carries
-# the two owed funnel re-samples (curation_funnel,
-# curation_funnel_gated — the recorded r11 deviation) and the
-# changed-this-round curation_score_distill re-sample (per-stratum
-# teacher percentile, r11 VERDICT item 2); full math in PLANS.md.
-DEFERRED_FIRST_SAMPLE: list[str] = [
+    # (a) never-sampled head
     "text_signature_ngrams",
     "dedup_cluster_cohesion",
     "sketch_hll_error",
@@ -260,14 +208,60 @@ DEFERRED_FIRST_SAMPLE: list[str] = [
     "sketch_bloom_fpr",
     "similarity_centroid_drift",
     "text_length_profile",
-    # built AND registered in r12 after the window was frozen (the
-    # no-banking rule: a new operator registers the round it is
-    # built); they lead the r13 window with the seven above
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "similarity_banded_widened_clusters",
     "q10_returned_items",
+    "similarity_hybrid_dense_clusters",
+    # (b) owed re-samples
+    "curation_funnel",
+    "curation_funnel_gated",
+    "curation_score_distill",
+    # (c) changed-this-round re-samples
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "hhi_supplier_concentration",
+    "q14_promo_effect",
+    "q19_bracket_revenue",
+    "merge_conditional_upsert",
+    "merge_upsert_idempotent",
+    "similarity_near_dup_clusters_banded",
+    # (d) r9-stale back-fill, alphabetical
+    "asof_join_purchase_click",
+    "band_join_balance_siblings",
+    "curation_quality_percentile",
+    "curation_source_gate",
+    "dedup_connected_components",
+    "dedup_incremental_cc",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_triangle_counts",
+    "dq_orders_expectations",
+    "dq_skew_report",
+    "er_fuzzy_join_levenshtein",
+    "er_fuzzy_join_lsh",
+    "er_multipass_name_match",
+    "events_anomaly_zscore",
+    "events_hypertable_rollup",
+    "grouping_sets_counters",
+    "latest_filing_plus_history",
+    "layout_zorder_codes",
+    "range_join_clicks_before_purchase",
+    "range_join_pairs",
+    "sample_dsir_select",
+    "sample_hash_fraction",
+    "sample_per_source_cap",
+    "sample_stratified_by_lang",
+    "sample_temperature_mix",
+    "sample_token_budget_mix",
+    "sample_train_holdout_counts",
 ]
+
+# EMPTY this round: all 11 previously deferred first-samples entered
+# the r13 window head, and the one new registration
+# (similarity_hybrid_dense_clusters) took a window slot directly.
+# Any row registered after the window freeze goes here and MUST lead
+# the r14 window.
+DEFERRED_FIRST_SAMPLE: list[str] = []
 
 
 def _apply_driver_order() -> None:

@@ -507,6 +507,65 @@ def similarity_banded_widened_clusters(
 
 
 @query(
+    "similarity_hybrid_dense_clusters",
+    oracle=_BANDED_CLUSTERS_ORACLE,
+)
+def similarity_hybrid_dense_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dense-regime AUTO-SWITCH under the full oracle gate (r12
+    VERDICT item 3): identical fixture, banding parameters, threshold,
+    and closure as similarity_banded_widened_clusters, but pairs come
+    from ``embedding_near_dup_pairs_hybrid`` — per-(band, bucket)
+    occupancy is measured once on the skinny banding frame and buckets
+    past ``dense_cutoff`` route through the cell-quantized blocked-GEMM
+    tile engine (``cosine_pairs_blocked`` partitioned by cell) instead
+    of the skinny bucket self-join. The testdata embeddings sit in a
+    CONSTANT 10 label clusters, so sign bits correlate and the dense
+    sign-regions hold hundreds of members per bucket at every sf —
+    exactly the corpus shape whose occupancy the sf5 receipts measured
+    going super-linear on the pure banded path. cutoff=64 engages the
+    GEMM engine on those buckets at both driver scales while genuinely
+    sparse buckets keep the self-join engine, and the oracle (the
+    exact brute-force closure) gates that the two-engine pair set is
+    byte-identical to single-engine banding."""
+    from pyspark.sql.window import Window
+
+    from hummingbirddatapipeline_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs_hybrid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    uni = emb.unionByName(twins).localCheckpoint()
+    pairs = embedding_near_dup_pairs_hybrid(
+        uni,
+        threshold=0.9,
+        expected_dup_sim=0.9999,
+        n_items=1 << 20,
+        dense_cutoff=64,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        "node",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+
+
+@query(
     "similarity_near_dup_clusters",
     oracle=f"""
     WITH RECURSIVE near AS (

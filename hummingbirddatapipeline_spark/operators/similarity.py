@@ -332,6 +332,60 @@ def lsh_band_signatures(
     return _sig(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
+def _band_bucket_frame(
+    items: DataFrame,
+    item_id: str,
+    item_vec: str,
+    per_band: int,
+    n_bands: int,
+    seed: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """Skinny (id, band, bucket) frame for sign-LSH banding — ids only,
+    so the wide embedding never rides the band explode or the bucket
+    shuffle. Picks the packed single-long signature when
+    per_band * n_bands fits 63 bits, else one long per band
+    (``lsh_band_signatures``, the widened n-aware regime)."""
+    total_planes = per_band * n_bands
+    planes = _hyperplanes(dim, total_planes, seed) if dim is not None else None
+    if total_planes <= 63:
+        masks = [
+            ((1 << per_band) - 1) << (i * per_band) for i in range(n_bands)
+        ]
+        sig = lsh_signature(item_vec, planes, n_planes=total_planes, seed=seed)
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.col("__sig").bitwiseAND(F.lit(m).cast("long")).alias("bucket"),
+                )
+                for i, m in enumerate(masks)
+            ]
+        )
+    else:
+        # widened path: one signature long PER BAND (n-aware tuning at
+        # corpora past the single-long budget); bucket i = element i
+        sig = lsh_band_signatures(
+            item_vec, per_band=per_band, bands=n_bands, seed=seed,
+            planes=planes,
+        )
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.element_at(F.col("__sig"), i + 1).alias("bucket"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+    return (
+        items.select(item_id, item_vec)
+        .withColumn("__sig", sig)
+        .select(item_id, F.explode(bandarr).alias("bb"))
+        .select(item_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
 def embedding_near_dup_pairs(
     items: DataFrame,
     threshold: float = 0.95,
@@ -433,48 +487,13 @@ def embedding_near_dup_pairs(
     else:
         n_bands = bands
         per_band = max(1, n_planes // bands)
-    total_planes = per_band * n_bands
-    planes = _hyperplanes(dim, total_planes, seed) if dim is not None else None
-    if total_planes <= 63:
-        masks = [
-            ((1 << per_band) - 1) << (i * per_band) for i in range(n_bands)
-        ]
-        sig = lsh_signature(item_vec, planes, n_planes=total_planes, seed=seed)
-        bandarr = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.col("__sig").bitwiseAND(F.lit(m).cast("long")).alias("bucket"),
-                )
-                for i, m in enumerate(masks)
-            ]
-        )
-    else:
-        # widened path: one signature long PER BAND (n-aware tuning at
-        # corpora past the single-long budget); bucket i = element i
-        sig = lsh_band_signatures(
-            item_vec, per_band=per_band, bands=n_bands, seed=seed,
-            planes=planes,
-        )
-        bandarr = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.element_at(F.col("__sig"), i + 1).alias("bucket"),
-                )
-                for i in range(n_bands)
-            ]
-        )
     # ids-only banding: the band self-join and candidate dedup move
     # 4-long skinny rows; the wide embeddings attach once per surviving
     # pair at the verify stage (at permissive thresholds the candidate
     # set approaches all-pairs, so keeping vectors out of the bucket
     # shuffle is what bounds the bytes moved).
-    banded = (
-        items.select(item_id, item_vec)
-        .withColumn("__sig", sig)
-        .select(item_id, F.explode(bandarr).alias("bb"))
-        .select(item_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_bucket_frame(
+        items, item_id, item_vec, per_band, n_bands, seed, dim
     )
     left = banded.select("band", "bucket", F.col(item_id).alias("id_a"))
     right = banded.select("band", "bucket", F.col(item_id).alias("id_b"))
@@ -487,6 +506,148 @@ def embedding_near_dup_pairs(
         .select("id_a", "va", "id_b", "vb")
     )
     return verify(cands)
+
+
+def embedding_near_dup_pairs_hybrid(
+    items: DataFrame,
+    threshold: float = 0.95,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    dim: int | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
+    expected_dup_sim: float | None = None,
+    n_items: int | None = None,
+    dense_cutoff: int = 512,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Banded LSH near-dup pairs with a per-bucket DENSE-REGIME
+    auto-switch — the r12 sf5 receipt's answer: on correlated corpora
+    (embeddings concentrated in a constant number of modes) the sign
+    bits correlate within a mode, effective bucket entropy stays far
+    below r bits no matter how many planes index the dense regions,
+    and the skinny bucket self-join goes super-linear in exactly those
+    buckets. This operator measures per-(band, bucket) occupancy ONCE
+    on the materialized skinny banding frame and routes each bucket by
+    what the measurement says:
+
+    - occupancy <  ``dense_cutoff``: the normal engine — skinny
+      (band, bucket) self-join, candidate dedup, exact cosine verify
+      (byte-identical to :func:`embedding_near_dup_pairs`).
+    - occupancy >= ``dense_cutoff``: the bucket's members are packed
+      per (band, bucket) cell and pairs come from the blocked-GEMM
+      tile path (:func:`cosine_pairs_blocked` with the cell as
+      ``part_col``) — one numpy normalized matmul per tile at BLAS
+      throughput, emitting only pairs >= threshold, instead of
+      occupancy^2 candidate rows shuffled through dedup + vector
+      attach + per-pair lambda verify.
+
+    The PAIR SET IS IDENTICAL to ``embedding_near_dup_pairs`` with the
+    same banding parameters: both engines enumerate exactly the
+    within-bucket pairs and apply the same ROUND(cosine, 6) >=
+    threshold verify (``cosine_pairs_blocked`` matches F.round's
+    half-away-from-zero tie rule), so recall/precision are unchanged —
+    only the per-bucket pair engine differs. Pairs surfacing from both
+    engines (or several dense cells) collapse in the final dedup.
+
+    At permissive thresholds (tuned per_band < 3 — where banding both
+    under-recalls and out-costs brute, the parent's fallback regime)
+    the auto-tuned path goes EXACT all-pairs like the parent, but
+    through the blocked-GEMM tiles instead of the per-pair lambda
+    crossJoin — same result set as ``brute=True``, BLAS constant.
+    Explicit n_planes/bands are honored as given (banded semantics,
+    including their recall profile).
+
+    Scale shape: one Arrow signature pass + localCheckpoint of the
+    skinny (id, band, bucket) frame (8-24 bytes/row — the only
+    materialization), one occupancy aggregate (map-side combined), an
+    equi-join occupancy attach, then the two engines above; no
+    CartesianProduct at any occupancy profile. ``dense_cutoff`` trades
+    shuffle volume vs tile work: the self-join engine moves
+    ~occupancy^2 skinny rows per bucket while the GEMM engine computes
+    occupancy^2 dot products in-core per cell, so the cutoff sits
+    where a bucket's candidate volume (cutoff^2 rows) starts to rival
+    a tile's in-core flops — O(100)-O(1000) on 64-dim corpora.
+    """
+    if n_planes is not None and bands is not None:
+        per_band = max(1, n_planes // bands)
+        n_bands = bands
+        if per_band > 62:
+            raise ValueError(
+                f"n_planes={n_planes} over bands={bands} gives "
+                f"{per_band} planes per band; the per-band int64 "
+                "signature holds at most 62 — pass more bands or "
+                "fewer planes"
+            )
+    else:
+        per_band, n_bands = _tune_banding(
+            threshold if expected_dup_sim is None else expected_dup_sim,
+            n_items=n_items,
+        )
+        if per_band < 3:
+            # the parent's selectivity-cutoff regime: banding would
+            # out-cost (and under-recall) exact all-pairs — run the
+            # exact computation, but at GEMM speed
+            warnings.warn(
+                f"threshold={threshold} tunes to {per_band} planes/band;"
+                " banding would out-cost exact all-pairs — using the"
+                " blocked-GEMM all-pairs engine (pass n_planes/bands"
+                " explicitly to force banding)",
+                stacklevel=2,
+            )
+            return cosine_pairs_blocked(
+                items,
+                threshold,
+                item_id=item_id,
+                item_vec=item_vec,
+                n_blocks=n_blocks,
+            )
+    banded = _band_bucket_frame(
+        items, item_id, item_vec, per_band, n_bands, seed, dim
+    ).localCheckpoint()
+    occ = banded.groupBy("band", "bucket").agg(F.count("*").alias("__occ"))
+    tagged = banded.join(occ, ["band", "bucket"])
+
+    # sparse engine: the parent's skinny self-join + exact verify
+    sparse = tagged.filter(F.col("__occ") < dense_cutoff)
+    a = items.select(F.col(item_id).alias("id_a"), F.col(item_vec).alias("va"))
+    b = items.select(F.col(item_id).alias("id_b"), F.col(item_vec).alias("vb"))
+    left = sparse.select("band", "bucket", F.col(item_id).alias("id_a"))
+    right = sparse.select("band", "bucket", F.col(item_id).alias("id_b"))
+    sparse_pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+    # dense engine: pack per (band, bucket) cell, blocked-GEMM tiles.
+    # The cell key is xxhash64(band, bucket): a collision merely merges
+    # two cells into one tile group (a superset of pairs enters the
+    # exact verify — never a recall loss, only redundant flops at
+    # ~2^-64 probability).
+    dense_members = (
+        tagged.filter(F.col("__occ") >= dense_cutoff)
+        .select("band", "bucket", item_id)
+        .join(items.select(item_id, item_vec), item_id)
+        .withColumn("__cell", F.xxhash64("band", "bucket"))
+    )
+    dense_pairs = cosine_pairs_blocked(
+        dense_members,
+        threshold,
+        item_id=item_id,
+        item_vec=item_vec,
+        n_blocks=n_blocks,
+        part_col="__cell",
+    )
+    return sparse_pairs.unionByName(dense_pairs).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def cosine_pairs_blocked(

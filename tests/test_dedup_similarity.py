@@ -622,3 +622,88 @@ def test_threshold_tuned_recall_holds_for_borderline_pairs(spark):
     }
     assert banded == exact
     assert len(banded) >= 40  # every borderline pair recalled
+
+
+def _clustered_twin_fixture(spark, n_modes=10, n_base=120, dim=16, seed=7):
+    """Mode-clustered corpus + quantization-grade twins: the constant-
+    cluster shape whose dense sign-regions the sf5 receipts measured —
+    sign bits correlate within a mode, so a few (band, bucket) cells
+    hold most of the corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_modes, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_base):
+        v = centers[i % n_modes] + rng.normal(scale=0.05, size=dim)
+        v /= np.linalg.norm(v)
+        tw = v + rng.normal(scale=1e-4, size=dim)
+        tw /= np.linalg.norm(tw)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in tw]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hybrid_pair_set_equals_banded(spark):
+    """The dense-regime auto-switch must be a pure ENGINE change: with
+    identical banding parameters, embedding_near_dup_pairs_hybrid's
+    pair set (ids AND 6dp sims) equals the single-engine banded path —
+    on a fixture where the dense cutoff demonstrably splits the
+    buckets across both engines."""
+    from pyspark.sql import functions as F2
+
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        _band_bucket_frame,
+        _tune_banding,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_hybrid,
+    )
+
+    df = _clustered_twin_fixture(spark)
+    kw = dict(threshold=0.99, expected_dup_sim=0.99999, n_items=1 << 20)
+    banded = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in embedding_near_dup_pairs(df, **kw).collect()
+    }
+    hybrid = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in embedding_near_dup_pairs_hybrid(
+            df, dense_cutoff=16, **kw
+        ).collect()
+    }
+    assert hybrid == banded
+    assert len(hybrid) >= 120  # every twin pair present
+    # the cutoff must actually split the occupancy profile: buckets on
+    # BOTH sides of 16, or the test isn't exercising the switch
+    pb, nb = _tune_banding(0.99999, n_items=1 << 20)
+    occ = (
+        _band_bucket_frame(df, "vec_id", "embedding", pb, nb, 42)
+        .groupBy("band", "bucket")
+        .count()
+    )
+    lo, hi = occ.agg(F2.min("count"), F2.max("count")).collect()[0]
+    assert lo < 16 < hi, (lo, hi)
+
+
+def test_hybrid_degrades_to_gemm_at_permissive_thresholds(spark):
+    """In the parent's selectivity-cutoff regime (tuned per_band < 3,
+    where banding under-recalls AND out-costs exact all-pairs) the
+    hybrid must warn and produce the exact brute result — through the
+    blocked-GEMM engine rather than the per-pair lambda crossJoin."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_hybrid,
+    )
+
+    df = _clustered_twin_fixture(spark, n_base=40)
+    brute = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in embedding_near_dup_pairs(df, 0.3, brute=True).collect()
+    }
+    with pytest.warns(UserWarning, match="blocked-GEMM all-pairs"):
+        out = embedding_near_dup_pairs_hybrid(df, 0.3)
+    hybrid = {(r["id_a"], r["id_b"], r["sim"]) for r in out.collect()}
+    assert hybrid == brute
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the GEMM tile engine, not crossJoin

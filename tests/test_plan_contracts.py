@@ -830,6 +830,32 @@ def test_decontaminate_scans_corpus_text_once(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_hybrid_dense_switch_keeps_equi_join_plan(spark, sf_dir):
+    """The dense-regime auto-switch must keep both engines on equi-join
+    plans: the sparse bucket self-join stays a hash join on (band,
+    bucket), the dense tiles are an equi-join on the cell key feeding
+    the Arrow GEMM (MapInPandas) — no CartesianProduct, no
+    corpus-sized BroadcastNestedLoopJoin anywhere in the two-engine
+    union."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs_hybrid,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    plan = _physical(
+        embedding_near_dup_pairs_hybrid(
+            emb, threshold=0.9, expected_dup_sim=0.9999,
+            n_items=1 << 20, dense_cutoff=64,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # the dense GEMM engine is wired in
+
+
 # Tables whose row count scales with the scale factor, identified in
 # analyzed-plan Relation nodes by a column unique to their parquet
 # schema (Relation prints the FULL schema regardless of projection).
