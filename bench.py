@@ -210,6 +210,7 @@ HEADLINE = [
     "q10_returned_items",
     # r13 registrations (built + registered same round, no banking)
     "similarity_hybrid_dense_clusters",
+    "sketch_quantile_error",
 ]
 
 

@@ -383,3 +383,96 @@ def feature_hash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return hash_ngram_features(docs, n_features=256)
+
+
+def _quantile_error_sql(n_bins: int = 4096) -> str:
+    """Independent DuckDB formulation of the histogram-quantile error
+    report (operators/scale.histogram_quantile_error): exact-cents
+    values, integer equi-width binning, cumulative crossing-bin pick,
+    in-bin rank interpolation, and the exact below-count rank check —
+    every step pure BIGINT arithmetic, so both engines agree to the
+    bit."""
+    return f"""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT MIN(v) AS mn, MAX(v) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals
+    ),
+    hist AS (
+      SELECT ((v - mn) * {n_bins}) // (mx - mn + 1) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals, stats GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+      FROM hist
+    ),
+    qs(q_e6) AS (VALUES (CAST(500000 AS BIGINT)),
+                        (CAST(900000 AS BIGINT)),
+                        (CAST(990000 AS BIGINT))),
+    t AS (
+      SELECT q_e6, mn, n, (mx - mn + 1) AS span,
+             (q_e6 * n + 999999) // 1000000 AS tgt
+      FROM qs, stats
+    ),
+    pick AS (
+      SELECT t.q_e6, t.n, t.tgt, t.mn, t.span, MIN(c.bin) AS bin
+      FROM t JOIN cum c ON c.cum >= t.tgt
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    est AS (
+      SELECT p.q_e6, p.n,
+             CAST(
+               (p.mn + (p.bin * p.span) // {n_bins})
+               + ((p.tgt - (c.cum - c.c) - 1)
+                  * ((p.mn + ((p.bin + 1) * p.span) // {n_bins})
+                     - (p.mn + (p.bin * p.span) // {n_bins})))
+                 // c.c
+               AS BIGINT) AS est_value
+      FROM pick p JOIN cum c ON c.bin = p.bin
+    ),
+    below AS (
+      SELECT e.q_e6, e.n, e.est_value,
+             CAST(SUM(CASE WHEN v.v < e.est_value THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_below
+      FROM vals v, est e
+      GROUP BY 1, 2, 3
+    )
+    SELECT q_e6, est_value, n_below,
+           CAST(ABS(((n_below * 1000000) // n) - q_e6) AS BIGINT)
+             AS rank_err_e6
+    FROM below
+    ORDER BY q_e6
+    """
+
+
+@query("sketch_quantile_error", oracle=_quantile_error_sql(4096))
+def sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile estimator with its exact rank error
+    (operators/scale.histogram_quantile_error, 4096 bins over exact
+    lineitem price cents) under the full oracle gate — the quantile
+    member of the observe-don't-trust sketch family
+    (sketch_countmin_error / sketch_hll_error / sketch_bloom_fpr):
+    an exact distributed quantile needs a global range exchange, the
+    100 TB path is a two-pass histogram, and this report quantifies
+    what that trade costs in rank units (|true rank - q| in 1e-6) for
+    p50/p90/p99 before any native approximate percentile is trusted.
+
+    Scale shape: pass 1 = scalar min/max/count broadcast + map-side
+    bin aggregate (<= 4096 rows); the crossing-bin pick and in-bin
+    interpolation run on the bounded histogram; pass 2 = one
+    conditional-count aggregate with the 3 estimate rows riding a
+    broadcast. Three column-pruned scans of one BIGINT column BY
+    DESIGN (stats, binning, verification) — nothing after the scans
+    exceeds 4096 + 3 rows, and no step sorts the corpus."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        histogram_quantile_error,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return histogram_quantile_error(li, "cents", n_bins=4096)

@@ -258,3 +258,45 @@ def test_psi_empty_reference_raises(spark):
     all_null = cur.selectExpr("CAST(NULL AS DOUBLE) AS v")
     with pytest.raises(Exception, match="reference sample is empty"):
         psi_drift(all_null, cur, "v").collect()
+
+
+def test_histogram_quantile_error_fine_bins_near_exact(spark):
+    """With bins >> distinct values (1..1000 into 4096 bins) the
+    histogram estimate must sit within a couple of rank units of the
+    true quantile, estimates must be monotone in q, and the rank-error
+    metric itself must read small."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        histogram_quantile_error,
+    )
+
+    df = spark.range(1, 1001).select(F.col("id").alias("cents"))
+    rows = {
+        r["q_e6"]: r
+        for r in histogram_quantile_error(df, "cents").collect()
+    }
+    assert set(rows) == {500000, 900000, 990000}
+    for q, r in rows.items():
+        exact = q // 1000  # value at rank ceil(q/1e6 * 1000) is q/1000
+        assert abs(r["est_value"] - exact) <= 2, (q, r)
+        assert r["rank_err_e6"] <= 5000, (q, r)  # <= 0.5% rank error
+    ests = [rows[q]["est_value"] for q in sorted(rows)]
+    assert ests == sorted(ests)
+
+
+def test_histogram_quantile_error_constant_column(spark):
+    """Degenerate single-value column: the estimate must be the value
+    itself (the only possible quantile), n_below must be 0, and the
+    report must still emit one row per requested quantile — the
+    count-below rank convention reads the lower bound of the tie run,
+    so rank_err_e6 equals q_e6 here by definition."""
+    from hummingbirddatapipeline_spark.operators.scale import (
+        histogram_quantile_error,
+    )
+
+    df = spark.range(500).select(F.lit(77).cast("long").alias("cents"))
+    rows = histogram_quantile_error(df, "cents").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["est_value"] == 77
+        assert r["n_below"] == 0
+        assert r["rank_err_e6"] == r["q_e6"]
