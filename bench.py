@@ -211,6 +211,7 @@ HEADLINE = [
     # r13 registrations (built + registered same round, no banking)
     "similarity_hybrid_dense_clusters",
     "sketch_quantile_error",
+    "join_salted_hot_keys",
 ]
 
 

@@ -1007,6 +1007,55 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(orders, "o_custkey", top_k=5)
 
 
+@query(
+    "join_salted_hot_keys",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, d.n_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_e6
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type, d.n_type
+    ORDER BY e.event_type
+    """,
+)
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join under the full oracle gate
+    (operators/scale.salted_join): events' event_type has a handful of
+    values covering the whole fact table — the worst-case hot-key
+    shuffle — so the join to the per-type dim runs on (key, salt) with
+    the dim replicated 8x and each hot key's rows spread over 8 tasks
+    instead of one straggler. The oracle is the PLAIN join + aggregate,
+    so the differential gates exactly the property salting must
+    preserve: join multiplicity (n_rows == n_type row-for-row — any
+    salt-induced duplication or loss breaks both the count and the
+    hash) and the exact e6-quantized value sum.
+
+    Scale shape: the skewed side never hashes on the bare hot key —
+    the exchange is on (event_type, __salt); the dim side is a K-row
+    aggregate replicated n_salts x (bounded: K * 8 rows). This is the
+    explicit-salt alternative the dq_skew_report's suggested_salt
+    feeds when AQE skew splitting isn't available (e.g. a bucketed
+    sink or a non-AQE engine); session.py's AQE path needs no code."""
+    from hummingbirddatapipeline_spark.operators.scale import salted_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("value_e6"),
+    )
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return joined.groupBy("event_type", "n_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("value_e6").alias("sum_value_e6"),
+    )
+
+
 def _rendezvous_sql(
     n_shards: int, n_shards_new: int, seed: str = "hrw0"
 ) -> str:

@@ -967,3 +967,16 @@ def test_q10_q18_join_shapes(spark, sf_dir):
         i for i, ln in enumerate(lines) if "HashAggregate" in ln
     )
     assert agg_idx > join_idx, p18
+
+
+def test_salted_join_exchanges_on_salted_key(spark, sf_dir):
+    """The salted hot-key join must never exchange the fact side on
+    the bare hot key: the join's hash partitioning includes __salt,
+    and no cartesian/nested-loop appears (the dim replication is an
+    explode, not a join)."""
+    from hummingbirddatapipeline_spark.catalog import QUERIES
+
+    plan = _physical(QUERIES["join_salted_hot_keys"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__salt" in plan
