@@ -292,6 +292,7 @@ def phash_near_dup_pairs(
     hashes: DataFrame,
     max_distance: int = 6,
     bands: int = 8,
+    combinatorial: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs among DISTINCT phash values by banded Hamming
     join: a 64-bit hash within ``max_distance`` bit flips of another
@@ -306,6 +307,26 @@ def phash_near_dup_pairs(
     corpus) collapse to ONE node before pair-gen, so bucket fanout is
     bounded by distinct-value counts, never by duplicate multiplicity;
     membership re-attaches by hash equality afterwards.
+
+    ``combinatorial`` is the dense-regime treatment for the bucket
+    SPACE: single-band keys have only ``2^(64/bands)`` possible values
+    per band (256 at the 8-band default), so once distinct hashes
+    outgrow that space the bucket self-join goes quadratic in bucket
+    load no matter how the corpus grows — the fixed-bucket-space
+    failure the r12 LSH tuner receipts measured, structural here
+    because the recall theorem pins bands >= max_distance + 1 on a
+    64-bit hash. The multi-index escape keeps the theorem and widens
+    the keys: index all C(bands, 2) band PAIRS as (2*width)-bit
+    values — a pair within ``max_distance <= bands - 2`` flips bits in
+    at most ``max_distance`` bands, leaving >= 2 bands intact, so at
+    least one band PAIR agrees exactly (pigeonhole again). Bucket
+    entropy rises from ``width`` to ``2*width`` bits (256x at the
+    default) for a C(bands,2)/bands (3.5x) explode cost, and the
+    verified pair set is IDENTICAL (both schemes guarantee candidacy
+    for every pair the Hamming verify can keep). ``None`` (default)
+    auto-switches: count the distinct hashes (one cheap action on a
+    frame pair-gen scans anyway) and go combinatorial once they exceed
+    16x the single-band bucket space (avg bucket load > 16).
 
     Returns (hash_a, hash_b, hamming) with hash_a < hash_b.
     """
@@ -323,17 +344,44 @@ def phash_near_dup_pairs(
     width = 64 // bands
     mask = (1 << width) - 1
     distinct = hashes.select("phash").distinct()
-    bandarr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("phash"), i * width)
-                .bitwiseAND(F.lit(mask).cast("long"))
-                .alias("val"),
-            )
-            for i in range(bands)
-        ]
-    )
+    if combinatorial is None:
+        combinatorial = distinct.count() > 16 * (1 << width)
+    if combinatorial and max_distance > bands - 2:
+        import warnings
+
+        warnings.warn(
+            f"combinatorial banding needs max_distance <= bands - 2 "
+            f"for guaranteed recall (got d={max_distance}, "
+            f"bands={bands}): a pair may leave fewer than 2 bands "
+            "intact and miss every band-pair bucket",
+            stacklevel=2,
+        )
+
+    def band_val(i: int):
+        return F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+
+    if combinatorial:
+        idx = [(i, j) for i in range(bands) for j in range(i + 1, bands)]
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftleft(band_val(i), width)
+                    .bitwiseOR(band_val(j))
+                    .alias("val"),
+                )
+                for k, (i, j) in enumerate(idx)
+            ]
+        )
+    else:
+        bandarr = F.array(
+            *[
+                F.struct(F.lit(i).alias("band"), band_val(i).alias("val"))
+                for i in range(bands)
+            ]
+        )
     banded = distinct.select(
         "phash", F.explode(bandarr).alias("bb")
     ).select("phash", "bb.band", "bb.val")
@@ -359,6 +407,7 @@ def phash_groups(
     media: DataFrame,
     max_distance: int = 6,
     bands: int = 8,
+    combinatorial: bool | None = None,
 ) -> DataFrame:
     """Perceptual near-dup CLUSTERS over a media table: dHash each
     blob, close the banded-Hamming graph over distinct hash values
@@ -374,7 +423,7 @@ def phash_groups(
     )
 
     hashes = dhash64(media)
-    pairs = phash_near_dup_pairs(hashes, max_distance, bands)
+    pairs = phash_near_dup_pairs(hashes, max_distance, bands, combinatorial)
     cc = connected_components(pairs, "hash_a", "hash_b").select(
         F.col("node").alias("phash"),
         F.col("cluster_id").alias("phash_cluster"),

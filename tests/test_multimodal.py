@@ -160,3 +160,39 @@ def test_phash_banding_guards(spark):
         phash_near_dup_pairs(hashes, bands=0)
     with pytest.warns(UserWarning, match="no longer guarantees recall"):
         phash_near_dup_pairs(hashes, max_distance=8, bands=4)
+
+
+def test_phash_combinatorial_banding_equals_single_band(spark):
+    """The multi-index (band-PAIR) candidate scheme must produce the
+    verified pair set of the single-band scheme exactly: both
+    guarantee candidacy for every pair within max_distance <= bands-2
+    and share the Hamming verify. Fixture: 60 seeded base hashes, each
+    with a <= 5-bit-flip twin (true pair by construction) and the
+    random cross pairs land wherever they land — set equality covers
+    both."""
+    import random
+
+    from hummingbirddatapipeline_spark.multimodal.core import (
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        h = rng.getrandbits(63)
+        twin = h
+        for b in rng.sample(range(63), 5):  # flip 5 distinct bits
+            twin ^= 1 << b
+        rows.append((2 * i, h))
+        rows.append((2 * i + 1, twin))
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+    single = {
+        (r["hash_a"], r["hash_b"], r["hamming"])
+        for r in phash_near_dup_pairs(hashes, combinatorial=False).collect()
+    }
+    multi = {
+        (r["hash_a"], r["hash_b"], r["hamming"])
+        for r in phash_near_dup_pairs(hashes, combinatorial=True).collect()
+    }
+    assert multi == single
+    assert len(single) >= 60  # every 5-flip twin pair recalled

@@ -54,6 +54,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # receipt that the fix holds at 10x).
 DEFAULT = [
     # top-10 members on the scale path
+    # NOTE (r13 two-point receipts): stream_dedup_incremental is the
+    # EXACT-Jaccard probe member of the streaming pair — on the
+    # tiny-vocab contract corpus every arriving doc has Theta(n) true
+    # near-dup candidates in the store, so exact accept/reject work is
+    # Theta(n^2) BY CONSTRUCTION (measured: sf1->sf5 = 16.1x for 5x
+    # data), same classification as the batch pair family above. Read
+    # its receipt as the correctness row's cost, not the scale path:
+    # the production probe is the banded MinHash index with the
+    # max_bucket skew cap (bench_dedup_incremental_minhash — measured
+    # 1.6x for 5x data at the same two points).
     "stream_dedup_incremental",
     "similarity_pq_topk",
     "similarity_near_dup_clusters_banded",
