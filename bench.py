@@ -212,6 +212,7 @@ HEADLINE = [
     "similarity_hybrid_dense_clusters",
     "sketch_quantile_error",
     "join_salted_hot_keys",
+    "er_fellegi_sunter_scores",
 ]
 
 

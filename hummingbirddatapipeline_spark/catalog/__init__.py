@@ -179,17 +179,17 @@ def _load_modules() -> None:
 #
 # Round-13 window (r12 VERDICT items 1-2 + this round's ledger rule):
 # (a) the 11 never-sampled rows at the HEAD (the 7 r12-deferred tiers
-#     plus the 4 late r12 registrations) + the 3 registered-this-round
+#     plus the 4 late r12 registrations) + the 4 registered-this-round
 #     rows (similarity_hybrid_dense_clusters — the dense-regime
-#     auto-switch — sketch_quantile_error, and join_salted_hot_keys;
-#     no banking);
+#     auto-switch — sketch_quantile_error, join_salted_hot_keys, and
+#     er_fellegi_sunter_scores; no banking);
 # (b) the 3 owed re-samples (curation_funnel, curation_funnel_gated —
 #     the recorded r11 deviation — and curation_score_distill, changed
 #     in r12);
 # (c) the 8 changed-this-round rows (six de-hinted relational rows +
 #     the two conditional-upsert rows + the refactor-touched banded
 #     clusters row — re-sample after any code change, ledger rule);
-# (d) 25 of the r9-stale rows (alphabetical back-fill; the 10 displaced
+# (d) 24 of the r9-stale rows (alphabetical back-fill; the 11 displaced
 #     by (a)/(c) additions shift to r14 per the published ledger rule
 #     — see PLANS.md "Window math, r13-r15" amendment).
 #
@@ -216,6 +216,7 @@ DRIVER_WINDOW: list[str] = [
     "similarity_hybrid_dense_clusters",
     "sketch_quantile_error",
     "join_salted_hot_keys",
+    "er_fellegi_sunter_scores",
     # (b) owed re-samples
     "curation_funnel",
     "curation_funnel_gated",
@@ -254,7 +255,6 @@ DRIVER_WINDOW: list[str] = [
     "sample_hash_fraction",
     "sample_per_source_cap",
     "sample_stratified_by_lang",
-    "sample_temperature_mix",
 ]
 
 # EMPTY this round: all 11 previously deferred first-samples entered

@@ -449,3 +449,132 @@ def merge_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("new doc "), d.cast("string")).alias("text"),
     )
     return snapshot_delta(docs, mutated.unionByName(added))
+
+
+def _fellegi_sunter_sql() -> str:
+    """Independent DuckDB formulation of the Fellegi-Sunter scoring row
+    (operators/entity_resolution.fellegi_sunter_scores): frequency-
+    method u as exact integer ratios (sum of squared group counts over
+    N^2), one log2 per field rounded 6dp, summed and rounded 6dp —
+    expression order mirrors the operator exactly so both engines walk
+    the same IEEE doubles into each log2."""
+    return """
+    WITH stats AS (
+      SELECT
+        (SELECT SUM(c*c) FROM (
+           SELECT COUNT(*) AS c FROM customer GROUP BY c_mktsegment)) AS n2_seg,
+        (SELECT SUM(c*c) FROM (
+           SELECT COUNT(*) AS c FROM customer
+           GROUP BY substring(c_name, 16, 2))) AS n2_phx,
+        (SELECT SUM(c*c) FROM (
+           SELECT COUNT(*) AS c FROM customer
+           GROUP BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT))) AS n2_band,
+        (SELECT COUNT(*) FROM customer) AS n
+    ),
+    fld AS (
+      SELECT c_custkey, c_nationkey,
+             c_mktsegment AS seg,
+             substring(c_name, 16, 2) AS phx,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.seg = b.seg AS agree_seg,
+             a.phx = b.phx AS agree_phx,
+             a.band = b.band AS agree_band
+      FROM fld a JOIN fld b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+      WHERE a.c_custkey % 10 = 1
+    ),
+    u AS (
+      SELECT
+        CAST(n2_seg AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u_seg,
+        CAST(n2_phx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u_phx,
+        CAST(n2_band AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u_band
+      FROM stats
+    )
+    SELECT id_a, id_b, agree_seg, agree_phx, agree_band,
+           ROUND(
+             (CASE WHEN agree_seg THEN ROUND(LOG2(0.9 / u_seg), 6)
+                   ELSE ROUND(LOG2((1 - 0.9) / (1 - u_seg)), 6) END)
+           + (CASE WHEN agree_phx THEN ROUND(LOG2(0.95 / u_phx), 6)
+                   ELSE ROUND(LOG2((1 - 0.95) / (1 - u_phx)), 6) END)
+           + (CASE WHEN agree_band THEN ROUND(LOG2(0.8 / u_band), 6)
+                   ELSE ROUND(LOG2((1 - 0.8) / (1 - u_band)), 6) END)
+           , 6) AS score
+    FROM p, u
+    ORDER BY id_a, id_b
+    """
+
+
+@query("er_fellegi_sunter_scores", oracle=_fellegi_sunter_sql())
+def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic match scoring
+    (operators/entity_resolution.fellegi_sunter_scores) under the full
+    oracle gate — the decision-theory layer the reference's multipass
+    and fuzzy joins lack: per-field log2(m/u) / log2((1-m)/(1-u))
+    agreement weights with the frequency-method u estimated from the
+    full customer population as an EXACT integer ratio, summed into
+    the pair's match score. Fixture: every 10th customer as the
+    source, candidates blocked on nation (the multipass tie-break
+    key), fields = market segment (m=0.9), the padded id's
+    mid digits as a synthetic postcode (m=0.95), and the 1000-unit
+    balance band (m=0.8) — three fields
+    with visibly different u so agreement on a rare field moves the
+    score more than agreement on a common one, which is the method's
+    whole point.
+
+    Scale shape: three skinny distinct-value aggregates fold into ONE
+    broadcast stats row; scoring is a pure projection over the
+    blocked pair frame — the only shuffle is the blocking join that
+    candidate generation owns anyway."""
+    from hummingbirddatapipeline_spark.operators.entity_resolution import (
+        fellegi_sunter_scores,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    fld = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", 16, 2).alias("phx"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    a = fld.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("seg").alias("seg_a"),
+        F.col("phx").alias("phx_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = fld.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("seg").alias("seg_b"),
+        F.col("phx").alias("phx_b"),
+        F.col("band").alias("band_b"),
+    )
+    pairs = a.join(b, "nk").filter(F.col("id_a") != F.col("id_b"))
+    scored = fellegi_sunter_scores(
+        pairs,
+        cust.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.substring("c_name", 16, 2).alias("phx"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        ),
+        fields=[
+            ("seg_a", "seg_b", "seg", 0.9),
+            ("phx_a", "phx_b", "phx", 0.95),
+            ("band_a", "band_b", "band", 0.8),
+        ],
+        id_a="id_a",
+        id_b="id_b",
+    )
+    return scored.select(
+        "id_a", "id_b",
+        F.col("agree_seg").alias("agree_seg"),
+        F.col("agree_phx").alias("agree_phx"),
+        F.col("agree_band").alias("agree_band"),
+        "score",
+    )

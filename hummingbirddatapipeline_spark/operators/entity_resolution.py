@@ -315,3 +315,76 @@ def fuzzy_join_lsh(
             "lev_distance",
         )
     )
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    target: DataFrame,
+    fields: list[tuple[str, str, str, float]],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fellegi–Sunter match-weight scoring (Fellegi & Sunter 1969, "A
+    Theory for Record Linkage", JASA 64) over a candidate-pair frame —
+    the probabilistic layer the multipass/fuzzy joins above feed: each
+    comparison field contributes log2(m/u) when the pair AGREES on it
+    and log2((1-m)/(1-u)) when it disagrees; the pair's score is the
+    sum, and thresholding the score gives the match / clerical-review
+    / non-match bands of the original decision rule.
+
+    ``fields`` is a sequence of (pair_col_a, pair_col_b, target_col,
+    m): ``m`` is the analyst-supplied reliability P(agree | true
+    match) per field, and ``u`` — P(agree | non-match) — is estimated
+    from the TARGET population by the standard frequency method:
+    u = P(two random records agree) = sum_v (n_v / N)^2
+      = (sum_v n_v^2) / N^2,
+    an EXACT integer ratio (sum of squared group counts over squared
+    total), so both engines derive identical u before the one log2
+    per field. A NULL on either side of a field contributes weight 0
+    (the missing-data convention). All weights and the score round to
+    6dp (the repo's cross-engine float rule).
+
+    Returns ``pairs`` + per-field ``agree_<target_col>`` booleans +
+    ``score``.
+
+    Scale shape: one skinny groupBy per field over the target column
+    (map-side combined, distinct-value-sized) folded into a SINGLE
+    broadcast row of (n2_f, n) integers; scoring is then a pure
+    projection over the pair frame — no joins, no shuffles beyond
+    whatever produced the candidate pairs. Candidate generation stays
+    the blocking/LSH operators' job; at 100 TB this layer adds one
+    map pass.
+    """
+    if not fields:
+        raise ValueError("fellegi_sunter_scores: fields must be non-empty")
+    stats = None
+    for _, _, tcol, _ in fields:
+        per = (
+            target.groupBy(tcol)
+            .agg(F.count("*").alias("__c"))
+            .agg(
+                F.sum(F.col("__c") * F.col("__c")).alias(f"__n2_{tcol}"),
+                F.sum("__c").alias(f"__n_{tcol}"),
+            )
+        )
+        stats = per if stats is None else stats.crossJoin(per)
+    out = pairs.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for a_col, b_col, tcol, m in fields:
+        if not 0.0 < m < 1.0:
+            raise ValueError(f"m for {tcol} must be in (0, 1), got {m}")
+        u = (
+            F.col(f"__n2_{tcol}").cast("double")
+            / (F.col(f"__n_{tcol}").cast("double") * F.col(f"__n_{tcol}").cast("double"))
+        )
+        agree = F.col(a_col).eqNullSafe(F.col(b_col)) & F.col(a_col).isNotNull()
+        both = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        w = (
+            F.when(~both, F.lit(0.0))
+            .when(agree, F.round(F.log2(F.lit(m) / u), 6))
+            .otherwise(F.round(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u)), 6))
+        )
+        out = out.withColumn(f"agree_{tcol}", both & agree)
+        score = score + w
+    drop = [c for c in out.columns if c.startswith("__n")]
+    return out.withColumn("score", F.round(score, 6)).drop(*drop)

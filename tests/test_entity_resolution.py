@@ -160,3 +160,46 @@ def test_fuzzy_join_lsh_matches_exact_recall(spark, sf_dir_small):
     assert len(e) > 0
     recall = len(e & l) / len(e)
     assert recall >= 0.95, f"LSH fuzzy join recall {recall:.3f} < 0.95"
+
+
+def test_fellegi_sunter_closed_form(spark):
+    """4-record target with known value frequencies -> known u -> the
+    score is computable by hand: u_color = (2^2+1+1)/16 = 0.375,
+    u_city = (3^2+1)/16 = 0.625. A pair agreeing on color and
+    disagreeing on city scores round(log2(m1/u_color),6) +
+    round(log2((1-m2)/(1-u_city)),6) exactly."""
+    import math
+
+    from hummingbirddatapipeline_spark.operators.entity_resolution import (
+        fellegi_sunter_scores,
+    )
+
+    target = spark.createDataFrame(
+        [("red", "nyc"), ("red", "nyc"), ("blue", "nyc"), ("green", "sf")],
+        "color string, city string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, "red", "red", "nyc", "sf"),
+         (3, 4, "blue", "green", "nyc", "nyc")],
+        "id_a long, id_b long, col_a string, col_b string,"
+        " city_a string, city_b string",
+    )
+    out = {
+        r["id_a"]: r
+        for r in fellegi_sunter_scores(
+            pairs, target,
+            fields=[("col_a", "col_b", "color", 0.9),
+                    ("city_a", "city_b", "city", 0.8)],
+        ).collect()
+    }
+    u_color, u_city = 6 / 16, 10 / 16
+    exp1 = round(math.log2(0.9 / u_color), 6) + round(
+        math.log2((1 - 0.8) / (1 - u_city)), 6
+    )
+    exp2 = round(math.log2((1 - 0.9) / (1 - u_color)), 6) + round(
+        math.log2(0.8 / u_city), 6
+    )
+    assert out[1]["agree_color"] and not out[1]["agree_city"]
+    assert not out[3]["agree_color"] and out[3]["agree_city"]
+    assert abs(out[1]["score"] - round(exp1, 6)) < 1e-9
+    assert abs(out[3]["score"] - round(exp2, 6)) < 1e-9

@@ -86,3 +86,24 @@ def test_salted_join_differential_and_multiplicity(spark):
     assert _norm(got) == _norm(exp)
     for event_type, n_type, n_rows, _sum in got:
         assert n_rows == n_type, (event_type, n_type, n_rows)
+
+
+def test_fellegi_sunter_differential_and_weight_ordering(spark):
+    """FS scoring equals the DuckDB formulation row for row, and the
+    method's point holds on real data: agreeing on the rare field
+    (the padded-id digits, small u) contributes more weight than
+    agreeing on the common one (5-value market segment) — visible as
+    a strictly higher score for phx-only-agreement pairs than
+    seg-only-agreement pairs with the other flags equal."""
+    got, exp = _run_pair(spark, "er_fellegi_sunter_scores", "customer")
+    assert len(got) == len(exp) > 0
+    assert _norm(got) == _norm(exp)
+    # (agree_seg, agree_phx, agree_band) -> score is constant per
+    # pattern; compare the two single-agreement patterns
+    by_pat = {}
+    for _, _, a_seg, a_phx, a_band, score in got:
+        by_pat.setdefault((a_seg, a_phx, a_band), score)
+    seg_only = by_pat.get((True, False, False))
+    phx_only = by_pat.get((False, True, False))
+    if seg_only is not None and phx_only is not None:
+        assert phx_only > seg_only
