@@ -324,9 +324,11 @@ def phash_near_dup_pairs(
     default) for a C(bands,2)/bands (3.5x) explode cost, and the
     verified pair set is IDENTICAL (both schemes guarantee candidacy
     for every pair the Hamming verify can keep). ``None`` (default)
-    auto-switches: count the distinct hashes (one cheap action on a
-    frame pair-gen scans anyway) and go combinatorial once they exceed
-    16x the single-band bucket space (avg bucket load > 16).
+    auto-switches: localCheckpoint the distinct-hash frame and count
+    it (ONE job — the checkpoint then feeds pair-gen, so the distinct
+    scan runs exactly once) and go combinatorial once they exceed
+    16x the single-band bucket space (avg bucket load > 16); pass
+    ``combinatorial`` explicitly to stay fully lazy.
 
     Returns (hash_a, hash_b, hamming) with hash_a < hash_b.
     """
@@ -345,6 +347,15 @@ def phash_near_dup_pairs(
     mask = (1 << width) - 1
     distinct = hashes.select("phash").distinct()
     if combinatorial is None:
+        # ADVICE r13: materialize the distinct frame ONCE before the
+        # switch count — localCheckpoint pins the skinny (8 bytes/row)
+        # distinct set so the count reads the checkpoint and banding
+        # reuses it, instead of recomputing the distinct scan twice
+        # (once for the count, once for pair-gen). The one eager job
+        # is the price of a data-dependent switch; callers that know
+        # their regime pass combinatorial explicitly and stay fully
+        # lazy.
+        distinct = distinct.localCheckpoint(eager=True)
         combinatorial = distinct.count() > 16 * (1 << width)
     if combinatorial and max_distance > bands - 2:
         import warnings

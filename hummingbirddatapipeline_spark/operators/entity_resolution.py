@@ -357,6 +357,14 @@ def fellegi_sunter_scores(
     """
     if not fields:
         raise ValueError("fellegi_sunter_scores: fields must be non-empty")
+    tcols = [t for _, _, t, _ in fields]
+    if len(set(tcols)) != len(tcols):
+        dupes = sorted({t for t in tcols if tcols.count(t) > 1})
+        raise ValueError(
+            "fellegi_sunter_scores: duplicate target columns in fields "
+            f"{dupes}; each target field may appear once — its "
+            "__n2_/__n_ stat columns would otherwise be ambiguous"
+        )
     stats = None
     for _, _, tcol, _ in fields:
         per = (
@@ -379,10 +387,44 @@ def fellegi_sunter_scores(
         )
         agree = F.col(a_col).eqNullSafe(F.col(b_col)) & F.col(a_col).isNotNull()
         both = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        # u == 1 (single-valued target field) makes the disagreement
+        # weight log2((1-m)/(1-u)) a division by zero, which Spark
+        # would silently NULL through the whole score. assert_true is
+        # folded into the disagreement branch only (CaseWhen branches
+        # evaluate lazily), so the guard costs nothing on the green
+        # path, adds no extra target scan, and fires a NAMED runtime
+        # error exactly when the undefined weight would be emitted.
+        u_guard = F.assert_true(
+            u < F.lit(1.0),
+            F.lit(
+                f"fellegi_sunter_scores: target field {tcol} is "
+                "single-valued in the target population (u == 1); "
+                "the disagreement weight log2((1-m)/(1-u)) is "
+                "undefined — drop the field or use a target with "
+                ">1 distinct value"
+            ),
+        )
+        # The division itself is gated on u < 1 (CaseWhen branches are
+        # lazy) so under ANSI mode the raw DIVIDE_BY_ZERO never
+        # pre-empts the named assert message.
+        disagree_w = F.round(
+            F.log2(
+                F.when(u < F.lit(1.0), F.lit(1.0 - m) / (F.lit(1.0) - u))
+            ),
+            6,
+        )
+        # Guard FIRST in the addition: binary-arithmetic codegen
+        # short-circuits when the LEFT operand is null, so
+        # `disagree_w + guard` would skip the guard exactly when
+        # disagree_w nulls out (u == 1). coalesce(guard, 0.0) is
+        # non-null on the green path, so the right side still
+        # evaluates.
         w = (
             F.when(~both, F.lit(0.0))
             .when(agree, F.round(F.log2(F.lit(m) / u), 6))
-            .otherwise(F.round(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u)), 6))
+            .otherwise(
+                F.coalesce(u_guard.cast("double"), F.lit(0.0)) + disagree_w
+            )
         )
         out = out.withColumn(f"agree_{tcol}", both & agree)
         score = score + w

@@ -458,7 +458,11 @@ def embedding_near_dup_pairs(
         # limit instead of surfacing as a ValueError inside the
         # signature UDF builder.
         explicit_per_band = max(1, n_planes // bands)
-        if explicit_per_band > 62:
+        # The limit is a property of the WIDENED per-band-long path
+        # only: when the whole signature still packs into one int64
+        # (per_band * bands <= 63, e.g. bands=1 with 63 planes) the
+        # packed path carries it fine and no per-band cap applies.
+        if explicit_per_band * bands > 63 and explicit_per_band > 62:
             raise ValueError(
                 f"n_planes={n_planes} over bands={bands} gives "
                 f"{explicit_per_band} planes per band; the per-band "
@@ -573,7 +577,10 @@ def embedding_near_dup_pairs_hybrid(
     if n_planes is not None and bands is not None:
         per_band = max(1, n_planes // bands)
         n_bands = bands
-        if per_band > 62:
+        # Same widened-path-only cap as embedding_near_dup_pairs: a
+        # config that still fits one packed int64 (per_band * bands
+        # <= 63) never touches the per-band-long signature.
+        if per_band * n_bands > 63 and per_band > 62:
             raise ValueError(
                 f"n_planes={n_planes} over bands={bands} gives "
                 f"{per_band} planes per band; the per-band int64 "
@@ -645,8 +652,18 @@ def embedding_near_dup_pairs_hybrid(
         n_blocks=n_blocks,
         part_col="__cell",
     )
-    return sparse_pairs.unionByName(dense_pairs).dropDuplicates(
-        ["id_a", "id_b"]
+    # ADVICE r13: a pair landing in BOTH a sparse and a dense bucket is
+    # verified by two different float paths (Spark higher-order-lambda
+    # cosine vs numpy GEMM + copysign floor); a last-ulp sum-order
+    # difference at a 5e-7 rounding tie can give the two rows different
+    # 6dp sims, and dropDuplicates would keep an arbitrary one.
+    # min(sim) is the deterministic tie-break — the emitted sim no
+    # longer depends on which engine's row survives — at the same
+    # shuffle shape (hash agg with map-side partials).
+    return (
+        sparse_pairs.unionByName(dense_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("sim").alias("sim"))
     )
 
 

@@ -582,6 +582,34 @@ def test_explicit_overwide_config_raises_named_error(spark):
         embedding_near_dup_pairs(df, 0.9, n_planes=130, bands=2)
 
 
+def test_packed_single_band_63_planes_still_valid(spark):
+    """ADVICE r13: bands=1 with 63 planes packs the whole signature
+    into one int64 (total_planes <= 63 routes to the packed path, not
+    the widened per-band-long path), so the 62-planes-per-band cap
+    must not reject it — the degenerate config worked before the r13
+    validation and must keep working. Same contract on the hybrid."""
+    from hummingbirddatapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_hybrid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1e-4]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dup_pairs(
+        df, 0.99, n_planes=63, bands=1, dim=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+    got_h = embedding_near_dup_pairs_hybrid(
+        df, 0.99, n_planes=63, bands=1, dim=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got_h} == {(1, 2)}
+    # the widened regime (two bands of 63) still fails fast, named
+    with pytest.raises(ValueError, match="62"):
+        embedding_near_dup_pairs(df, 0.9, n_planes=126, bands=2)
+
+
 def test_threshold_tuned_recall_holds_for_borderline_pairs(spark):
     """ADVICE r12: the twin-only fixtures can't detect misses of pairs
     BELOW an expected_dup_sim tuning point, so pin the guarantee that

@@ -203,3 +203,57 @@ def test_fellegi_sunter_closed_form(spark):
     assert not out[3]["agree_color"] and out[3]["agree_city"]
     assert abs(out[1]["score"] - round(exp1, 6)) < 1e-9
     assert abs(out[3]["score"] - round(exp2, 6)) < 1e-9
+
+
+def test_fellegi_sunter_guards_u_one_and_duplicate_fields(spark):
+    """ADVICE r13: a single-valued target field gives u == 1, making
+    the disagreement weight log2((1-m)/(1-u)) a division by zero that
+    previously NULLed the whole score silently — it must now raise a
+    NAMED error (at action time, from the lazily-evaluated disagree
+    branch). Duplicate target column names in `fields` must raise at
+    construction (ambiguous __n2_/__n_ stat columns). And crucially,
+    a single-valued field where every pair AGREES stays green: the
+    agreement weight log2(m/1) is well-defined and the guard sits
+    only on the disagree branch."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from hummingbirddatapipeline_spark.operators.entity_resolution import (
+        fellegi_sunter_scores,
+    )
+
+    target = spark.createDataFrame(
+        [("red", "nyc"), ("red", "sf")], "color string, city string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, "red", "blue")],
+        "id_a long, id_b long, col_a string, col_b string",
+    )
+    # disagreeing pair on the single-valued color field -> named error
+    df = fellegi_sunter_scores(
+        pairs, target, fields=[("col_a", "col_b", "color", 0.9)]
+    )
+    with _pytest.raises(Exception, match="single-valued") as exc:
+        df.collect()
+    assert isinstance(exc.value, Py4JJavaError) or "single-valued" in str(
+        exc.value
+    )
+    # agreeing pair on the same field -> guard never fires, score fine
+    agree_pairs = spark.createDataFrame(
+        [(1, 2, "red", "red")],
+        "id_a long, id_b long, col_a string, col_b string",
+    )
+    ok = fellegi_sunter_scores(
+        agree_pairs, target, fields=[("col_a", "col_b", "color", 0.9)]
+    ).collect()
+    assert len(ok) == 1 and ok[0]["score"] is not None
+    # duplicate target columns -> construction-time ValueError
+    with _pytest.raises(ValueError, match="duplicate target columns"):
+        fellegi_sunter_scores(
+            pairs,
+            target,
+            fields=[
+                ("col_a", "col_b", "city", 0.9),
+                ("col_b", "col_a", "city", 0.8),
+            ],
+        )
