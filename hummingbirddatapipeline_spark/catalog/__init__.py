@@ -172,26 +172,28 @@ def _load_modules() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 registered
-# queries per round (dict insertion order). With 203 catalog entries,
+# queries per round (dict insertion order). With 211 catalog entries,
 # which rows get hard driver signal is a choice — so make it explicit.
 # (Per-round window history lives in PLANS.md § "Driver-window
 # ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-13 window (r12 VERDICT items 1-2 + this round's ledger rule):
-# (a) the 11 never-sampled rows at the HEAD (the 7 r12-deferred tiers
-#     plus the 4 late r12 registrations) + the 4 registered-this-round
-#     rows (similarity_hybrid_dense_clusters — the dense-regime
-#     auto-switch — sketch_quantile_error, join_salted_hot_keys, and
-#     er_fellegi_sunter_scores; no banking);
-# (b) the 3 owed re-samples (curation_funnel, curation_funnel_gated —
-#     the recorded r11 deviation — and curation_score_distill, changed
-#     in r12);
-# (c) the 8 changed-this-round rows (six de-hinted relational rows +
-#     the two conditional-upsert rows + the refactor-touched banded
-#     clusters row — re-sample after any code change, ledger rule);
-# (d) 24 of the r9-stale rows (alphabetical back-fill; the 11 displaced
-#     by (a)/(c) additions shift to r14 per the published ledger rule
-#     — see PLANS.md "Window math, r13-r15" amendment).
+# Round-14 window (r13 VERDICT item 1: retire the staleness tail):
+# (a) no never-sampled rows exist — all 211 registered rows have at
+#     least one green driver sample (r13 closed the gap) and r14
+#     registers nothing new;
+# (b) the 21 r9-stale rows (4 rounds old — the ledger's own hard
+#     rule puts them FIRST), which includes stream_dedup_incremental,
+#     also changed this round (contract-corpus cap, VERDICT item 2);
+# (c) the 4 changed-this-round re-samples: the fixture-capped
+#     similarity_banded_widened_clusters (VERDICT item 2), the
+#     min(sim)-deterministic similarity_hybrid_dense_clusters and the
+#     guard-hardened er_fellegi_sunter_scores (ADVICE fixes), and the
+#     single-scan-auto-switch multimodal_phash_groups (ADVICE fix;
+#     it was r10-stale anyway);
+# (d) 25 oldest r10-stale rows (alphabetical back-fill; the 21
+#     displaced by (b)/(c) growth over the write-ahead plan shift to
+#     r15 per the published ledger rule — see PLANS.md "Window math,
+#     r14-r16").
 #
 # Rotation policy (relaxed per the r11 VERDICT): a never-sampled row
 # must enter the window within ONE round of registration — it may sit
@@ -201,67 +203,68 @@ def _load_modules() -> None:
 # the CORRECTNESS_r*.json history). Everything else outside the window
 # must be last-sample-green.
 DRIVER_WINDOW: list[str] = [
-    # (a) never-sampled head
-    "text_signature_ngrams",
-    "dedup_cluster_cohesion",
-    "sketch_hll_error",
-    "dedup_cross_source_best_match",
-    "sketch_bloom_fpr",
-    "similarity_centroid_drift",
-    "text_length_profile",
-    "q6_forecast_revenue",
-    "q18_large_volume_customers",
-    "similarity_banded_widened_clusters",
-    "q10_returned_items",
-    "similarity_hybrid_dense_clusters",
-    "sketch_quantile_error",
-    "join_salted_hot_keys",
-    "er_fellegi_sunter_scores",
-    # (b) owed re-samples
-    "curation_funnel",
-    "curation_funnel_gated",
-    "curation_score_distill",
+    # (b) the 21 r9-stale rows, alphabetical
+    "sample_temperature_mix",
+    "sample_token_budget_mix",
+    "sample_train_holdout_counts",
+    "scd2_user_event_history",
+    "serving_map_extract",
+    "similarity_ivf_incremental_add",
+    "similarity_semantic_dedup",
+    "stream_dedup_incremental",  # also changed: contract-corpus cap
+    "text_bigram_logprob",
+    "text_c4_filters",
+    "text_contamination_check",
+    "text_exact_dedup",
+    "text_pack_best_fit",
+    "text_redact_pii",
+    "text_repetition_battery",
+    "text_substring_dup_stride1",
+    "text_unigram_logprob",
+    "union_dedup_segments",
+    "web_canonicalize_url",
+    "web_host_gate",
+    "window_yoy_nation_revenue_growth",
     # (c) changed-this-round re-samples
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "hhi_supplier_concentration",
-    "q14_promo_effect",
-    "q19_bracket_revenue",
-    "merge_conditional_upsert",
-    "merge_upsert_idempotent",
-    "similarity_near_dup_clusters_banded",
-    # (d) r9-stale back-fill, alphabetical
-    "asof_join_purchase_click",
-    "band_join_balance_siblings",
-    "curation_quality_percentile",
-    "curation_source_gate",
-    "dedup_connected_components",
-    "dedup_incremental_cc",
-    "dedup_tfidf_cosine_pairs",
-    "dedup_triangle_counts",
-    "dq_orders_expectations",
-    "dq_skew_report",
-    "er_fuzzy_join_levenshtein",
-    "er_fuzzy_join_lsh",
-    "er_multipass_name_match",
-    "events_anomaly_zscore",
-    "events_hypertable_rollup",
-    "grouping_sets_counters",
-    "latest_filing_plus_history",
-    "layout_zorder_codes",
-    "range_join_clicks_before_purchase",
-    "range_join_pairs",
-    "sample_dsir_select",
-    "sample_hash_fraction",
-    "sample_per_source_cap",
-    "sample_stratified_by_lang",
+    "similarity_banded_widened_clusters",
+    "similarity_hybrid_dense_clusters",
+    "er_fellegi_sunter_scores",
+    "multimodal_phash_groups",
+    # (d) r10-stale back-fill, alphabetical
+    "assoc_basket_cooccurrence",
+    "corpus_stats_report",
+    "curation_decontaminate_clusters",
+    "dedup_incremental_batch",
+    "dedup_minhash_near_dups",
+    "dedup_pagerank",
+    "dedup_simhash_consistency",
+    "events_cohort_retention",
+    "events_decayed_activity",
+    "events_first_per_user_type",
+    "events_funnel_conversion",
+    "events_hourly_tumbling",
+    "events_incremental_rollup",
+    "events_json_props",
+    "events_lttb_downsample",
+    "events_markov_transitions",
+    "events_sessionization",
+    "events_sliding_3h1h",
+    "extract_best_candidate",
+    "feature_impute_median_balance",
+    "feature_psi_price_drift",
+    "feature_winsorize_prices",
+    "geo_radius_join_suppliers",
+    "layout_shard_manifest",
+    "multimodal_byte_features",
 ]
 
-# EMPTY this round: all 11 previously deferred first-samples entered
-# the r13 window head, and the one new registration
-# (similarity_hybrid_dense_clusters) took a window slot directly.
-# Any row registered after the window freeze goes here and MUST lead
-# the r14 window.
+# EMPTY this round: r14 registers no new rows (staleness-retirement
+# round per the r13 VERDICT; for the record, r13 registered FOUR rows
+# — similarity_hybrid_dense_clusters, sketch_quantile_error,
+# join_salted_hot_keys, er_fellegi_sunter_scores — and all four took
+# r13 window slots directly, which is why the r13 back-fill ran 24
+# deep instead of the write-ahead plan's 40). Any row registered
+# after the window freeze goes here and MUST lead the r15 window.
 DEFERRED_FIRST_SAMPLE: list[str] = []
 
 

@@ -385,6 +385,22 @@ _BANDED_CLUSTERS_ORACLE = f"""
     ORDER BY node
     """
 
+# The widened-signature contract row pins its fixture at vec_id <
+# 2000 (r13 VERDICT item 2): the row exists to gate the widened
+# per-band-long path's recall against the exact closure — a property
+# independent of corpus size — and on this constant-mode corpus the
+# pure banded path is deliberately super-linear, so the contract
+# corpus must not scale with sf_dir (the production plan for the
+# shape is similarity_hybrid_dense_clusters). The cap is a no-op at
+# sf0.001/0.01/0.1 (vec_ids end at 1999), so existing oracles are
+# byte-identical there.
+_WIDENED_FIXTURE_CAP = 2000
+_BANDED_CLUSTERS_ORACLE_CAPPED = _BANDED_CLUSTERS_ORACLE.replace(
+    "FROM embeddings",
+    f"FROM embeddings WHERE vec_id < {_WIDENED_FIXTURE_CAP}",
+    1,
+)
+
 
 @query(
     "similarity_near_dup_clusters_banded",
@@ -454,7 +470,7 @@ def similarity_near_dup_clusters_banded(
 
 @query(
     "similarity_banded_widened_clusters",
-    oracle=_BANDED_CLUSTERS_ORACLE,
+    oracle=_BANDED_CLUSTERS_ORACLE_CAPPED,
 )
 def similarity_banded_widened_clusters(
     spark: SparkSession, sf_dir: str
@@ -476,7 +492,15 @@ def similarity_banded_widened_clusters(
     id) explode, bucket self-join, exact cosine verify, pointer-
     jumping closure; the only difference is 6 array elements per item
     instead of 5 masked views of one long, which is what keeps bucket
-    load O(1) on corpora past 2^13 vectors."""
+    load O(1) on corpora past 2^13 vectors.
+
+    CONTRACT-ROW FIXTURE CAP (r13 VERDICT item 2): pinned at vec_id <
+    2000 (_WIDENED_FIXTURE_CAP) — a no-op at sf0.001/0.01/0.1 — because on
+    this constant-mode twin corpus the PURE banded path is
+    deliberately super-linear (the r13 receipt's 4.4x at 2x data);
+    the recall property this row gates is corpus-size-independent,
+    and the production plan for the dense shape is
+    similarity_hybrid_dense_clusters. Oracle applies the same cap."""
     from pyspark.sql.window import Window
 
     from hummingbirddatapipeline_spark.functions.vector import (
@@ -487,8 +511,10 @@ def similarity_banded_widened_clusters(
         connected_components,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _WIDENED_FIXTURE_CAP)  # contract cap
+        .select("vec_id", _as_double(F.col("embedding")).alias("embedding"))
     )
     twins = emb.select(
         (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),

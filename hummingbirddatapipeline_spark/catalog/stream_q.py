@@ -230,7 +230,7 @@ def stream_enrich_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(
                list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                            t -> t <> ''))) AS w
-      FROM documents
+      FROM documents WHERE doc_id < 5000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     pairs AS (
@@ -248,7 +248,7 @@ def stream_enrich_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, dup.doc_id IS NULL AS accepted
     FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
-    WHERE d.doc_id % 2 = 1
+    WHERE d.doc_id % 2 = 1 AND d.doc_id < 5000
     ORDER BY d.doc_id
     """,
 )
@@ -273,7 +273,18 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays legal at any corpus size) so the three temp dirs (source,
     sink, checkpoint) can be removed before returning — every
     driver/bench invocation used to leak its written corpus subset to
-    /tmp (r8 ADVICE)."""
+    /tmp (r8 ADVICE).
+
+    CONTRACT-ROW FIXTURE CAP (r13 VERDICT item 2): the exact-Jaccard
+    probe on this deliberately tiny-vocab corpus is Theta(n^2) by
+    design — it is the recall/idempotence GATE, not the scale path
+    (that is dedup_incremental_batch / bench_dedup_incremental_minhash,
+    measured ~1.3x at 2x data). The corpus is therefore pinned at
+    doc_id < 5000 (a no-op at sf0.001/0.01/0.1, whose doc_ids end at
+    4999) so the row stays O(bounded) at ANY sf_dir a driver or
+    receipt run points it at; the streaming-composition property it
+    proves is corpus-size-independent. The oracle applies the same
+    cap."""
     import shutil
     import tempfile
 
@@ -285,7 +296,11 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hummingbirddatapipeline_spark.tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 5000)  # contract-corpus cap, see above
+    )
     store = build_jaccard_store(
         docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
         shingle_size=1,
