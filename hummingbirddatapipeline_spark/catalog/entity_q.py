@@ -459,24 +459,30 @@ def _fellegi_sunter_sql() -> str:
     expression order mirrors the operator exactly so both engines walk
     the same IEEE doubles into each log2."""
     return """
-    WITH stats AS (
+    WITH pop AS (
+      -- contract-corpus cap (see the row docstring): nation blocking
+      -- is a CONSTANT-cardinality key, so pairs grow quadratically
+      -- with the corpus; the cap is a no-op at sf0.001/0.01/0.1.
+      SELECT * FROM customer WHERE c_custkey < 15000
+    ),
+    stats AS (
       SELECT
         (SELECT SUM(c*c) FROM (
-           SELECT COUNT(*) AS c FROM customer GROUP BY c_mktsegment)) AS n2_seg,
+           SELECT COUNT(*) AS c FROM pop GROUP BY c_mktsegment)) AS n2_seg,
         (SELECT SUM(c*c) FROM (
-           SELECT COUNT(*) AS c FROM customer
+           SELECT COUNT(*) AS c FROM pop
            GROUP BY substring(c_name, 16, 2))) AS n2_phx,
         (SELECT SUM(c*c) FROM (
-           SELECT COUNT(*) AS c FROM customer
+           SELECT COUNT(*) AS c FROM pop
            GROUP BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT))) AS n2_band,
-        (SELECT COUNT(*) FROM customer) AS n
+        (SELECT COUNT(*) FROM pop) AS n
     ),
     fld AS (
       SELECT c_custkey, c_nationkey,
              c_mktsegment AS seg,
              substring(c_name, 16, 2) AS phx,
              CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
-      FROM customer
+      FROM pop
     ),
     p AS (
       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -528,12 +534,28 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three skinny distinct-value aggregates fold into ONE
     broadcast stats row; scoring is a pure projection over the
     blocked pair frame — the only shuffle is the blocking join that
-    candidate generation owns anyway."""
+    candidate generation owns anyway.
+
+    CONTRACT-ROW FIXTURE CAP (r14; same rule as VERDICT r13 item 2):
+    nation is a CONSTANT-cardinality blocking key (25 values), so the
+    demo's candidate pairs grow quadratically with the corpus — the
+    r14 sf1 receipt measured 179 s at 10x data pre-cap. The fixture
+    is pinned at c_custkey < 15000 (a no-op at sf0.001/0.01/0.1,
+    whose custkeys end at 14999) because the property this row gates
+    — both engines walking identical IEEE doubles through the
+    frequency-method u and the per-field log2 weights — is
+    corpus-size-independent. Production candidate generation belongs
+    to the blocking/LSH operators with non-constant keys
+    (er_fuzzy_join_lsh, join_salted_hot_keys); the scoring layer
+    itself is one map pass at any scale. Oracle applies the same
+    cap."""
     from hummingbirddatapipeline_spark.operators.entity_resolution import (
         fellegi_sunter_scores,
     )
 
-    cust = load(spark, sf_dir, "customer")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 15000  # contract-corpus cap, see docstring
+    )
     fld = cust.select(
         "c_custkey",
         "c_nationkey",
