@@ -184,16 +184,24 @@ def _load_modules() -> None:
 # (b) the 21 r9-stale rows (4 rounds old — the ledger's own hard
 #     rule puts them FIRST), which includes stream_dedup_incremental,
 #     also changed this round (contract-corpus cap, VERDICT item 2);
-# (c) the 4 changed-this-round re-samples: the fixture-capped
+# (c) the changed-this-round re-samples: the fixture-capped
 #     similarity_banded_widened_clusters (VERDICT item 2), the
 #     min(sim)-deterministic similarity_hybrid_dense_clusters and the
-#     guard-hardened er_fellegi_sunter_scores (ADVICE fixes), and the
+#     guard-hardened er_fellegi_sunter_scores (ADVICE fixes), the
 #     single-scan-auto-switch multimodal_phash_groups (ADVICE fix;
-#     it was r10-stale anyway);
-# (d) 25 oldest r10-stale rows (alphabetical back-fill; the 21
-#     displaced by (b)/(c) growth over the write-ahead plan shift to
-#     r15 per the published ledger rule — see PLANS.md "Window math,
-#     r14-r16").
+#     it was r10-stale anyway), and the FIVE rows the r14 full-catalog
+#     sf1 sweep fixture-capped that were not already in the window
+#     (text_jaccard_near_dups, dedup_cluster_cohesion,
+#     similarity_near_dup_embeddings, similarity_near_dup_clusters,
+#     er_fuzzy_join_levenshtein; the three OTHER capped rows —
+#     dedup_incremental_batch, dedup_minhash_near_dups,
+#     geo_radius_join_suppliers — already sit in the (d) back-fill);
+# (d) 20 oldest r10-stale rows (alphabetical back-fill; the five
+#     names displaced by (c) growth — multimodal_byte_features,
+#     layout_shard_manifest, feature_winsorize_prices,
+#     feature_psi_price_drift, feature_impute_median_balance — shift
+#     to r15 per the published ledger rule, see PLANS.md "Window
+#     math, r14-r16").
 #
 # Rotation policy (relaxed per the r11 VERDICT): a never-sampled row
 # must enter the window within ONE round of registration — it may sit
@@ -230,6 +238,11 @@ DRIVER_WINDOW: list[str] = [
     "similarity_hybrid_dense_clusters",
     "er_fellegi_sunter_scores",
     "multimodal_phash_groups",
+    "text_jaccard_near_dups",  # r14 fixture cap (sf1 sweep)
+    "dedup_cluster_cohesion",  # r14 fixture cap (sf1 sweep)
+    "similarity_near_dup_embeddings",  # r14 fixture cap (sf1 sweep)
+    "similarity_near_dup_clusters",  # r14 fixture cap (sf1 sweep)
+    "er_fuzzy_join_levenshtein",  # r14 fixture cap (sf1 sweep)
     # (d) r10-stale back-fill, alphabetical
     "assoc_basket_cooccurrence",
     "corpus_stats_report",
@@ -250,12 +263,7 @@ DRIVER_WINDOW: list[str] = [
     "events_sessionization",
     "events_sliding_3h1h",
     "extract_best_candidate",
-    "feature_impute_median_balance",
-    "feature_psi_price_drift",
-    "feature_winsorize_prices",
     "geo_radius_join_suppliers",
-    "layout_shard_manifest",
-    "multimodal_byte_features",
 ]
 
 # EMPTY this round: r14 registers no new rows (staleness-retirement

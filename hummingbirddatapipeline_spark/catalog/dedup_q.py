@@ -72,7 +72,10 @@ register_invalidate_hook(_clear_pair_cache)
     "dedup_minhash_near_dups",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+      -- contract-corpus cap (see row docstring): no-op at
+      -- sf0.001/0.01/0.1
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w
+      FROM documents WHERE doc_id < 5000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     pairs AS (
@@ -102,8 +105,20 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     all say "same cluster") is the wrong operation at scale, where such
     clusters get a representative/cluster-id treatment instead. At the
     driver's correctness SF (0.01) cluster sizes are realistic and
-    measured recall is 0.9998."""
-    docs = load(spark, sf_dir, "documents")
+    measured recall is 0.9998.
+
+    CONTRACT-ROW FIXTURE CAP (r14 full-catalog sf1 sweep): the recall
+    contract runs the exact all-pairs baseline INSIDE the row, and on
+    the tiny-vocab contract corpus the true pair set is a constant
+    fraction of all pairs — Theta(n^2) by construction (measured
+    276.4 s at sf1 pre-cap). The recall property is
+    corpus-size-independent; fixture pinned at doc_id < 5000 (no-op
+    at sf0.001/0.01/0.1), oracle capped identically. The banded
+    pipeline's own scaling is receipted separately on DISTINCT-mode
+    replicas (constant dup density)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 5000  # contract-corpus cap, see docstring
+    )
     # 1-word shingles + low threshold: testdata docs are word soup from a
     # tiny vocabulary, so token-level overlap is the meaningful signal.
     # Both pair sets are skinny (id_a, id_b) referenced twice below
@@ -535,7 +550,10 @@ def bench_dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_batch",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w FROM documents
+      -- contract-corpus cap (see row docstring; same rule as the
+      -- streaming twin): no-op at sf0.001/0.01/0.1
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w
+      FROM documents WHERE doc_id < 5000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     pairs AS (
@@ -563,7 +581,7 @@ def bench_dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN best b ON b.doc_id = d.doc_id
     LEFT JOIN hits h ON h.doc_id = d.doc_id
                     AND h.store_id = b.match_store_id
-    WHERE d.doc_id % 2 = 1
+    WHERE d.doc_id % 2 = 1 AND d.doc_id < 5000
     ORDER BY d.doc_id
     """,
 )
@@ -580,13 +598,26 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-vs-store decision from the raw union, so the driver hashes
     the full accept/reject roster. Replay idempotence (re-running a
     committed batch accepts nothing) is pinned in
-    tests/test_dedup_similarity.py."""
+    tests/test_dedup_similarity.py.
+
+    CONTRACT-ROW FIXTURE CAP (r14 full-catalog sf1 sweep; same rule
+    as the streaming twin stream_dedup_incremental): on the
+    tiny-vocab contract corpus every batch doc has Theta(n) TRUE
+    near-dup candidates in the store, so the exact probe is
+    Theta(n^2) by construction (measured 78.0 s at sf1 pre-cap).
+    The batch-vs-index property is corpus-size-independent; the
+    fixture pins doc_id < 5000 (a no-op at sf0.001/0.01/0.1) and the
+    oracle applies the same cap. The production probe for the shape
+    is the banded MinHash index (bench_dedup_incremental_minhash,
+    measured 1.6x at 5x data)."""
     from hummingbirddatapipeline_spark.operators.dedup import (
         build_jaccard_store,
         incremental_jaccard_dedup,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 5000  # contract-corpus cap, see docstring
+    )
     # materialize the store once: in production this frame IS the
     # persisted index read back from storage; deriving it inline made
     # every downstream reference (df stats, dense-regime probe,
@@ -1521,8 +1552,10 @@ def _cluster_cohesion_sql(threshold: float = 0.85) -> str:
     through, exact e6-long mean, and the density division."""
     return f"""
     WITH RECURSIVE tok AS (
+      -- contract-corpus cap (see row docstring): no-op at
+      -- sf0.001/0.01/0.1
       SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS w
-      FROM documents
+      FROM documents WHERE doc_id < 5000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     near AS (
@@ -1587,13 +1620,25 @@ def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pointer-jumping CC + one id_a equi-join attach + one
     cluster-keyed aggregate; mean is an exact e6 long sum —
-    partitioning-invariant."""
+    partitioning-invariant.
+
+    CONTRACT-ROW FIXTURE CAP (r14 full-catalog sf1 sweep): the row
+    builds the EXACT pair graph, whose edge count on the tiny-vocab
+    contract corpus is a constant fraction of all doc pairs — the
+    sweep found it stuck >40 min at sf1 (the faithful corpus's
+    mega-cluster makes one cluster's pairwise stats a single
+    quadratic task). The density/cohesion property is
+    corpus-size-independent; fixture pinned at doc_id < 5000 (no-op
+    at sf0.001/0.01/0.1), oracle capped identically."""
     from hummingbirddatapipeline_spark.operators.graph import (
         cluster_cohesion,
     )
 
     pairs = jaccard_pairs_prefix(
-        load(spark, sf_dir, "documents"), "text", "doc_id",
+        load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 5000  # contract-corpus cap, see docstring
+        ),
+        "text", "doc_id",
         threshold=0.85, shingle_size=1,
     )
     return cluster_cohesion(pairs)

@@ -62,10 +62,13 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_near_dup_embeddings",
     oracle=f"""
+    -- contract-corpus cap (see row docstring): no-op at
+    -- sf0.001/0.01/0.1
     SELECT a.vec_id AS id_a, q.vec_id AS id_b,
            ROUND({_DUCK_DOT}, 6) AS sim
-    FROM embeddings a
-    JOIN embeddings q ON a.vec_id < q.vec_id
+    FROM (SELECT * FROM embeddings WHERE vec_id < 2000) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 2000) q
+      ON a.vec_id < q.vec_id
     WHERE ROUND({_DUCK_DOT}, 6) >= 0.35
     ORDER BY id_a, id_b
     """,
@@ -82,6 +85,16 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     # all-pairs (banding would out-cost brute force) — that behavior is
     # pinned by tests, so the advisory UserWarning is suppressed here
     # to keep catalog/test output clean.
+    # CONTRACT-ROW FIXTURE CAP (r14 full-catalog sf1 sweep): this row
+    # INTENTIONALLY routes through exact brute all-pairs (the
+    # selectivity-cutoff contract), so its work is Theta(n^2) by
+    # definition — the sweep found one straggler task still grinding
+    # the 20k x 20k interpreted-lambda cosines after 20 min at sf1.
+    # The cutoff property is corpus-size-independent; fixture pinned
+    # at vec_id < 2000 (no-op at sf0.001/0.01/0.1), oracle capped
+    # identically. The scale paths for real thresholds are the
+    # banded/hybrid rows.
+    emb = emb.filter(F.col("vec_id") < 2000)
     with warnings.catch_warnings():
         warnings.filterwarnings(
             "ignore", message=".*banding would out-cost brute force.*"
@@ -594,10 +607,13 @@ def similarity_hybrid_dense_clusters(
 @query(
     "similarity_near_dup_clusters",
     oracle=f"""
+    -- contract-corpus cap (see row docstring): no-op at
+    -- sf0.001/0.01/0.1
     WITH RECURSIVE near AS (
       SELECT a.vec_id AS id_a, q.vec_id AS id_b
-      FROM embeddings a
-      JOIN embeddings q ON a.vec_id < q.vec_id
+      FROM (SELECT * FROM embeddings WHERE vec_id < 2000) a
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 2000) q
+        ON a.vec_id < q.vec_id
       WHERE ROUND({_DUCK_DOT}, 6) >= 0.35
     ),
     edges AS (
@@ -626,7 +642,16 @@ def similarity_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed into min-id components by operators/graph.py, while DuckDB
     recomputes the same closure recursively. The embedding-modality
     twin of dedup_connected_components — cluster-then-keep-one is the
-    last step of semantic dedup at 100 TB."""
+    last step of semantic dedup at 100 TB.
+
+    CONTRACT-ROW FIXTURE CAP (r14 full-catalog sf1 sweep): the 0.35
+    demo threshold INTENTIONALLY routes through the exact brute
+    all-pairs path (same contract as similarity_near_dup_embeddings),
+    so work is Theta(n^2) by definition — the sweep found it
+    straggling >30 min at sf1. The closure property is
+    corpus-size-independent; fixture pinned at vec_id < 2000 (no-op
+    at sf0.001/0.01/0.1), oracle capped identically. The scale paths
+    are the banded/hybrid cluster rows above."""
     import warnings as _warnings
 
     from pyspark.sql.window import Window
@@ -635,8 +660,10 @@ def similarity_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "embedding", _as_double(F.col("embedding"))
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)  # contract-corpus cap, see docstring
+        .withColumn("embedding", _as_double(F.col("embedding")))
     )
     with _warnings.catch_warnings():
         _warnings.simplefilter("ignore")  # expected brute fallback at 0.35
