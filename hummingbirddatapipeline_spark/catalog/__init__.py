@@ -177,31 +177,27 @@ def _load_modules() -> None:
 # (Per-round window history lives in PLANS.md § "Driver-window
 # ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-14 window (r13 VERDICT item 1: retire the staleness tail):
-# (a) no never-sampled rows exist — all 211 registered rows have at
-#     least one green driver sample (r13 closed the gap) and r14
-#     registers nothing new;
-# (b) the 21 r9-stale rows (4 rounds old — the ledger's own hard
-#     rule puts them FIRST), which includes stream_dedup_incremental,
-#     also changed this round (contract-corpus cap, VERDICT item 2);
-# (c) the changed-this-round re-samples: the fixture-capped
-#     similarity_banded_widened_clusters (VERDICT item 2), the
-#     min(sim)-deterministic similarity_hybrid_dense_clusters and the
-#     guard-hardened er_fellegi_sunter_scores (ADVICE fixes), the
-#     single-scan-auto-switch multimodal_phash_groups (ADVICE fix;
-#     it was r10-stale anyway), and the FIVE rows the r14 full-catalog
-#     sf1 sweep fixture-capped that were not already in the window
-#     (text_jaccard_near_dups, dedup_cluster_cohesion,
-#     similarity_near_dup_embeddings, similarity_near_dup_clusters,
-#     er_fuzzy_join_levenshtein; the three OTHER capped rows —
-#     dedup_incremental_batch, dedup_minhash_near_dups,
-#     geo_radius_join_suppliers — already sit in the (d) back-fill);
-# (d) 20 oldest r10-stale rows (alphabetical back-fill; the five
-#     names displaced by (c) growth — multimodal_byte_features,
-#     layout_shard_manifest, feature_winsorize_prices,
-#     feature_psi_price_drift, feature_impute_median_balance — shift
-#     to r15 per the published ledger rule, see PLANS.md "Window
-#     math, r14-r16").
+# Round-15 window (r14 VERDICT item 1 + PLANS.md "Window math,
+# r14-r16"):
+# (a) the three rows the r14 VERDICT directed to the window head
+#     (similarity_ivfpq_topk, sample_interleave_order,
+#     similarity_sq8_fidelity). NOTE for the ledger: these were
+#     REGISTERED at the r12 bank drain (commit f7ff08f) and
+#     driver-sampled green in CORRECTNESS_r12 — the VERDICT's
+#     "decorator change" step was already done; what r15 owes them is
+#     the head slot, which this window grants;
+# (b) the changed-this-round re-samples: er_fellegi_sunter_scores
+#     (ADVICE r14 empty-target u-guard + agree-branch definedness
+#     guard) and multimodal_phash_groups (ADVICE r14: auto-switch
+#     cache is now a bounded, releasable persist() instead of an
+#     unreleased eager localCheckpoint);
+# (c) ALL 25 remaining r10-stale rows (the verdict's done-condition:
+#     zero r10-stale rows after r15), alphabetical;
+# (d) the 20 alphabetically-first r11-stale rows (back-fill; the five
+#     displaced by (a)+(b) — sample_split_leakfree,
+#     sample_split_ngram_overlap, sample_unimax_budget,
+#     scoring_990_model, scoring_customer_health — shift to r16 per
+#     the ledger rule, see PLANS.md "Window math, r15-r17").
 #
 # Rotation policy (relaxed per the r11 VERDICT): a never-sampled row
 # must enter the window within ONE round of registration — it may sit
@@ -211,68 +207,67 @@ def _load_modules() -> None:
 # the CORRECTNESS_r*.json history). Everything else outside the window
 # must be last-sample-green.
 DRIVER_WINDOW: list[str] = [
-    # (b) the 21 r9-stale rows, alphabetical
-    "sample_temperature_mix",
-    "sample_token_budget_mix",
-    "sample_train_holdout_counts",
-    "scd2_user_event_history",
-    "serving_map_extract",
-    "similarity_ivf_incremental_add",
-    "similarity_semantic_dedup",
-    "stream_dedup_incremental",  # also changed: contract-corpus cap
-    "text_bigram_logprob",
-    "text_c4_filters",
-    "text_contamination_check",
-    "text_exact_dedup",
-    "text_pack_best_fit",
-    "text_redact_pii",
-    "text_repetition_battery",
-    "text_substring_dup_stride1",
-    "text_unigram_logprob",
-    "union_dedup_segments",
-    "web_canonicalize_url",
-    "web_host_gate",
-    "window_yoy_nation_revenue_growth",
-    # (c) changed-this-round re-samples
-    "similarity_banded_widened_clusters",
-    "similarity_hybrid_dense_clusters",
+    # (a) r14 VERDICT item 1 head rows
+    "similarity_ivfpq_topk",
+    "sample_interleave_order",
+    "similarity_sq8_fidelity",
+    # (b) changed-this-round re-samples (ADVICE r14 fixes)
     "er_fellegi_sunter_scores",
     "multimodal_phash_groups",
-    "text_jaccard_near_dups",  # r14 fixture cap (sf1 sweep)
-    "dedup_cluster_cohesion",  # r14 fixture cap (sf1 sweep)
-    "similarity_near_dup_embeddings",  # r14 fixture cap (sf1 sweep)
-    "similarity_near_dup_clusters",  # r14 fixture cap (sf1 sweep)
-    "er_fuzzy_join_levenshtein",  # r14 fixture cap (sf1 sweep)
-    # (d) r10-stale back-fill, alphabetical
-    "assoc_basket_cooccurrence",
-    "corpus_stats_report",
-    "curation_decontaminate_clusters",
-    "dedup_incremental_batch",
-    "dedup_minhash_near_dups",
-    "dedup_pagerank",
-    "dedup_simhash_consistency",
-    "events_cohort_retention",
-    "events_decayed_activity",
-    "events_first_per_user_type",
-    "events_funnel_conversion",
-    "events_hourly_tumbling",
-    "events_incremental_rollup",
-    "events_json_props",
-    "events_lttb_downsample",
-    "events_markov_transitions",
-    "events_sessionization",
-    "events_sliding_3h1h",
-    "extract_best_candidate",
-    "geo_radius_join_suppliers",
+    # (c) the 25 remaining r10-stale rows, alphabetical
+    "feature_impute_median_balance",
+    "feature_psi_price_drift",
+    "feature_winsorize_prices",
+    "layout_shard_manifest",
+    "multimodal_byte_features",
+    "multimodal_frame_plan",
+    "safe_divide_discount_rate",
+    "sample_weighted_aes",
+    "scoring_ipeds_model",
+    "search_topk_substring",
+    "similarity_kmeans_refine",
+    "similarity_pca_top1",
+    "sketch_approx_distinct_users",
+    "sketch_topk_heavy_hitters",
+    "sketch_value_quantiles",
+    "text_chunk_documents",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_pack_chunks",
+    "text_quality",
+    "text_repetition_stats",
+    "text_substring_dup",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "topk_orders_by_price",
+    # (d) r11-stale back-fill, alphabetical
+    "anti_join_idle_customers",
+    "asof_latest_order_per_customer",
+    "bucket_customer_balance",
+    "classify_and_prioritize",
+    "conditional_counters",
+    "dedup_representatives_by_score",
+    "distinct_customers_per_nation",
+    "embedding_quantize_roundtrip",
+    "events_rolling_window_feats",
+    "events_touch_attribution",
+    "extract_context_window",
+    "extract_multi_pattern",
+    "feature_profile_drift",
+    "feature_quantile_transform",
+    "feature_target_encode",
+    "merge_cdc_apply",
+    "pivot_nation_revenue_by_year",
+    "q1_pricing_summary",
+    "sample_contrastive_negatives",
+    "sample_doremi_reweight",
 ]
 
-# EMPTY this round: r14 registers no new rows (staleness-retirement
-# round per the r13 VERDICT; for the record, r13 registered FOUR rows
-# — similarity_hybrid_dense_clusters, sketch_quantile_error,
-# join_salted_hot_keys, er_fellegi_sunter_scores — and all four took
-# r13 window slots directly, which is why the r13 back-fill ran 24
-# deep instead of the write-ahead plan's 40). Any row registered
-# after the window freeze goes here and MUST lead the r15 window.
+# EMPTY this round: r15 registers no new rows (every catalog row —
+# including the three the r14 VERDICT called "the r15 bank" — has
+# been registered since the r12 drain and carries at least one green
+# driver sample; r15's job is the rotation above). Any row registered
+# after the window freeze goes here and MUST lead the r16 window.
 DEFERRED_FIRST_SAMPLE: list[str] = []
 
 

@@ -9,13 +9,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hummingbirddatapipeline_spark.catalog import query
+from hummingbirddatapipeline_spark.catalog import (
+    query,
+    register_invalidate_hook,
+)
 from hummingbirddatapipeline_spark.multimodal.core import (
     byte_features,
+    release_phash_switch_cache,
     sample_frames,
     synth_media_from_documents,
 )
 from hummingbirddatapipeline_spark.tables import load
+
+# The phash auto-switch persists one skinny distinct-hash frame per
+# session (multimodal/core._PHASH_SWITCH_CACHE); drop it whenever the
+# catalog's prepared plans are invalidated so regenerated data cannot
+# serve a stale cached distinct set. sf_dir-agnostic: the cache holds
+# at most one frame per session, and unpersist is always safe.
+register_invalidate_hook(lambda sf_dir: release_phash_switch_cache())
 
 
 @query(

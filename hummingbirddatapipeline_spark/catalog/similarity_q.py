@@ -94,7 +94,7 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     # at vec_id < 2000 (no-op at sf0.001/0.01/0.1), oracle capped
     # identically. The scale paths for real thresholds are the
     # banded/hybrid rows.
-    emb = emb.filter(F.col("vec_id") < 2000)
+    emb = emb.filter(F.col("vec_id") < 2000)  # contract-corpus cap
     with warnings.catch_warnings():
         warnings.filterwarnings(
             "ignore", message=".*banding would out-cost brute force.*"
@@ -526,7 +526,7 @@ def similarity_banded_widened_clusters(
 
     emb = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _WIDENED_FIXTURE_CAP)  # contract cap
+        .filter(F.col("vec_id") < _WIDENED_FIXTURE_CAP)  # contract-corpus cap
         .select("vec_id", _as_double(F.col("embedding")).alias("embedding"))
     )
     twins = emb.select(

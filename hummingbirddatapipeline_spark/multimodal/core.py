@@ -21,6 +21,7 @@ codec and are the honest 100 TB fast path for dedup/quality gates.
 from __future__ import annotations
 
 import hashlib
+import weakref
 from collections.abc import Iterator
 
 import pandas as pd
@@ -288,6 +289,27 @@ def dhash64(media: DataFrame) -> DataFrame:
     )
 
 
+# Auto-switch distinct-hash cache: ONE persisted frame per session
+# (ADVICE r14 — the eager localCheckpoint here pinned executor blocks
+# that were never released and, being a lineage cut, could not be
+# recomputed after executor loss). persist() keeps the lineage, so
+# retiring an old cache is always safe — a cached plan that still
+# references it just recomputes the skinny distinct scan. Keyed
+# weakly by session so a stopped session's entry is collectable.
+_PHASH_SWITCH_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def release_phash_switch_cache(spark=None) -> None:
+    """Unpersist the auto-switch distinct-hash cache (one session's,
+    or every live session's). Safe at any time: the frame is
+    persisted, not checkpointed, so downstream plans recompute."""
+    sessions = [spark] if spark is not None else list(_PHASH_SWITCH_CACHE)
+    for s in sessions:
+        df = _PHASH_SWITCH_CACHE.pop(s, None)
+        if df is not None:
+            df.unpersist()
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame,
     max_distance: int = 6,
@@ -348,14 +370,23 @@ def phash_near_dup_pairs(
     distinct = hashes.select("phash").distinct()
     if combinatorial is None:
         # ADVICE r13: materialize the distinct frame ONCE before the
-        # switch count — localCheckpoint pins the skinny (8 bytes/row)
-        # distinct set so the count reads the checkpoint and banding
+        # switch count so the count populates the cache and banding
         # reuses it, instead of recomputing the distinct scan twice
-        # (once for the count, once for pair-gen). The one eager job
-        # is the price of a data-dependent switch; callers that know
-        # their regime pass combinatorial explicitly and stay fully
-        # lazy.
-        distinct = distinct.localCheckpoint(eager=True)
+        # (once for the count, once for pair-gen). ADVICE r14: this is
+        # persist(), not localCheckpoint() — lineage survives executor
+        # loss, and retiring the cache never invalidates a plan — and
+        # each session holds at most ONE such cache: a new auto-switch
+        # call unpersists the previous frame, so a long driver session
+        # cannot accumulate distinct-hash blocks. The one eager count
+        # job is the price of a data-dependent switch; callers that
+        # know their regime pass combinatorial explicitly and stay
+        # fully lazy.
+        spark = distinct.sparkSession
+        distinct = distinct.persist()
+        prev = _PHASH_SWITCH_CACHE.get(spark)
+        if prev is not None and prev is not distinct:
+            prev.unpersist()
+        _PHASH_SWITCH_CACHE[spark] = distinct
         combinatorial = distinct.count() > 16 * (1 << width)
     if combinatorial and max_distance > bands - 2:
         import warnings

@@ -394,14 +394,32 @@ def fellegi_sunter_scores(
         # evaluate lazily), so the guard costs nothing on the green
         # path, adds no extra target scan, and fires a NAMED runtime
         # error exactly when the undefined weight would be emitted.
+        # ADVICE r14: with an EMPTY target population both stat sums
+        # are NULL, so u = NULL/NULL = NULL and `u < 1` is NULL —
+        # assert_true fires on NULL too, so the one condition covers
+        # both undefined-u causes; the message must name both (the
+        # old "single-valued" text misdiagnosed the empty case).
         u_guard = F.assert_true(
             u < F.lit(1.0),
             F.lit(
-                f"fellegi_sunter_scores: target field {tcol} is "
-                "single-valued in the target population (u == 1); "
-                "the disagreement weight log2((1-m)/(1-u)) is "
-                "undefined — drop the field or use a target with "
-                ">1 distinct value"
+                f"fellegi_sunter_scores: u-statistic for target field "
+                f"{tcol} is undefined — the target population is "
+                "empty (u is NULL) or the field is single-valued in "
+                "it (u == 1, disagreement weight log2((1-m)/(1-u)) "
+                "divides by zero); score against a non-empty target "
+                "with >1 distinct value or drop the field"
+            ),
+        )
+        # The agree weight log2(m/u) is defined at u == 1 (constant
+        # field, weight log2(m)) but NOT at u NULL (empty target),
+        # where it would silently NULL the whole score — guard that
+        # branch on definedness only.
+        u_defined_guard = F.assert_true(
+            u.isNotNull(),
+            F.lit(
+                f"fellegi_sunter_scores: target population is empty — "
+                f"u-statistic for field {tcol} is undefined; score "
+                "against a non-empty target"
             ),
         )
         # The division itself is gated on u < 1 (CaseWhen branches are
@@ -421,7 +439,11 @@ def fellegi_sunter_scores(
         # evaluates.
         w = (
             F.when(~both, F.lit(0.0))
-            .when(agree, F.round(F.log2(F.lit(m) / u), 6))
+            .when(
+                agree,
+                F.coalesce(u_defined_guard.cast("double"), F.lit(0.0))
+                + F.round(F.log2(F.lit(m) / u), 6),
+            )
             .otherwise(
                 F.coalesce(u_guard.cast("double"), F.lit(0.0)) + disagree_w
             )

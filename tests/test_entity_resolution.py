@@ -257,3 +257,33 @@ def test_fellegi_sunter_guards_u_one_and_duplicate_fields(spark):
                 ("col_b", "col_a", "city", 0.8),
             ],
         )
+
+
+def test_fellegi_sunter_guards_empty_target(spark):
+    """ADVICE r14: an EMPTY target population gives NULL stat sums, so
+    u = NULL/NULL = NULL. Previously a disagreeing pair then fired the
+    u==1 assert with the misleading 'single-valued' message, and an
+    AGREEING pair silently NULLed the score (log2(m/NULL)). Both paths
+    must now raise a named error that diagnoses the empty target."""
+    import pytest as _pytest
+
+    from hummingbirddatapipeline_spark.operators.entity_resolution import (
+        fellegi_sunter_scores,
+    )
+
+    empty = spark.createDataFrame([], "color string")
+    disagree = spark.createDataFrame(
+        [(1, 2, "red", "blue")],
+        "id_a long, id_b long, col_a string, col_b string",
+    )
+    agree = spark.createDataFrame(
+        [(1, 2, "red", "red")],
+        "id_a long, id_b long, col_a string, col_b string",
+    )
+    for pairs in (disagree, agree):
+        df = fellegi_sunter_scores(
+            pairs, empty, fields=[("col_a", "col_b", "color", 0.9)]
+        )
+        with _pytest.raises(Exception, match="empty") as exc:
+            df.collect()
+        assert "empty" in str(exc.value)

@@ -196,3 +196,37 @@ def test_phash_combinatorial_banding_equals_single_band(spark):
     }
     assert multi == single
     assert len(single) >= 60  # every 5-flip twin pair recalled
+
+
+def test_phash_auto_switch_cache_is_bounded_and_releasable(spark):
+    """ADVICE r14: the auto-switch distinct-hash cache must (a) hold at
+    most ONE persisted frame per session across repeated invocations —
+    a new auto-switch call retires the previous frame — and (b) be
+    recomputable: releasing the cache never breaks a plan built on it,
+    because it is persist()-ed (lineage kept), not checkpointed."""
+    import random
+
+    from hummingbirddatapipeline_spark.multimodal.core import (
+        _PHASH_SWITCH_CACHE,
+        phash_near_dup_pairs,
+        release_phash_switch_cache,
+    )
+
+    rng = random.Random(7)
+    mk = lambda n: spark.createDataFrame(
+        [(i, rng.getrandbits(63)) for i in range(n)],
+        "media_id long, phash long",
+    )
+    df1 = phash_near_dup_pairs(mk(30), combinatorial=None)
+    first = _PHASH_SWITCH_CACHE.get(spark)
+    assert first is not None and first.storageLevel.useMemory
+    df2 = phash_near_dup_pairs(mk(40), combinatorial=None)
+    second = _PHASH_SWITCH_CACHE.get(spark)
+    # exactly one tracked frame; the previous one was unpersisted
+    assert second is not None and second is not first
+    assert not first.storageLevel.useMemory or first.storageLevel is None
+    # release, then the plan built on the cache still evaluates
+    release_phash_switch_cache(spark)
+    assert _PHASH_SWITCH_CACHE.get(spark) is None
+    df1.collect()
+    df2.collect()
