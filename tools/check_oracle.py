@@ -5,6 +5,14 @@ contract, approximated).
 
 Usage:
     python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [sf_dir] --skip name [name ...]
+
+``--skip`` inverts the selection (run everything EXCEPT the named
+rows) — for above-driver-scale sweeps where a few exact-closure
+oracles are quadratic in corpus size and their contract caps do not
+bind yet (see PLANS.md "cap-biting-scale" notes). Set
+CHECK_ORACLE_TIMES=1 to append per-row spark/oracle seconds to each
+line (off by default so driver-facing output stays byte-stable).
 """
 
 from __future__ import annotations
@@ -56,7 +64,12 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    names = sys.argv[2:]
+    skip: set[str] = set()
+    if names and names[0] == "--skip":
+        skip, names = set(names[1:]), []
+    only = set(names)
+    times = bool(os.environ.get("CHECK_ORACLE_TIMES"))
 
     import __spark_entry__ as e
     from hummingbirddatapipeline_spark.session import get_spark
@@ -66,9 +79,16 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if name in skip:
+            n_skip += 1
+            continue
+        import time as _time
+
+        t0 = _time.time()
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sdf.columns
@@ -77,11 +97,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
             continue
+        t_spark = _time.time() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS-ONLY {name}: {len(spark_rows)} rows")
             n_rows_only += 1
             continue
+        t1 = _time.time()
         try:
             rel = con.sql(sql)
             duck_cols = list(rel.columns)
@@ -91,6 +113,8 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
+        t_duck = _time.time() - t1
+        suffix = f"  [spark {t_spark:.1f}s oracle {t_duck:.1f}s]" if times else ""
         problems = []
         # Width check BEFORE value normalization: the driver's value hash
         # is integer-width-sensitive, so a DuckDB HUGEINT/int128 output
@@ -116,9 +140,10 @@ def main() -> int:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(spark_rows)} rows){suffix}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    skipped = f", {n_skip} skipped" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only{skipped}")
     return 1 if n_fail else 0
 
 
