@@ -13,6 +13,11 @@ oracles are quadratic in corpus size and their contract caps do not
 bind yet (see PLANS.md "cap-biting-scale" notes). Set
 CHECK_ORACLE_TIMES=1 to append per-row spark/oracle seconds to each
 line (off by default so driver-facing output stays byte-stable).
+Set CHECK_ORACLE_TIMEOUT=<secs> to put a watchdog on each ORACLE
+execution (duckdb con.interrupt() from a timer thread): a row whose
+oracle exceeds the budget prints ``SKIP-TIMEOUT`` and counts as
+skipped, not failed — only meaningful for above-driver-scale sweeps;
+the driver-scale gates run without it and a timeout there is a bug.
 """
 
 from __future__ import annotations
@@ -70,6 +75,7 @@ def main() -> int:
         skip, names = set(names[1:]), []
     only = set(names)
     times = bool(os.environ.get("CHECK_ORACLE_TIMES"))
+    oracle_budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "0"))
 
     import __spark_entry__ as e
     from hummingbirddatapipeline_spark.session import get_spark
@@ -104,15 +110,28 @@ def main() -> int:
             n_rows_only += 1
             continue
         t1 = _time.time()
+        watchdog = None
+        if oracle_budget:
+            import threading
+
+            watchdog = threading.Timer(oracle_budget, con.interrupt)
+            watchdog.start()
         try:
             rel = con.sql(sql)
             duck_cols = list(rel.columns)
             duck_dtypes = dict(zip(duck_cols, rel.types))
             duck_rows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {ex}")
-            n_fail += 1
+            if oracle_budget and "INTERRUPT" in str(ex).upper():
+                print(f"SKIP-TIMEOUT {name}: oracle exceeded {oracle_budget:.0f}s")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: duckdb error: {ex}")
+                n_fail += 1
             continue
+        finally:
+            if watchdog is not None:
+                watchdog.cancel()
         t_duck = _time.time() - t1
         suffix = f"  [spark {t_spark:.1f}s oracle {t_duck:.1f}s]" if times else ""
         problems = []
