@@ -746,7 +746,7 @@ def curation_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_gram_screen,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") < 20)
     train = docs.filter(F.col("doc_id") >= 20)
     return bloom_gram_screen(train, bench, n=5, n_words=256, n_hashes=3)

@@ -47,7 +47,7 @@ def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _JACCARD_PAIR_CACHE.setdefault(spark, {})
     df = per.get(sf_dir)
     if df is None:
-        docs = load(spark, sf_dir, "documents")
+        docs = load(spark, sf_dir, "documents", fanout=True)
         df = per[sf_dir] = (
             jaccard_pairs_prefix(
                 docs, "text", "doc_id", threshold=0.85, shingle_size=1
@@ -179,7 +179,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries an oracle, and this form's output is seed-dependent.
     No final sort: a global orderBy's range-partition sampling pass
     would re-execute the whole pipeline (~2x cost) for decoration."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return near_dup_pairs_minhash(
         docs, "text", "doc_id", threshold=0.85, num_hashes=32, bands=8, shingle_size=1
     )
@@ -190,7 +190,7 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH form of SimHash dedup (the raw per-doc 64-bit vote hash is
     engine-specific, so no cross-engine oracle is possible); the
     correctness gate is ``dedup_simhash_consistency`` above."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return (
         simhash_dedup(docs, "text", "doc_id", shingle_size=1)
         .select("doc_id", "simhash", "dup_count")
@@ -469,7 +469,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_cosine_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.9)
 
 

@@ -381,7 +381,7 @@ def feature_hash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_ngram_features,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     return hash_ngram_features(docs, n_features=256)
 
 

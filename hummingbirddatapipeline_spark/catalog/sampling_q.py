@@ -640,7 +640,7 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — nothing joins corpus-to-corpus."""
     from hummingbirddatapipeline_spark.operators.sampling import dsir_select
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text", "lang")
     target = docs.filter(F.col("lang") == "en")
     return dsir_select(
         docs, target, k=50, n_buckets=4096, smoothing=1.0, seed="r9"

@@ -147,8 +147,8 @@ SELECT w.*, w.year - w.prior_year AS years_gap FROM (
 
 
 def _source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders", fanout=True)
+    li = load(spark, sf_dir, "lineitem", fanout=True)
     cust = load(spark, sf_dir, "customer")
     base = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
@@ -297,7 +297,7 @@ def scoring_990_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 990 spec over the TPC-H-derived filings table; oracle SQL
     is generated from the SAME spec (registered below at import)."""
     for t in ("orders", "lineitem"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        load(spark, sf_dir, t, fanout=True).createOrReplaceTempView(t)
     src = spark.sql(_990_SOURCE_SQL)
     return apply_spec(src, _spec_990())  # unsorted: order-insensitive gate
 

@@ -1015,7 +1015,7 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_refine,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     assigned, _cents = kmeans_refine(
@@ -1047,7 +1047,7 @@ def similarity_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         pca_power_top1,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     proj, _comp = pca_power_top1(emb, dim=64, n_iter=_PCA_TOP1_ITERS)
@@ -1238,7 +1238,7 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_topk,
     )
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1271,7 +1271,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: broadcast cross + exactly one query-key exchange."""
     from hummingbirddatapipeline_spark.operators.similarity import pq_topk
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1442,7 +1442,7 @@ def similarity_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq8_fidelity,
     )
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
     return sq8_fidelity(emb, dim=64)
@@ -1600,7 +1600,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hummingbirddatapipeline_spark.artifacts import IVF_CENTROIDS_64D
     from hummingbirddatapipeline_spark.operators.similarity import ivfpq_topk
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).withColumn(
         "embedding", _as_double(F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1827,7 +1827,7 @@ def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_distortion,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     return pq_distortion(emb, dim=64, m=4, k_codes=8, n_iter=2)

@@ -372,7 +372,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam quality heuristic a curation funnel gates on.
     One explode + two hash aggregations; the top gram is chosen by a
     total order (count, length, gram) so both engines agree exactly."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return TX.repetition_stats(docs, "text", "doc_id", n=2)
 
 
@@ -670,7 +670,7 @@ def text_substring_dup_stride1(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs — the stride form is a faithful corpus-level signal but not a
     per-short-doc one. Cost is ~5x the stride-5 windows — run it on
     audit samples, not the full corpus."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     wins = (
         TX.chunk_token_windows(docs, "text", "doc_id", chunk_tokens=20, stride=1)
         .filter(F.col("n_tokens") == 20)
@@ -1078,7 +1078,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return docs.select(
         "doc_id",
         F.explode(
@@ -1185,7 +1185,7 @@ def text_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_containment,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     # the 20-row bench slice feeds THREE branches (bench fingerprints,
     # bench sizes, the twin construction) — checkpoint it so each does
     # not re-read the parquet (r11 scan audit; at scale the benchmark
@@ -1278,7 +1278,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-contract-pinned: no Exchange in the physical plan)."""
     from hummingbirddatapipeline_spark.functions.text import cdc_chunks
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return docs.select(
         "doc_id", F.explode(cdc_chunks(F.col("text"))).alias("c")
     ).select("doc_id", "c.*")
@@ -2222,7 +2222,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ZERO-shuffle map pass — the signal is the scan."""
     from hummingbirddatapipeline_spark.functions.text import char_entropy
 
-    return load(spark, sf_dir, "documents").select(
+    return load(spark, sf_dir, "documents", fanout=True).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         char_entropy(F.col("text")).alias("entropy"),

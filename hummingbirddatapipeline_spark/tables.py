@@ -59,20 +59,117 @@ def _events_ts_to_nanos(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.expr(expr))
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# --- scale-adaptive scan fan-out (optimization guide §2.5: "input
+# skew: one huge unsplittable file ... repartition immediately after
+# the read"). Spark cannot split a parquet scan below row-group
+# granularity, and the small test tables are written as ONE row group
+# each — so every scan stage, and with it every zero-exchange
+# scan→explode→hash→partial-agg pipeline in the engine, runs as a
+# SINGLE task regardless of core count. When the file's effective
+# split count cannot reach the core count, fan the scan out with one
+# round-robin repartition of the (tiny) base table so the CPU-heavy
+# per-row work parallelizes. At production scale the gate is never
+# taken: a 100 TB table is thousands of row groups and
+# bytes/maxPartitionBytes ≫ cores, so the plan is unchanged there.
+# Round-robin (not hash) keeps the catalog's keyed-exchange plan
+# contracts assertable: the fan-out node is RoundRobinPartitioning,
+# never an Exchange hash/rangepartitioning.
+#
+# OPT-IN, not blanket: the full-suite A/B (OPTIMIZATION_r15.md) showed
+# the exchange costs ~0.5-1 s per consuming query on this box's
+# shuffle path, which swamps the win everywhere except pipelines whose
+# scan stage does real per-row CPU (crypto hashes over grams, dense
+# vector math, compiled scoring stacks). Callers whose scan stage is
+# measured CPU-bound pass ``fanout=True``; everything else keeps the
+# exchange-free scan.
+
+# Skip fan-out below this size: broadcast dims (region, nation,
+# supplier) stay single-task — 32 tasks for 25 rows is pure overhead.
+_FANOUT_FLOOR_BYTES = 96 * 1024
+# Never round-robin more than this through the exchange: above it a
+# scan has real byte-parallelism and the guide's §2.4 "accidental
+# repartition" warning applies.
+_FANOUT_CEIL_BYTES = 2 * 1024**3
+
+_fanout_cache: dict[tuple[str, int, int], int] = {}
+
+
+def _parse_bytes(raw: str) -> int:
+    s = raw.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s) * mult)
+
+
+def _fanout_partitions(spark: SparkSession, path: str) -> int:
+    """Partitions to round-robin a fresh scan into, or 0 for no-op.
+
+    0 unless the file is splittable into fewer tasks than cores —
+    judged by BOTH the byte-based split count (maxPartitionBytes) and
+    the parquet row-group count (the hard splittability bound)."""
+    override = os.environ.get("SPARK_GRAFT_FANOUT")
+    if override is not None and override.isdigit():
+        return int(override)  # 0 disables; N forces N (A/B harness)
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 0
+    if not (_FANOUT_FLOOR_BYTES <= size <= _FANOUT_CEIL_BYTES):
+        return 0
+    cores = spark.sparkContext.defaultParallelism
+    key = (path, size, cores)
+    cached = _fanout_cache.get(key)
+    if cached is not None:
+        return cached
+    split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_tasks = max(1, -(-size // max(split, 1)))
+    try:  # row groups bound real splittability tighter than bytes do
+        import pyarrow.parquet as pq
+
+        est_tasks = min(est_tasks, pq.ParquetFile(path).metadata.num_row_groups)
+    except Exception:
+        pass
+    n = cores if est_tasks < cores else 0
+    _fanout_cache[key] = n
+    return n
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
     """Load one canonical table as a DataFrame.
 
     ``events.ts`` is normalized to BIGINT epoch nanos whatever the
     parquet encoding (see ``_events_ts_to_nanos``); event time stays
     integer epoch arithmetic — timezone-proof by construction.
+
+    With ``fanout=True``, a scan whose file cannot split into at least
+    ``defaultParallelism`` tasks is fanned out with one round-robin
+    repartition (see ``_fanout_partitions``); filters and column
+    pruning still push through the repartition to the parquet scan.
+    Opt in only where the scan stage is measured CPU-bound (see module
+    comment).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         df = _events_ts_to_nanos(df)
+    if fanout:
+        n = _fanout_partitions(spark, path)
+        if n:
+            df = df.repartition(n)
     return df
 
 

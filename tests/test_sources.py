@@ -146,3 +146,46 @@ def test_year_partitioned_layout_prunes(spark, tmp_path):
     # partition pruning: the physical plan carries the partition filter
     assert "2024" in got._jdf.queryExecution().executedPlan().toString()
     assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_scan_fanout_opt_in_gate(spark, sf_dir):
+    """r15 optimization: ``load(..., fanout=True)`` round-robins a
+    single-row-group scan up to defaultParallelism; the default load
+    stays exchange-free; tiny broadcast dims stay single-task even
+    when asked; results are row-identical either way."""
+    from hummingbirddatapipeline_spark.tables import (
+        _FANOUT_FLOOR_BYTES,
+        _fanout_partitions,
+        load,
+    )
+
+    plain = load(spark, sf_dir, "documents")
+    fanned = load(spark, sf_dir, "documents", fanout=True)
+    p_plain = plain._jdf.queryExecution().executedPlan().toString()
+    p_fan = fanned._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in p_plain
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    expect = _fanout_partitions(spark, doc_path)
+    if os.path.getsize(doc_path) >= _FANOUT_FLOOR_BYTES:
+        assert expect == spark.sparkContext.defaultParallelism
+        assert "RoundRobinPartitioning" in p_fan
+        # predicate pushdown survives the repartition
+        filt = load(spark, sf_dir, "documents", fanout=True).filter(
+            "doc_id < 10"
+        )
+        pf = filt._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in pf
+    else:  # sf0.001 documents may sit under the floor: gate is a no-op
+        assert expect == 0
+        assert "RoundRobinPartitioning" not in p_fan
+    # identical rows either way
+    a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in fanned.select("doc_id").collect())
+    assert a == b
+    # broadcast dims never fan out (file under the floor)
+    nat = load(spark, sf_dir, "nation", fanout=True)
+    assert "RoundRobinPartitioning" not in (
+        nat._jdf.queryExecution().executedPlan().toString()
+    )
