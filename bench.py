@@ -247,6 +247,7 @@ def main() -> None:
     # Without this, its ~25-30 s build lands on whichever consumer runs
     # first and that query's number reads 5-10x its marginal cost.
     from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_cc,
         shared_jaccard_pairs,
     )
 
@@ -255,6 +256,13 @@ def main() -> None:
     shared_setup = {
         "shared_jaccard_pairs": round(time.perf_counter() - t0, 3)
     }
+    # r15: the min-id CC labeling of that graph is likewise shared by
+    # seven catalog rows (clusters, representatives, incremental seed,
+    # leak-free split + audit, cluster decontamination, size
+    # histogram); measured as its own setup row for the same reason.
+    t0 = time.perf_counter()
+    shared_jaccard_cc(spark, sf_dir).count()
+    shared_setup["shared_jaccard_cc"] = round(time.perf_counter() - t0, 3)
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

@@ -635,6 +635,7 @@ def curation_decontaminate_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     hash aggregates over the existing cluster labels — no new
     closure. Rides the checkpointed shared near-dup pair set."""
     from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_cc,
         shared_jaccard_pairs,
     )
     from hummingbirddatapipeline_spark.operators.contamination import (
@@ -644,7 +645,9 @@ def curation_decontaminate_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") < 20)
     pairs = shared_jaccard_pairs(spark, sf_dir)
-    return decontaminate_clusters(docs, bench, pairs, n=5)
+    return decontaminate_clusters(
+        docs, bench, pairs, n=5, cc_labels=shared_jaccard_cc(spark, sf_dir)
+    )
 
 
 # --- r13-banked oracle builder (NOT yet registered; recipe:

@@ -48,21 +48,56 @@ def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = per.get(sf_dir)
     if df is None:
         docs = load(spark, sf_dir, "documents", fanout=True)
+        # repartition(1): the r15 fan-out leaves the build 32-way
+        # parallel (the dense-mask probe is the win), but the
+        # CHECKPOINTED edge list must stay compact — the iterative
+        # consumers (CC, pagerank, LPA) pay per-round scheduling for
+        # every block of this frame, and 27 MB is one healthy block.
+        # repartition (a shuffle), not coalesce, so the probe stage
+        # itself keeps its parallelism.
         df = per[sf_dir] = (
             jaccard_pairs_prefix(
                 docs, "text", "doc_id", threshold=0.85, shingle_size=1
             )
             .select("id_a", "id_b")
+            .repartition(1)
             .localCheckpoint()
         )
     return df
 
 
+# The min-id CC labeling of that same graph is itself the shared
+# input of seven catalog queries (clusters, representatives,
+# incremental-CC seed, leak-free split, split audit, cluster-aware
+# decontamination, size histogram) — each used to re-run the ~8 s
+# pointer-jumping closure per cold query (r15 measurement). Same
+# lifecycle as the pair cache; the build rides the same bench
+# shared-setup accounting (bench.py measures it as its own row).
+_JACCARD_CC_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def shared_jaccard_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (node, cluster_id) min-id connected-components
+    labeling of :func:`shared_jaccard_pairs` — identical to
+    ``connected_components(shared_jaccard_pairs(...))`` by
+    construction; computed once per (session, sf_dir)."""
+    per = _JACCARD_CC_CACHE.setdefault(spark, {})
+    df = per.get(sf_dir)
+    if df is None:
+        df = per[sf_dir] = connected_components(
+            shared_jaccard_pairs(spark, sf_dir)
+        ).localCheckpoint()
+    return df
+
+
 def _clear_pair_cache(sf_dir: str | None) -> None:
-    for per in _JACCARD_PAIR_CACHE.values():
-        keys = list(per) if sf_dir is None else [k for k in per if k == sf_dir]
-        for k in keys:
-            del per[k]
+    for cache in (_JACCARD_PAIR_CACHE, _JACCARD_CC_CACHE):
+        for per in cache.values():
+            keys = (
+                list(per) if sf_dir is None else [k for k in per if k == sf_dir]
+            )
+            for k in keys:
+                del per[k]
 
 
 register_invalidate_hook(_clear_pair_cache)
@@ -374,8 +409,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step that turns pair generation into deduplication:
     keep cluster_id == node (the representative), drop the rest
     (``dedup_representatives``)."""
-    pairs = shared_jaccard_pairs(spark, sf_dir)
-    cc = connected_components(pairs)
+    cc = shared_jaccard_cc(spark, sf_dir)
     from pyspark.sql.window import Window
 
     return cc.select(
@@ -408,8 +442,7 @@ def text_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursively and applies the same keep rule, so the driver hashes
     the kept set itself, not just the cluster assignment. One
     anti-join-shaped filter after the (cached) CC labeling."""
-    pairs = shared_jaccard_pairs(spark, sf_dir)
-    cc = connected_components(pairs)
+    cc = shared_jaccard_cc(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n"))
     docs = load(spark, sf_dir, "documents").select("doc_id")
     labeled = docs.join(cc, docs.doc_id == cc.node, "left").join(
@@ -864,8 +897,7 @@ def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_connected_components,
     )
 
-    pairs = shared_jaccard_pairs(spark, sf_dir)
-    labels = connected_components(pairs)
+    labels = shared_jaccard_cc(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     new_edges = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("id_a"),
@@ -1072,7 +1104,9 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = shared_jaccard_pairs(spark, sf_dir)
-    return cluster_size_histogram(pairs, universe=docs)
+    return cluster_size_histogram(
+        pairs, universe=docs, labels=shared_jaccard_cc(spark, sf_dir)
+    )
 
 
 # --- r21-banked oracle builder (NOT yet registered; registration

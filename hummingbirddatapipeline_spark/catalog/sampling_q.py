@@ -368,6 +368,7 @@ def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recomputes clusters (recursive CTE) and the identical md5
     arithmetic; the driver hashes every (doc, cluster, split) row."""
     from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_cc,
         shared_jaccard_pairs,
     )
     from hummingbirddatapipeline_spark.operators.sampling import split_leakfree
@@ -375,7 +376,8 @@ def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = shared_jaccard_pairs(spark, sf_dir)
     return split_leakfree(
-        docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0"
+        docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0",
+        labels=shared_jaccard_cc(spark, sf_dir),
     )
 
 
@@ -457,6 +459,7 @@ def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     two explodes, flagged by tools/scan_audit.py); values verified
     identical to the per-splitter form."""
     from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_cc,
         shared_jaccard_pairs,
     )
     from hummingbirddatapipeline_spark.operators.sampling import (
@@ -468,7 +471,8 @@ def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = shared_jaccard_pairs(spark, sf_dir)
     lf = split_leakfree(
-        docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0"
+        docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0",
+        labels=shared_jaccard_cc(spark, sf_dir),
     ).select("doc_id", "split")
     naive = docs.select(
         "doc_id",

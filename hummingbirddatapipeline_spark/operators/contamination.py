@@ -299,6 +299,7 @@ def decontaminate_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 1,
+    cc_labels: DataFrame | None = None,
 ) -> DataFrame:
     """CLUSTER-AWARE benchmark decontamination: per-document n-gram
     collision (:func:`ngram_contamination`) hardened with the same
@@ -347,9 +348,11 @@ def decontaminate_clusters(
         id_col=id_col,
         min_hits=min_hits,
     )
-    labels = connected_components(pairs).select(
-        F.col("node").alias(id_col), "cluster_id"
-    )
+    labels = (
+        cc_labels
+        if cc_labels is not None
+        else connected_components(pairs)
+    ).select(F.col("node").alias(id_col), "cluster_id")
     labeled = docs.select(id_col).join(labels, id_col, "left").select(
         id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
     )

@@ -567,7 +567,15 @@ def _jaccard_pairs_dense_mask(
             .alias("__mask")
         )
     )
-    a = masked.select(
+    # Fan the probe side out BEFORE the broadcast product: ``masked``
+    # is a post-aggregate frame AQE coalesces to ~1 partition at bench
+    # scale, which serializes the n^2 bit-count probe onto one task
+    # (measured: the sf0.1 shared pair build spends ~7-12 s in a
+    # single-task 25M-probe stage; fanned, the same probes spread over
+    # every core). The skinny (id, mask, n) rows make the exchange
+    # negligible; at huge n the probe side is large enough that AQE
+    # keeps it parallel anyway and this is a no-op in spirit.
+    a = masked.repartition(sh.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id_a"),
         F.col("__mask").alias("__ma"),
         F.col("__n").alias("__na"),

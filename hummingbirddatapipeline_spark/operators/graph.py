@@ -81,6 +81,20 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Convergence via the label-sum invariant: every update is
+    # least(lbl, ...) twice, so per-node labels are monotone
+    # NON-INCREASING — a round changed some label iff the exact total
+    # strictly decreased. Comparing sums replaces the old
+    # join-the-previous-round + count job with one skinny aggregate
+    # per round (same number of actions, no join). DECIMAL(38,0) keeps
+    # the sum exact at any realistic scale (1e9 nodes x 9.2e18 max id
+    # ~ 1e28 << 1e38).
+    def _lbl_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
+
+    prev_tot = _lbl_sum(labels)
     for _ in range(max_iter):
         # 1. neighbor minimum: the label each node hears from its edges
         nbr_min = (
@@ -112,15 +126,11 @@ def connected_components(
             )
         )
         jumped = jumped.localCheckpoint()
-        n_changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        tot = _lbl_sum(jumped)
         labels = jumped
-        if n_changed == 0:
+        if tot == prev_tot:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
+        prev_tot = tot
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
@@ -336,6 +346,12 @@ def pagerank(
     # node sum to at most the total outgoing mass (<= 1), so the
     # scaled sum stays <= ~1e15 plus rounding dust, far under 2^63.
     scale = float(10 ** (round_dp + 3))
+    # edges ⋈ deg is LOOP-INVARIANT: hoist it out of the iteration and
+    # truncate, so each of the n_iter rounds pays one broadcast join
+    # (the evolving scores) + the transpose aggregate instead of
+    # re-deriving the degree attach every time (guide §1.2: remove
+    # passes before tuning anything else).
+    edeg = edges.join(deg, "u").localCheckpoint()
     for _ in range(n_iter):
         contrib_col = F.round(F.col("score") / F.col("__d"), round_dp + 3)
         if exact_longs:
@@ -345,8 +361,7 @@ def pagerank(
         else:
             summed = F.sum(contrib_col)
         contrib = (
-            edges.join(deg, "u")
-            .join(
+            edeg.join(
                 scores.select(F.col("node").alias("u"), "score"), "u"
             )
             .groupBy(F.col("v").alias("node"))
@@ -528,13 +543,17 @@ def cluster_size_histogram(
     id_a: str = "id_a",
     id_b: str = "id_b",
     universe_id: str = "doc_id",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-cluster OBSERVABILITY: the size histogram of the
     near-dup graph's connected components — the one chart every dedup
     run gets judged by (how much is unique, how long is the tail, is
     there a boilerplate mega-cluster). Pass ``universe`` (the full
     corpus keys) to also account singletons — docs untouched by any
-    pair — as the size-1 row.
+    pair — as the size-1 row. ``labels`` optionally supplies a
+    precomputed (node, cluster_id) closure of ``pairs`` (r15: the
+    shared catalog CC fixture); must equal
+    ``connected_components(pairs)``.
 
     Returns (cluster_size, n_clusters, n_docs) with n_docs =
     cluster_size * n_clusters (emitted for direct reading; exact
@@ -547,7 +566,11 @@ def cluster_size_histogram(
     most |distinct sizes| rows — the observability query costs what
     the dedup itself already paid.
     """
-    cc = connected_components(pairs, id_a, id_b)
+    cc = (
+        labels
+        if labels is not None
+        else connected_components(pairs, id_a, id_b)
+    )
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

@@ -249,6 +249,7 @@ def split_leakfree(
     seed: str = "split0",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Leak-free train/validation split: near-dup CLUSTERS, not docs,
     are the unit of assignment, so a validation doc can never have a
@@ -262,15 +263,22 @@ def split_leakfree(
     idiom as the rest of the sampling family, so membership is stable
     under reruns and repartitioning and both engines can recompute it.
 
+    ``labels`` optionally supplies a precomputed (node, cluster_id)
+    closure of ``pairs`` (r15: the shared catalog CC fixture) so
+    callers sharing one graph don't re-run the closure; must equal
+    ``connected_components(pairs)``.
+
     Returns docs + (cluster_id, split in {'train','val'}).
     """
     from hummingbirddatapipeline_spark.operators.graph import (
         connected_components,
     )
 
-    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
-        "node", id_col
-    )
+    cc = (
+        labels
+        if labels is not None
+        else connected_components(pairs, id_a, id_b)
+    ).withColumnRenamed("node", id_col)
     joined = docs.join(cc, id_col, "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     is_val = _bucket_hex(cluster, seed) < F.lit(_threshold_hex(val_fraction))
@@ -623,10 +631,11 @@ def dsir_select(
     never an RNG), so the selection is deterministic and exactly
     reproducible cross-engine; weights and keys round 6dp.
 
-    Scale shape: TWO corpus-scale explode+count aggregates (target fit
-    + raw fit), ONE broadcast join of the <= n_buckets log-ratio table
-    onto the raw gram stream feeding a per-doc sum, and one rank
-    window for the top-k. The target side is small by definition (the
+    Scale shape: ONE corpus-scale gram pass (the raw stream is
+    materialized once and feeds both the raw model fit and the
+    per-doc weight sum — r15) plus the small target fit, ONE broadcast
+    join of the <= n_buckets log-ratio table onto that stream, and one
+    rank window for the top-k. The target side is small by definition (the
     domain exemplar set); nothing ever joins corpus-to-corpus. For a
     sharded global top-k at extreme scale, rank within strata and
     merge, exactly as with weighted_sample_topk.
@@ -666,7 +675,14 @@ def dsir_select(
             "dsir_select: target corpus has no grams — cannot fit the "
             "target model"
         )
-    r_counts = grams(raw).groupBy("bucket").agg(
+    # One corpus gram pass, not two (r15, guide §1.2): the raw gram
+    # stream feeds BOTH the raw model fit and the per-doc weight sum —
+    # materialize it once and let both read the blocks. Identical
+    # arithmetic (same occurrence multiset, same sums); the checkpoint
+    # is skinny (id, bucket) longs. At 100 TB this frame is the thing
+    # you'd persist between the fit and the weighting pass anyway.
+    raw_grams = grams(raw, id_col).localCheckpoint(eager=False)
+    r_counts = raw_grams.groupBy("bucket").agg(
         F.count("*").cast("double").alias("r_n")
     )
     t_total = t_counts.agg(F.sum("t_n").alias("t_total"))
@@ -691,7 +707,7 @@ def dsir_select(
         )
     )
     doc_w = (
-        grams(raw, id_col)
+        raw_grams
         .join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"))

@@ -66,19 +66,11 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
     partitions = int(max(min(by_data, cores * 4), cores))
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(task_bytes))
-    # AQE partition coalescing sizes post-shuffle stages by BYTES
-    # (parallelismFirst keeps defaultParallelism only down to
-    # minPartitionSize, default 1 MB) — but on small inputs this
-    # engine's post-shuffle stages are CPU-bound (hash-array verifies,
-    # compiled scoring stacks) at a few KB per row, so 1 MB floors
-    # re-serialize them onto a handful of cores (measured: an 11.7 MB
-    # shuffle coalesced to 10 tasks; a 0.3 MB candidate-verify to 1).
-    # Scale the floor with the input exactly like task_bytes above:
-    # at 100 TB the clamp returns the 1 MB production default and the
-    # setting is a no-op; at bench scale it lets CPU-heavy stages keep
-    # core-count parallelism while still coalescing truly tiny reads.
-    min_ps = int(min(max(total // (cores * 64), 16 * 1024), 1024 * 1024))
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        str(min_ps),
-    )
+    # Deliberately NOT tuned: spark.sql.adaptive.coalescePartitions.
+    # minPartitionSize. An r15 interleaved A/B (OPTIMIZATION_r15.md)
+    # scaled the floor down to 16 KB so tiny CPU-bound post-shuffle
+    # stages would keep core-count parallelism — with the scan fan-out
+    # in place it bought nothing on the CPU-heavy rows (bloom/DSIR warm
+    # identical) and cost the iterative graph family ~4 s cold
+    # (pagerank: every tiny per-round shuffle split into more tasks),
+    # so the 1 MB default stands.

@@ -205,3 +205,56 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     assert scores[10] == scores[11]
     # mass conserved (no dangling nodes on the symmetrized graph)
     assert abs(sum(scores.values()) - 1.0) < 1e-9
+
+
+def test_precomputed_labels_params_equal_inline_closure(spark, sf_dir):
+    """r15 optimization: the shared CC fixture and the operators'
+    ``labels`` parameters must be result-identical to the inline
+    closure they replace (same pair graph, same min-id labeling)."""
+    from hummingbirddatapipeline_spark.catalog import invalidate
+    from hummingbirddatapipeline_spark.catalog.dedup_q import (
+        shared_jaccard_cc,
+        shared_jaccard_pairs,
+    )
+    from hummingbirddatapipeline_spark.operators.graph import (
+        cluster_size_histogram,
+        connected_components,
+    )
+    from hummingbirddatapipeline_spark.operators.sampling import (
+        split_leakfree,
+    )
+    from hummingbirddatapipeline_spark.tables import load
+
+    invalidate(sf_dir)
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    cc_fix = shared_jaccard_cc(spark, sf_dir)
+    cc_inline = connected_components(pairs)
+    a = sorted((r["node"], r["cluster_id"]) for r in cc_fix.collect())
+    b = sorted((r["node"], r["cluster_id"]) for r in cc_inline.collect())
+    assert a == b
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h1 = sorted(
+        tuple(r) for r in cluster_size_histogram(pairs, universe=docs).collect()
+    )
+    h2 = sorted(
+        tuple(r)
+        for r in cluster_size_histogram(
+            pairs, universe=docs, labels=cc_fix
+        ).collect()
+    )
+    assert h1 == h2
+
+    s1 = sorted(
+        tuple(r)
+        for r in split_leakfree(
+            docs, pairs, val_fraction=0.10, seed="split0"
+        ).collect()
+    )
+    s2 = sorted(
+        tuple(r)
+        for r in split_leakfree(
+            docs, pairs, val_fraction=0.10, seed="split0", labels=cc_fix
+        ).collect()
+    )
+    assert s1 == s2
