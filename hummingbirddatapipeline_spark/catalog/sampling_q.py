@@ -645,9 +645,13 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hummingbirddatapipeline_spark.operators.sampling import dsir_select
 
     docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text", "lang")
-    target = docs.filter(F.col("lang") == "en")
+    # target as a PREDICATE over the pool (r15): the en exemplar set is
+    # a subset of raw, so the operator fits both models off ONE
+    # checkpointed gram stream instead of re-scanning the en slice
+    # (identical counts; 3 md5-gram passes -> 1, see dsir_select)
     return dsir_select(
-        docs, target, k=50, n_buckets=4096, smoothing=1.0, seed="r9"
+        docs, None, k=50, n_buckets=4096, smoothing=1.0, seed="r9",
+        target_pred=F.col("lang") == "en",
     )
 
 

@@ -40,7 +40,14 @@ def basket_cooccurrence(
     baskets = df.groupBy(basket_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("__items")
     )
-    kept = baskets.filter(F.size("__items") <= max_basket)
+    # Lineage cut (r15, guide §1.2): the capped basket frame feeds
+    # THREE consumers (denominator count, item counts, pair explode)
+    # and Catalyst inlines each reference — without truncation the
+    # basket collect_set shuffle re-runs per consumer. One skinny
+    # (basket, items<=max_basket) frame; build once, read blocks.
+    kept = baskets.filter(
+        F.size("__items") <= max_basket
+    ).localCheckpoint(eager=False)
     n_baskets = kept.agg(F.count("*").alias("n_baskets"))
     item_counts = (
         kept.select(F.explode("__items").alias("item"))

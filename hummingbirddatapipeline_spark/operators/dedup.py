@@ -70,6 +70,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_size: int = 3,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """id + minhash signature array + (distinct) shingle count.
 
@@ -79,10 +80,22 @@ def minhash_signatures(
     interpreted per element; this form keeps everything inside
     whole-stage codegen, and the doc_id shuffle ships only K longs per
     doc thanks to map-side partial aggregation.
+
+    ``shingle_col`` (r15): use an ALREADY-COMPUTED distinct-shingle
+    array column instead of re-tokenizing ``text_col`` — the sharing
+    hook for pipelines that materialize the shingle frame once (the
+    persisted-store regime). Semantically identical: ``word_shingles``
+    is deterministic, so exploding a stored copy of it yields the same
+    multiset.
     """
+    shingles = (
+        F.col(shingle_col)
+        if shingle_col is not None
+        else word_shingles(F.col(text_col), shingle_size)
+    )
     tok = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("__s"),
+        F.explode(shingles).alias("__s"),
     )
     hashed = tok.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
     agg = hashed.groupBy(id_col).agg(
@@ -203,7 +216,14 @@ def jaccard_verify(
         shingles = F.array_distinct(
             F.transform(shingles, lambda s: F.xxhash64(s))
         )
-    sh = df.select(F.col(id_col), shingles.alias("sh"))
+    # Lineage cut (r15, guide §1.2): the shingle frame feeds BOTH pair
+    # sides of the candidate join, and Catalyst inlines the reference —
+    # without truncation the corpus is tokenized twice per verify.
+    # (id, shingle-array) is the frame production would persist next to
+    # the candidate index anyway; one pass, both probes read blocks.
+    sh = df.select(F.col(id_col), shingles.alias("sh")).localCheckpoint(
+        eager=False
+    )
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -1133,15 +1153,19 @@ def minhash_band_index(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 1,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """The persistable MinHash-LSH index of the accepted corpus:
     (store_id, band, bucket) — what production keeps at rest (bucketed
     by (band, bucket)) so incremental probes are pure equi-joins
     against it. The approximate sibling of :func:`build_jaccard_store`
-    for the recall-contract regime."""
+    for the recall-contract regime. ``shingle_col`` derives the
+    signatures from a materialized shingle-array column instead of
+    re-tokenizing (see :func:`minhash_signatures`)."""
     _check_banding(num_hashes, bands)
     sigs = minhash_signatures(
-        docs, text_col, id_col, num_hashes, shingle_size
+        docs, text_col, id_col, num_hashes, shingle_size,
+        shingle_col=shingle_col,
     ).filter(F.col("n_shingles") > 0)
     rows_per_band = max(1, num_hashes // bands)
     return sigs.select(
@@ -1204,8 +1228,19 @@ def incremental_minhash_dedup(
     string compares — measured 6.9 s -> warm cost halved at sf0.1).
     The exact sibling keeps string shingles for oracle-grade parity.
     """
+    # Tokenize the batch ONCE (r15, guide §1.2): the shingle arrays
+    # feed both the probe signatures and the verify's hashed sets —
+    # without the cut each consumer re-runs the tokenizer (two full
+    # batch text passes per probe). The checkpoint is the batch-sized
+    # (id, shingle-array) frame — bounded by arrival volume, never by
+    # store size.
+    batch_sh = batch.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_size).alias("__sh0"),
+    ).localCheckpoint(eager=False)
     probe = minhash_band_index(
-        batch, text_col, id_col, num_hashes, bands, shingle_size
+        batch_sh, text_col, id_col, num_hashes, bands, shingle_size,
+        shingle_col="__sh0",
     ).withColumnRenamed("store_id", "__batch_id")
     bucket_sz = band_index.groupBy("band", "bucket").agg(
         F.count("*").alias("__sz")
@@ -1219,13 +1254,22 @@ def incremental_minhash_dedup(
         .select(F.col("__batch_id").alias(id_col), "store_id")
         .distinct()
     )
+    # Spread the verify (r15, guide §2.5): AQE coalesces the skinny
+    # candidate list to ~1 partition by BYTES, but the stage that
+    # consumes it attaches both shingle arrays and pays the per-pair
+    # intersect CPU — cost ∝ rows, not bytes (measured: two 1-task
+    # ~2.5 s stages at sf0.1). One round-robin exchange of (id, id)
+    # pairs is noise next to that; at cluster scale the candidate list
+    # is large enough that this is a cheap rebalance, not a fan-out.
+    cands = cands.repartition(
+        batch.sparkSession.sparkContext.defaultParallelism
+    )
 
     def _hashed(col):
         return F.array_distinct(F.transform(col, lambda s: F.xxhash64(s)))
 
-    bsh = batch.select(
-        F.col(id_col),
-        _hashed(word_shingles(F.col(text_col), shingle_size)).alias("__sh"),
+    bsh = batch_sh.select(
+        F.col(id_col), _hashed(F.col("__sh0")).alias("__sh")
     )
     store_hashed = store.select(
         "store_id", _hashed(F.col("store_sh")).alias("store_hsh")

@@ -184,6 +184,13 @@ def triangle_counts(
     treatment at scale is the clique/cluster label, not triangle
     enumeration; counts for the bounded remainder stay exact).
     """
+    # Lineage cut (r15, guide §2.4/§5): the canonical edge list feeds
+    # FIVE downstream references (degree counts x2, both wedge sides,
+    # the closing probe, the node roster x2) and Catalyst inlines each
+    # reference — without truncation every one re-runs the
+    # least/greatest + distinct exchange over the (often expensive)
+    # upstream pair plan. One skinny (u, v) frame; measured ~1 s off
+    # the catalog row's warm cost at sf0.1.
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -191,6 +198,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if max_degree is not None:
         deg = (
@@ -202,7 +210,8 @@ def triangle_counts(
         hubs = deg.filter(F.col("__d") > max_degree).select(
             F.col("node").alias("u")
         )
-        e = e.join(hubs, "u", "left_anti")
+        # same cut for the capped list: four consumers follow
+        e = e.join(hubs, "u", "left_anti").localCheckpoint(eager=False)
     # wedges around the low endpoint: (u, v, w) with v < w
     w1 = e.select(F.col("u"), F.col("v"))
     w2 = e.select(F.col("u"), F.col("v").alias("w"))

@@ -247,3 +247,34 @@ def test_canonicalize_url_matches_urllib_reference(spark):
     }
     bad = [(u, got[u], ref(u)) for u in urls if got[u] != ref(u)]
     assert not bad, bad[:5]
+
+
+def test_dsir_target_pred_equals_dataframe_target(spark, sf_dir):
+    """The r15 one-pass regime (target as a predicate over the raw
+    pool) must select the IDENTICAL sample, weights and keys as the
+    original two-frame form — the optimization is an execution-plan
+    change, not a semantic one."""
+    from hummingbirddatapipeline_spark.operators.sampling import dsir_select
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    via_frame = dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=20, seed="eqchk"
+    ).collect()
+    via_pred = dsir_select(
+        docs, None, k=20, seed="eqchk", target_pred=F.col("lang") == "en"
+    ).collect()
+    key = lambda r: r["sample_rank"]  # noqa: E731
+    assert sorted(via_frame, key=key) == sorted(via_pred, key=key)
+
+
+def test_dsir_empty_target_pred_raises(spark, sf_dir):
+    """The empty-target guard fires in the predicate regime too."""
+    import pytest
+
+    from hummingbirddatapipeline_spark.operators.sampling import dsir_select
+    from hummingbirddatapipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="target corpus has no grams"):
+        dsir_select(docs, None, k=5, target_pred=F.lit(False))
