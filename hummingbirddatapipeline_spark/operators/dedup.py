@@ -224,6 +224,18 @@ def jaccard_verify(
     sh = df.select(F.col(id_col), shingles.alias("sh")).localCheckpoint(
         eager=False
     )
+    # Spread the verify (r15, guide §2.5 — the incremental path's fix
+    # applied to the batch path): AQE coalesces the skinny candidate
+    # list to ~1 partition by BYTES, but the stage consuming it
+    # attaches both shingle arrays and pays per-pair intersect CPU —
+    # cost ∝ rows, not bytes (measured: dedup_minhash_pairs ran its
+    # verify on 8 tasks behind a 1-task candidate exchange). One
+    # round-robin exchange of (id, id) pairs is noise next to that;
+    # at cluster scale the list is large enough that this is a cheap
+    # rebalance, not a fan-out.
+    candidates = candidates.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

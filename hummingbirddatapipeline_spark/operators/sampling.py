@@ -679,6 +679,15 @@ def dsir_select(
     # two further corpus-subset scans (the fit, plus the empty-target
     # guard's re-evaluation — Catalyst inlines repeated references)
     # with zero. Measured at sf0.1: 3 full md5-gram passes -> 1.
+    # The two bucket-count tables are checkpointed too (r15 second
+    # pass, guide §1.2): the log-ratio table's lineage references
+    # t_counts and r_counts TWICE each (the ratio join + each side's
+    # total), and Catalyst inlines every reference — measured at
+    # sf0.1, the final plan re-read and re-aggregated the 49 MB gram
+    # checkpoint FIVE times per pass (profiler: five 32-task stages,
+    # in=49.2MB each). Each table is <= n_buckets rows of (bucket,
+    # count) — bounded model state, the same class as the collected
+    # vocab stores.
     if target_pred is not None:
         raw_grams = grams(
             raw.withColumn("__t", target_pred), id_col, "__t"
@@ -687,6 +696,7 @@ def dsir_select(
             raw_grams.filter(F.col("__t"))
             .groupBy("bucket")
             .agg(F.count("*").cast("double").alias("t_n"))
+            .localCheckpoint(eager=False)
         )
     else:
         if target is None:
@@ -696,7 +706,7 @@ def dsir_select(
         raw_grams = grams(raw, id_col).localCheckpoint(eager=False)
         t_counts = grams(target).groupBy("bucket").agg(
             F.count("*").cast("double").alias("t_n")
-        )
+        ).localCheckpoint(eager=False)
     # loud guard, not silent degeneracy: an empty/gram-less target
     # would NULL t_total and every weight with it (the PSI empty-
     # reference lesson); the probe is one bounded action on the small
@@ -709,7 +719,7 @@ def dsir_select(
         )
     r_counts = raw_grams.groupBy("bucket").agg(
         F.count("*").cast("double").alias("r_n")
-    )
+    ).localCheckpoint(eager=False)
     t_total = t_counts.agg(F.sum("t_n").alias("t_total"))
     r_total = r_counts.agg(F.sum("r_n").alias("r_total"))
     # raw-side buckets drive the join: a raw gram always has r_n >= 1;
