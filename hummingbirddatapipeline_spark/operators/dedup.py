@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hummingbirddatapipeline_spark.functions.text import fingerprint, word_shingles
+from hummingbirddatapipeline_spark.tables import inline_rows
 
 
 def _check_banding(num_hashes: int, bands: int) -> None:
@@ -514,8 +515,10 @@ def _jaccard_verify_masks(
     )
     n_words = (len(terms) + 63) // 64
     idx_df = F.broadcast(
-        spark.createDataFrame(
-            [(t, i) for i, t in enumerate(terms)], schema="w string, __idx int"
+        inline_rows(
+            spark,
+            [(t, i) for i, t in enumerate(terms)],
+            "w string, __idx int",
         )
     )
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), __idx % 64)")
@@ -585,8 +588,10 @@ def _jaccard_pairs_dense_mask(
         for r in sh.select(F.explode("__sh").alias("w")).distinct().collect()
     )
     idx_df = F.broadcast(
-        spark.createDataFrame(
-            [(t, i) for i, t in enumerate(terms)], schema="w string, __idx int"
+        inline_rows(
+            spark,
+            [(t, i) for i, t in enumerate(terms)],
+            "w string, __idx int",
         )
     )
     masked = (
@@ -884,9 +889,10 @@ def _tfidf_pairs_dense(
         r["t"] for r in weighted.select("t").distinct().collect()
     )
     idx_df = F.broadcast(
-        spark.createDataFrame(
+        inline_rows(
+            spark,
             [(t, i) for i, t in enumerate(terms)],
-            schema="t string, __idx int",
+            "t string, __idx int",
         )
     )
     entries = (
@@ -1079,8 +1085,10 @@ def _incremental_dense_mask(
     spark = bsh.sparkSession
     terms = sorted(r["w"] for r in store_df.select("w").collect())
     idx_df = F.broadcast(
-        spark.createDataFrame(
-            [(t, i) for i, t in enumerate(terms)], schema="w string, __idx int"
+        inline_rows(
+            spark,
+            [(t, i) for i, t in enumerate(terms)],
+            "w string, __idx int",
         )
     )
     btok = bsh.filter(F.col("__n") > 0).select(

@@ -376,6 +376,12 @@ def fellegi_sunter_scores(
             )
         )
         stats = per if stats is None else stats.crossJoin(per)
+    # ONE row of integer u-statistics — checkpoint it so repeated
+    # executions broadcast the row instead of re-running one target
+    # scan + aggregate PER FIELD (guide §1.2; SQL-tab audit showed the
+    # per-field subtrees re-inlined on every pass). Bounded model
+    # state: 2 BIGINTs per field.
+    stats = stats.localCheckpoint(eager=False)
     out = pairs.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for a_col, b_col, tcol, m in fields:

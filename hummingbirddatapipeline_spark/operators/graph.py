@@ -594,8 +594,12 @@ def cluster_size_histogram(
             .count()
         )
         if n_single:
-            single = hist.sparkSession.createDataFrame(
-                [(1, n_single)], "cluster_size long, n_clusters long"
+            from hummingbirddatapipeline_spark.tables import inline_rows
+
+            single = inline_rows(
+                hist.sparkSession,
+                [(1, n_single)],
+                "cluster_size long, n_clusters long",
             )
             hist = hist.unionByName(single)
     return hist.select(

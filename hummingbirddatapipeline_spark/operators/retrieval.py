@@ -423,6 +423,13 @@ def trigram_logprob_heldout(
     """
     from hummingbirddatapipeline_spark.functions.text import ws_tokens
 
+    # Tokenize ONCE (guide §1.2): the (id, token-array, held) stream
+    # feeds four consumers (bi/tri count builds, the held probe, the
+    # held roster) and Catalyst inlines each reference — without the
+    # cut every pass re-scans and re-tokenizes the corpus four times
+    # (SQL-tab audit at sf0.1). The checkpoint is the tokenized corpus
+    # — at scale exactly the frame a pipeline persists between the
+    # count-table fit and the scoring pass (the DSIR gram-stream move).
     toks = docs.select(
         F.col(id_col),
         ws_tokens(F.lower(F.col(text_col))).alias("t"),
@@ -438,7 +445,7 @@ def trigram_logprob_heldout(
             )
             < holdout_hex
         ).alias("__held"),
-    )
+    ).localCheckpoint(eager=False)
     train = toks.filter(~F.col("__held"))
     held = toks.filter(F.col("__held"))
 
@@ -461,6 +468,9 @@ def trigram_logprob_heldout(
         )
         .groupBy("p.w1", "p.w2")
         .agg(F.count("*").cast("double").alias("c2"))
+        # consumed twice below (the c2 and c2b probe sides) — same
+        # model-state materialization rule as ``uni``
+        .localCheckpoint(eager=False)
     )
     tri = (
         train.filter(F.size("t") >= 3)

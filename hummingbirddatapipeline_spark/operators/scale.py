@@ -299,6 +299,13 @@ def psi_drift(
         )
         .alias("__edges")
     )
+    # Lineage cuts (guide §1.2): ``edges`` is referenced by BOTH sides'
+    # bucketing passes and ``counts`` by its own total, and Catalyst
+    # inlines every reference — the executed plan held FIVE sample
+    # scans per pass (SQL-tab audit at sf0.1). Both frames are bounded
+    # (1 row; <= n_buckets rows); checkpointed, a pass pays exactly the
+    # documented two data scans (one bucketing pass per side).
+    edges = edges.localCheckpoint(eager=False)
 
     def frac(df: DataFrame, name: str) -> DataFrame:
         bucket = F.size(
@@ -309,6 +316,7 @@ def psi_drift(
             .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").alias("__c"))
+            .localCheckpoint(eager=False)
         )
         total = counts.agg(F.sum("__c").alias("__t"))
         return counts.crossJoin(F.broadcast(total)).select(
@@ -493,10 +501,17 @@ def histogram_quantile_error(
     vals = df.select(F.col(value_col).cast("long").alias("v")).filter(
         F.col("v").isNotNull()
     )
+    # stats is referenced twice (the binning pass + the target rows)
+    # and cum twice (crossing-bin pick + in-bin interpolation);
+    # Catalyst inlines each reference, so the plan re-scanned the
+    # value column four times per pass (SQL tab: four parquet scans).
+    # Both frames are bounded model state (1 row; <= n_bins rows) —
+    # checkpoint them and the pass pays the documented two data scans
+    # (binning + verification).
     stats = vals.agg(
         F.min("v").alias("mn"), F.max("v").alias("mx"),
         F.count("*").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     hist = (
         vals.crossJoin(F.broadcast(stats))
         .select(
@@ -510,10 +525,15 @@ def histogram_quantile_error(
         F.sum("c").over(
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum"),
-    )
+    ).localCheckpoint(eager=False)
     spark = df.sparkSession
-    qf = spark.createDataFrame(
-        [(int(q),) for q in quantiles_e6], "q_e6 long"
+    # inline_rows, not createDataFrame: the parallelize-backed scan of
+    # this 3-row frame ran Python-worker tasks on every pass (guide §4
+    # — eliminate the Python boundary; measured in the SQL tab)
+    from hummingbirddatapipeline_spark.tables import inline_rows
+
+    qf = inline_rows(
+        spark, [(int(q),) for q in quantiles_e6], "q_e6 long"
     )
     targets = qf.crossJoin(F.broadcast(stats)).select(
         "q_e6", "mn", "n",

@@ -160,42 +160,55 @@ def bpe_segment(
     syms = F.concat(F.split(F.col("__w"), ""), F.array(F.lit(END_OF_WORD)))
     for m in merges:
         syms = _apply_merge(syms, m["left"], m["right"])
-    vocab = words.select(F.col("__w"), syms.alias("__toks"))
+    # The segmented dictionary IS the tokenizer at rest (frozen merges
+    # replayed once per unique word) — checkpoint it so repeated
+    # executions broadcast the blocks instead of re-running the
+    # |vocab| x |merges| interpreted array-rewrite chain (guide §1.2;
+    # the dictionary is Heaps-law bounded, the same class as the
+    # collected vocab stores).
+    vocab = words.select(F.col("__w"), syms.alias("__toks")).localCheckpoint(
+        eager=False
+    )
 
+    # posexplode_OUTER keeps zero-word documents as one NULL-word row,
+    # so the empty-doc branch needs no anti-join back through the
+    # segmentation — the old ``left_anti(assembled)`` shape re-inlined
+    # the whole corpus subtree and cost two extra corpus scans per
+    # pass (SQL-tab audit). collect_list skips the NULL struct the
+    # guard produces, and coalesce turns "no segmented words" into the
+    # same empty array the union branch emitted.
     pos = df.select(
         *id_cols,
-        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias(
+        F.posexplode_outer(ws_tokens(F.lower(F.col(text_col)))).alias(
             "__pos", "__w"
         ),
     )
-    joined = pos.join(F.broadcast(vocab), "__w")
-    assembled = (
+    joined = pos.join(F.broadcast(vocab), "__w", "left")
+    return (
         joined.groupBy(*id_cols)
         .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("__pos").alias("p"),
-                                F.col("__toks").alias("t"),
+            F.coalesce(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__pos").isNotNull(),
+                                    F.struct(
+                                        F.col("__pos").alias("p"),
+                                        F.col("__toks").alias("t"),
+                                    ),
+                                )
                             )
-                        )
-                    ),
-                    lambda s: s["t"],
-                )
+                        ),
+                        lambda s: s["t"],
+                    )
+                ),
+                F.array().cast("array<string>"),
             ).alias("bpe_tokens")
         )
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
     )
-    # rows with no words keep an empty token array
-    empty = (
-        df.select(*id_cols)
-        .join(assembled.select(*id_cols), id_cols, "left_anti")
-        .withColumn("bpe_tokens", F.array().cast("array<string>"))
-        .withColumn("n_bpe_tokens", F.lit(0))
-    )
-    return assembled.unionByName(empty)
 
 
 def bpe_fertility_by_lang(

@@ -94,6 +94,51 @@ _FANOUT_CEIL_BYTES = 2 * 1024**3
 _fanout_cache: dict[tuple[str, int, int], int] = {}
 
 
+def inline_rows(
+    spark: SparkSession, rows: list[tuple], schema: str
+) -> DataFrame:
+    """Tiny literal DataFrame as pure JVM expressions — a drop-in for
+    ``spark.createDataFrame(rows, schema)`` on BOUNDED model/config
+    state (quantile lists, <=4096-term vocabularies, singleton audit
+    rows).
+
+    ``createDataFrame`` over a Python list routes through
+    ``sc.parallelize`` -> a ``Scan ExistingRDD`` whose every execution
+    round-trips Python workers per partition (measured at sf0.1: the
+    3-row quantile frame in sketch_quantile_error contributed a
+    multi-second 32-task stage per pass; the SQL tab shows the node).
+    Building the same rows as one exploded array-of-structs literal
+    keeps the data in the plan: zero Python tasks, one local
+    partition, and the frame broadcasts exactly like any LocalRelation.
+
+    ``schema`` is the simple "name type, name type" DDL string the
+    call sites already use; values must be plain Python scalars
+    (None allowed).
+    """
+    fields = []
+    for part in schema.split(","):
+        name, dtype = part.strip().split()
+        fields.append((name, dtype))
+    if not rows:
+        # empty literal arrays can't carry the struct type — fall back
+        # to the (cheap at zero rows) classic path
+        return spark.createDataFrame(rows, schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(dtype).alias(name)
+                for v, (name, dtype) in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__r"))
+        .select(*[F.col(f"__r.{name}") for name, _ in fields])
+    )
+
+
 def _parse_bytes(raw: str) -> int:
     s = raw.strip().lower()
     mult = 1

@@ -93,3 +93,33 @@ def test_bpe_segment_applies_merges_greedily(spark):
         assert out[rid]["n_bpe_tokens"] == len(exp)
     # compression happened: fewer tokens than characters
     assert out[1]["n_bpe_tokens"] < len(rows[0][1].replace(" ", "")) + 5
+
+
+def test_bpe_segment_keeps_empty_docs_single_pass(spark):
+    """r15 optimization restructure: the empty-doc branch rides
+    posexplode_outer instead of an anti-join back through the
+    segmentation (which re-inlined the corpus subtree). Contract:
+    one output row per input row; zero-word docs get ([], 0); worded
+    docs are unchanged."""
+    from hummingbirddatapipeline_spark.operators.tokenization import (
+        bpe_segment,
+        bpe_train,
+        word_freq_table,
+    )
+
+    rows = [
+        (1, "low low lower"),
+        (2, ""),            # empty string
+        (3, "   \t  "),     # whitespace only -> zero words
+        (4, "newest"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    merges = bpe_train(word_freq_table(df, "text"), n_merges=4)
+    out = {r["id"]: r for r in bpe_segment(df, "text", merges).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for empty_id in (2, 3):
+        assert list(out[empty_id]["bpe_tokens"]) == []
+        assert out[empty_id]["n_bpe_tokens"] == 0
+    assert out[1]["n_bpe_tokens"] > 0 and out[4]["n_bpe_tokens"] > 0
+    # worded docs end with the end-of-word marker on the last token
+    assert out[4]["bpe_tokens"][-1].endswith(EOW)
