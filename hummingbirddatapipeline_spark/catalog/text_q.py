@@ -430,7 +430,11 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the window strings; the corpus-wide occurrence table is the
     only shuffled state.
     """
-    docs = load(spark, sf_dir, "documents")
+    # fanout (r15 second pass): the stride-1 window-hash scan is a
+    # single-task CPU stage at bench scale; isolated interleaved A/B
+    # wins all 3 rounds (the earlier blanket-fan-out "loss" for this
+    # row was VM noise — OPTIMIZATION_r15.md)
+    docs = load(spark, sf_dir, "documents", fanout=True)
     wins = (
         TX.chunk_token_windows(docs, "text", "doc_id", chunk_tokens=20, stride=5)
         .filter(F.col("n_tokens") == 20)
@@ -1414,7 +1418,11 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_span_extract,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout (r15 second pass): the stride-1 window-hash scan is a
+    # single-task CPU stage at bench scale; isolated interleaved A/B
+    # wins all 3 rounds (the earlier blanket-fan-out "loss" for this
+    # row was VM noise — OPTIMIZATION_r15.md)
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     return dup_span_extract(docs, k=20)
 
 
@@ -1584,7 +1592,11 @@ def text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on span bounds."""
     from hummingbirddatapipeline_spark.operators.dedup import cut_dup_spans
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout (r15 second pass): the stride-1 window-hash scan is a
+    # single-task CPU stage at bench scale; isolated interleaved A/B
+    # wins all 3 rounds (the earlier blanket-fan-out "loss" for this
+    # row was VM noise — OPTIMIZATION_r15.md)
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     return cut_dup_spans(docs, k=20)
 
 
@@ -1745,7 +1757,11 @@ def text_boilerplate_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         boilerplate_leaderboard,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout (r15 second pass): the stride-1 window-hash scan is a
+    # single-task CPU stage at bench scale; isolated interleaved A/B
+    # wins all 3 rounds (the earlier blanket-fan-out "loss" for this
+    # row was VM noise — OPTIMIZATION_r15.md)
+    docs = load(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     return boilerplate_leaderboard(docs, k=20, top=20)
 
 
