@@ -266,7 +266,11 @@ def bloom_gram_screen(
             ).alias(f"__bw{j}")
             for j in range(n_words)
         ]
-    )
+        # ONE row of n_words BIGINTs — the filter at rest (production
+        # builds it offline, once); checkpointed so repeated executions
+        # broadcast the row instead of re-folding the benchmark gram
+        # set per pass (guide §1.2; bounded model state).
+    ).localCheckpoint(eager=False)
 
     doc_grams = docs.select(
         id_col, F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g")
@@ -463,7 +467,11 @@ def bloom_fpr_report(
             ).alias(f"__bw{j}")
             for j in range(n_words)
         ]
-    )
+        # ONE row of n_words BIGINTs — the filter at rest (production
+        # builds it offline, once); checkpointed so repeated executions
+        # broadcast the row instead of re-folding the benchmark gram
+        # set per pass (guide §1.2; bounded model state).
+    ).localCheckpoint(eager=False)
     probed = probes.crossJoin(F.broadcast(bloom_row))
     for j, p in enumerate(positions(F.col("g"))):
         probed = probed.withColumn(f"__p{j}", p)
