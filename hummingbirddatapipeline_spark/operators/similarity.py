@@ -1291,6 +1291,11 @@ def hamming_topk(
     Returns (query_id, vec_id, hamming, rank); ties -> lowest item id.
     """
     n_words = (dim + 31) // 32
+    # ONE row carrying the dim 8dp means — referenced by BOTH packing
+    # sides, and Catalyst inlines each reference, so the corpus stats
+    # aggregate ran twice per execution (r15 SQL-tab audit: 3 scans
+    # where the documented two-pass shape owns 2). Checkpoint the
+    # bounded stats row; the by-design packing re-scan stays.
     means = F.broadcast(
         items.agg(
             F.array(
@@ -1299,7 +1304,7 @@ def hamming_topk(
                     for i in range(dim)
                 ]
             ).alias("__ms")
-        )
+        ).localCheckpoint(eager=False)
     )
 
     def words(vec: str) -> list[Column]:
@@ -1715,6 +1720,9 @@ def sq8_fidelity(
     Returns (item_id, code_sum, cos_fidelity, max_abs_err).
     """
     vec = _to_double(item_vec)
+    # the 2 x dim (min, max) grid is the quantizer at rest — checkpoint
+    # the bounded one-row statistic so repeated executions broadcast it
+    # instead of re-running the corpus aggregate (the hamming-means fix)
     stats = F.broadcast(
         items.agg(
             F.array(
@@ -1723,7 +1731,7 @@ def sq8_fidelity(
             F.array(
                 *[F.max(F.col(item_vec)[i].cast("double")) for i in range(dim)]
             ).alias("__mx"),
-        )
+        ).localCheckpoint(eager=False)
     )
     base = items.crossJoin(stats).select(
         item_id,
