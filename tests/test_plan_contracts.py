@@ -902,6 +902,13 @@ _HINT_WHITELIST = {
     ("similarity_matryoshka_recall", "embeddings"),
     ("similarity_ivfpq_topk", "embeddings"),
     ("search_hybrid_rrf", "embeddings"),
+    # same probe-side contract as the rows above; it was invisible to
+    # this test until r15 because the broadcast-queries subtree also
+    # carried the per-dim means Aggregate (a bounding marker) — the
+    # means row is checkpointed bounded state since the r15
+    # optimization pass, which removed the incidental marker, not the
+    # (always-present, K-row-by-contract) probe-side hint
+    ("similarity_hamming_topk", "embeddings"),
 }
 
 
