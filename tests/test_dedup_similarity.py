@@ -366,6 +366,46 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir):
             assert j == 1.0
 
 
+def test_attach_best_match_picks_min_store_ids_own_jaccard(spark):
+    """r16 pins the _attach_best_match rewrite (agg + self-join ->
+    one min(struct) aggregate): the winner is the MINIMUM store_id and
+    the reported jaccard is THAT row's jaccard — even when a larger
+    store_id carries a smaller (or larger) jaccard — and unmatched
+    batch docs keep NULL match columns with accepted=true."""
+    from pyspark.sql import functions as F
+
+    from hummingbirddatapipeline_spark.operators.dedup import (
+        _attach_best_match,
+    )
+
+    batch = spark.createDataFrame(
+        [(1,), (2,), (3,)], "doc_id long"
+    )
+    verified = spark.createDataFrame(
+        [
+            # doc 1: min store_id 10 has the LARGER jaccard
+            (1, 10, 0.95),
+            (1, 20, 0.85),
+            # doc 2: min store_id 30 has the SMALLER jaccard — the
+            # old self-join and the new struct-min must both report
+            # 0.81, never the max-jaccard row
+            (2, 30, 0.81),
+            (2, 40, 0.99),
+            # doc 3: no verified match
+        ],
+        "doc_id long, store_id long, jaccard double",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in _attach_best_match(batch, verified, "doc_id", 0.8).collect()
+    }
+    assert rows[1]["match_store_id"] == 10 and rows[1]["match_jaccard"] == 0.95
+    assert rows[2]["match_store_id"] == 30 and rows[2]["match_jaccard"] == 0.81
+    assert not rows[1]["accepted"] and not rows[2]["accepted"]
+    assert rows[3]["accepted"] and rows[3]["match_store_id"] is None
+    assert rows[3]["match_jaccard"] is None
+
+
 def test_incremental_minhash_agrees_with_exact_on_clear_dups(spark, sf_dir):
     """The approximate probe path must agree with the exact operator
     on this corpus (dup pairs sit far above threshold, so LSH recall
