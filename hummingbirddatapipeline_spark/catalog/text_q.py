@@ -620,7 +620,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_logprob,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     return bigram_logprob(docs, lam=_BIGRAM_LAM)
 
 
@@ -1505,7 +1505,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_buckets,
     )
 
-    return perplexity_buckets(load(spark, sf_dir, "documents"))
+    return perplexity_buckets(load(spark, sf_dir, "documents", fanout=True))
 
 
 def _cut_spans_sql(k: int = 20, min_occurrences: int = 2) -> str:

@@ -205,9 +205,15 @@ def bigram_logprob(
     tokens), nothing quadratic; the corpus total rides the single-row
     crossJoin.
     """
+    # Tokenize the corpus ONCE (r16, guide §1.2 — the r15 trigram
+    # treatment applied here): the token-array stream feeds BOTH the
+    # unigram count branch and the bigram explode, and Catalyst inlines
+    # the reference — without truncation the corpus is tokenized twice
+    # per pass. The checkpoint is the tokenized stream at rest, exactly
+    # what a production LM pipeline persists beside the count tables.
     toks_arr = docs.select(
         F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     occ = toks_arr.select(id_col, F.explode("t").alias("w"))
     # The vocabulary count table is consumed three times (w1 side, w2
     # side, corpus total); without materialization Spark re-runs the
@@ -288,7 +294,15 @@ def unigram_logprob(
     in native expressions; a real KenLM-style n-gram filter slots in
     behind the same (id, n_tokens, mean_nll) contract.
     """
-    toks = _doc_tokens(docs, text_col, id_col)
+    # Tokenize once (r16, guide §1.2): ``toks`` feeds both the count
+    # table build and the scoring join, and Catalyst inlines the
+    # reference — checkpoint the token-ARRAY stream (smaller at rest
+    # than the exploded occurrences) so each consumer re-explodes
+    # cheap checkpoint blocks instead of re-tokenizing the corpus.
+    arr = docs.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("t")
+    ).localCheckpoint(eager=False)
+    toks = arr.select(id_col, F.explode("t").alias("w"))
     counts = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
     per_doc = (
