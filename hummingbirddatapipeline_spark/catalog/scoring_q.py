@@ -197,6 +197,15 @@ def _source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") * 100 + F.col("total_revenue")).alias("total_assets"),
     )
     _ = cust
+    # Pin the entity window exchange at full width (r16, guide §2.5 —
+    # same fix as scoring_990_model): the post-aggregate entity-year
+    # frame is bytes-small, so AQE coalesced the window stage to ~10
+    # tasks while the compiled indicator stack it feeds is per-row CPU.
+    # Keyed repartition on the window's own key replaces (not adds to)
+    # the implicit exchange; results are unaffected by distribution.
+    cy = cy.repartition(
+        spark.sparkContext.defaultParallelism, "entity_id"
+    )
     return with_prior_fields(cy, "entity_id", "year", ["total_revenue", "net_assets"])
 
 
@@ -298,7 +307,19 @@ def scoring_990_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     is generated from the SAME spec (registered below at import)."""
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t, fanout=True).createOrReplaceTempView(t)
-    src = spark.sql(_990_SOURCE_SQL)
+    # Pin the ein window exchange at full width (r16, guide §2.5): AQE
+    # coalesces the post-aggregate shuffle to ~10 partitions by BYTES,
+    # but the stage it feeds evaluates the compiled ~19-indicator
+    # expression stack per row — cost ∝ rows, not bytes (profiled:
+    # 6.3 s of executor time across 10 tasks = the warm tail). The
+    # REPARTITION hint is Spark-side only — the ORACLE registers the
+    # unhinted string, and a distribution hint cannot change results.
+    # Isolated A/B (2 rounds): min-warm 2.91/2.54 -> 2.06/2.15.
+    n = spark.sparkContext.defaultParallelism
+    hinted = _990_SOURCE_SQL.replace(
+        "SELECT f.*,", f"SELECT /*+ REPARTITION({n}, ein) */ f.*,", 1
+    )
+    src = spark.sql(hinted)
     return apply_spec(src, _spec_990())  # unsorted: order-insensitive gate
 
 
