@@ -568,7 +568,7 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         fellegi_sunter_scores,
     )
 
-    cust = load(spark, sf_dir, "customer", fanout=True).filter(
+    cust = load(spark, sf_dir, "customer", fanout="full").filter(
         F.col("c_custkey") < 15000  # contract-corpus cap, see docstring
     )
     fld = cust.select(

@@ -89,7 +89,7 @@ def geo_radius_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     data (real geography), keeping cell occupancy — and
     radius_join's per-cell work — bounded; the operator itself is the
     100 TB path. Oracle applies the same caps."""
-    cust = load(spark, sf_dir, "customer", fanout=True).filter(
+    cust = load(spark, sf_dir, "customer", fanout="full").filter(
         F.col("c_custkey") < 15000  # contract-corpus cap, see docstring
     ).select(
         F.col("c_custkey").alias("pid"),

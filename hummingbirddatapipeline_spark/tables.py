@@ -90,6 +90,23 @@ _FANOUT_FLOOR_BYTES = 96 * 1024
 # scan has real byte-parallelism and the guide's §2.4 "accidental
 # repartition" warning applies.
 _FANOUT_CEIL_BYTES = 2 * 1024**3
+# Cost-aware width (r16, PERF_r15 scaling block): an unconditional
+# ``cores``-wide fan-out over-shoots at high core counts — six fanned
+# rows ran FASTER at 8 cores than 32 (ratios 0.64-0.84) because 32
+# trivial slices of a sub-MB file cost more scheduling than they buy.
+# Width now scales with file bytes (~one task per 32 KB of parquet,
+# floor 16, cap cores): at 32 cores the 594 KB documents table fans to
+# 18 tasks (the interleaved w16-vs-w32 sweep won or tied on every
+# fanned row), the 10.8 MB lineitem keeps full width, and at <= 8
+# cores nothing changes. Not a local-core-count constant: the bound is
+# per-task slice size, and the gate itself never fires at production
+# scale (est_tasks >= cores there).
+_FANOUT_TARGET_BYTES_PER_TASK = 32 * 1024
+_FANOUT_MIN_WIDTH = 16
+# ``fanout="full"`` keeps the r15 cores-wide behavior for call sites
+# whose per-row CPU is measured extreme relative to their bytes (the
+# customer-side haversine / FS-agreement scans: byte-scaled width lost
+# the interleaved A/B there while winning on every documents row).
 
 _fanout_cache: dict[tuple[str, int, int], int] = {}
 
@@ -152,12 +169,16 @@ def _parse_bytes(raw: str) -> int:
     return int(float(s) * mult)
 
 
-def _fanout_partitions(spark: SparkSession, path: str) -> int:
+def _fanout_partitions(
+    spark: SparkSession, path: str, full: bool = False
+) -> int:
     """Partitions to round-robin a fresh scan into, or 0 for no-op.
 
     0 unless the file is splittable into fewer tasks than cores —
     judged by BOTH the byte-based split count (maxPartitionBytes) and
-    the parquet row-group count (the hard splittability bound)."""
+    the parquet row-group count (the hard splittability bound). Width
+    is byte-scaled (see module comment); ``full`` pins it at the core
+    count for measured CPU-extreme sites."""
     override = os.environ.get("SPARK_GRAFT_FANOUT")
     if override is not None and override.isdigit():
         return int(override)  # 0 disables; N forces N (A/B harness)
@@ -168,7 +189,7 @@ def _fanout_partitions(spark: SparkSession, path: str) -> int:
     if not (_FANOUT_FLOOR_BYTES <= size <= _FANOUT_CEIL_BYTES):
         return 0
     cores = spark.sparkContext.defaultParallelism
-    key = (path, size, cores)
+    key = (path, size, cores, full)
     cached = _fanout_cache.get(key)
     if cached is not None:
         return cached
@@ -182,13 +203,24 @@ def _fanout_partitions(spark: SparkSession, path: str) -> int:
         est_tasks = min(est_tasks, pq.ParquetFile(path).metadata.num_row_groups)
     except Exception:
         pass
-    n = cores if est_tasks < cores else 0
+    if est_tasks >= cores:
+        n = 0
+    elif full:
+        n = cores
+    else:
+        n = min(
+            cores,
+            max(_FANOUT_MIN_WIDTH, size // _FANOUT_TARGET_BYTES_PER_TASK),
+        )
     _fanout_cache[key] = n
     return n
 
 
 def load(
-    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fanout: bool | str = False,
 ) -> DataFrame:
     """Load one canonical table as a DataFrame.
 
@@ -212,7 +244,7 @@ def load(
     if name == "events":
         df = _events_ts_to_nanos(df)
     if fanout:
-        n = _fanout_partitions(spark, path)
+        n = _fanout_partitions(spark, path, full=(fanout == "full"))
         if n:
             df = df.repartition(n)
     return df

@@ -169,7 +169,23 @@ def test_scan_fanout_opt_in_gate(spark, sf_dir):
     doc_path = os.path.join(sf_dir, "documents.parquet")
     expect = _fanout_partitions(spark, doc_path)
     if os.path.getsize(doc_path) >= _FANOUT_FLOOR_BYTES:
-        assert expect == spark.sparkContext.defaultParallelism
+        # r16 cost-aware width: byte-scaled (~32 KB/task), floored at 8,
+        # capped at the core count — never the raw core count for a
+        # sub-MB file (PERF_r15 anti-scaling finding).
+        from hummingbirddatapipeline_spark.tables import (
+            _FANOUT_MIN_WIDTH,
+            _FANOUT_TARGET_BYTES_PER_TASK,
+        )
+
+        cores = spark.sparkContext.defaultParallelism
+        assert expect == min(
+            cores,
+            max(
+                _FANOUT_MIN_WIDTH,
+                os.path.getsize(doc_path) // _FANOUT_TARGET_BYTES_PER_TASK,
+            ),
+        )
+        assert 0 < expect <= cores
         assert "RoundRobinPartitioning" in p_fan
         # predicate pushdown survives the repartition
         filt = load(spark, sf_dir, "documents", fanout=True).filter(
