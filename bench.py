@@ -321,8 +321,37 @@ def main() -> None:
     for name in names:
         warm[name] = min(warm[name], run(name))
 
+    # r16 (VERDICT r15 item 1): a fourth, REBUILT pass. The catalog's
+    # prepared-plan cache means the three passes above reuse ONE
+    # DataFrame per query, so every localCheckpoint in it materializes
+    # during the cold pass and the warm passes read blocks — the warm
+    # number is steady-state *with model state at rest*. The rebuilt
+    # pass drops every cached plan and checkpoint (catalog.invalidate),
+    # re-times the shared fixtures as their own setup rows, then builds
+    # and runs each query FRESH — plan construction + checkpoint
+    # materialization included. Report both: `value` keeps its exact
+    # r9+ semantics for driver round-over-round comparability;
+    # `value_warm_rebuilt` is the honest per-pass steady-state cost.
+    from hummingbirddatapipeline_spark.catalog import invalidate
+
+    invalidate(sf_dir)
+    t0 = time.perf_counter()
+    shared_jaccard_pairs(spark, sf_dir).count()
+    shared_setup["shared_jaccard_pairs_rebuilt"] = round(
+        time.perf_counter() - t0, 3
+    )
+    t0 = time.perf_counter()
+    shared_jaccard_cc(spark, sf_dir).count()
+    shared_setup["shared_jaccard_cc_rebuilt"] = round(
+        time.perf_counter() - t0, 3
+    )
+    rebuilt: dict[str, float] = {}
+    for name in names:
+        rebuilt[name] = run(name)
+
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
+    total_rebuilt = round(sum(rebuilt.values()), 3)
     payload = {
         "metric": "headline_query_suite_total_warm",
         "value": total_warm,
@@ -332,13 +361,30 @@ def main() -> None:
         # one-time materializations shared across queries; per-
         # query numbers below are MARGINAL costs on top of these
         "shared_setup": shared_setup,
+        "value_warm_rebuilt": total_rebuilt,
         "queries": warm,
         "queries_cold": cold,
+        "queries_warm_rebuilt": rebuilt,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # keep calibration LAST: the driver's BENCH_rN.json records
-        # only a 2000-char stdout tail (the END of this line), so a
-        # trailing position survives truncation for every suite size.
+        # keep calibration + tail_summary LAST: the driver's
+        # BENCH_rN.json records only a 2000-char stdout tail (the END
+        # of this line), so a trailing position survives truncation for
+        # every suite size.
         "calibration": _calibrate(),
+    }
+    # r16 (VERDICT r15 item 2): a compact trailing copy of the totals
+    # INSIDE the same single JSON line, so the driver's 2000-char tail
+    # always captures a parseable summary (the r14 artifact lost the
+    # head — value/value_cold — to that truncation and broke the
+    # round-over-round comparison). Still ONE JSON object on ONE line;
+    # no second line, no contract change.
+    payload["tail_summary"] = {
+        "value": total_warm,
+        "value_cold": total_cold,
+        "value_warm_rebuilt": total_rebuilt,
+        "shared_setup_total": round(sum(shared_setup.values()), 3),
+        "n_queries": len(names),
+        "calibration": payload["calibration"],
     }
     print(json.dumps(payload))
     _write_local_artifact(payload)

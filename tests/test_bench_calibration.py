@@ -121,3 +121,16 @@ def test_bench_py_emits_calibration_last():
         if ln.strip().startswith('"')
     ]
     assert keys[-1] == "calibration"
+
+
+def test_bench_py_appends_tail_summary_after_calibration():
+    """r16: the compact totals copy must be assigned AFTER the payload
+    literal (so it serializes as the very last key and survives the
+    driver's 2000-char stdout-tail truncation for every suite size),
+    and it must stay part of the SAME single JSON line — bench.py must
+    not grow a second print."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    lit_end = src.index("payload = {")
+    assert src.index('payload["tail_summary"]') > lit_end
+    main_body = src[src.index("def main"):src.index("def _write_local_artifact")]
+    assert main_body.count("print(") == 1
