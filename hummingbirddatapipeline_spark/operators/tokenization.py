@@ -196,7 +196,33 @@ def bpe_segment(
                                     F.col("__pos").isNotNull(),
                                     F.struct(
                                         F.col("__pos").alias("p"),
-                                        F.col("__toks").alias("t"),
+                                        # ADVICE r15: a non-null word
+                                        # missing from vocab would make
+                                        # flatten() NULL the whole doc's
+                                        # tokens and coalesce silently
+                                        # rewrite them to []. The vocab
+                                        # derives from the same df via
+                                        # the identical ws_tokens
+                                        # expression, so a miss is a
+                                        # derivation bug — fail loudly
+                                        # instead of losing data.
+                                        F.when(
+                                            F.col("__toks").isNotNull(),
+                                            F.col("__toks"),
+                                        )
+                                        .otherwise(
+                                            F.raise_error(
+                                                F.concat(
+                                                    F.lit(
+                                                        "bpe_segment: word"
+                                                        " missing from"
+                                                        " vocab: "
+                                                    ),
+                                                    F.col("__w"),
+                                                )
+                                            )
+                                        )
+                                        .alias("t"),
                                     ),
                                 )
                             )

@@ -110,6 +110,15 @@ _FANOUT_MIN_WIDTH = 16
 
 _fanout_cache: dict[tuple[str, int, int], int] = {}
 
+# inline_rows literal-size cap (ADVICE r15): the exploded literal wins
+# only while the expression tree stays small — measured crossover vs
+# createDataFrame sits between 16 and 256 rows depending on how often
+# the frame re-executes, and the literal's cost grows super-linearly
+# past it (12 s at 1024 rows, 35 s at 4096). 256 keeps every r15
+# conversion site (1-31 actual rows at bench scale) on the literal
+# path while bounding the worst case at the mask/dense vocab caps.
+_INLINE_ROWS_MAX = 256
+
 
 def inline_rows(
     spark: SparkSession, rows: list[tuple], schema: str
@@ -128,17 +137,38 @@ def inline_rows(
     keeps the data in the plan: zero Python tasks, one local
     partition, and the frame broadcasts exactly like any LocalRelation.
 
-    ``schema`` is the simple "name type, name type" DDL string the
-    call sites already use; values must be plain Python scalars
-    (None allowed).
+    ``schema`` is the simple "name primitivetype, name primitivetype"
+    DDL string the call sites already use; values must be plain Python
+    scalars (None allowed). Parameterized or nested types
+    (decimal(10,2), array<string>) are NOT supported — the simple
+    comma/space parser would mis-split them, so they raise instead
+    (ADVICE r15); use ``spark.createDataFrame`` for those.
     """
     fields = []
     for part in schema.split(","):
-        name, dtype = part.strip().split()
-        fields.append((name, dtype))
-    if not rows:
-        # empty literal arrays can't carry the struct type — fall back
-        # to the (cheap at zero rows) classic path
+        toks = part.strip().split()
+        if len(toks) != 2 or "(" in part or "<" in part:
+            raise ValueError(
+                "inline_rows supports only 'name primitivetype' schema "
+                f"pairs; got {part.strip()!r} — use createDataFrame for "
+                "parameterized/nested types"
+            )
+        fields.append((toks[0], toks[1]))
+    for i, row in enumerate(rows):
+        # createDataFrame raises on arity mismatches; match that
+        # instead of zip() silently dropping extra values (ADVICE r15)
+        if len(row) != len(fields):
+            raise ValueError(
+                f"inline_rows row {i} has {len(row)} values for "
+                f"{len(fields)} schema fields"
+            )
+    if not rows or len(rows) > _INLINE_ROWS_MAX:
+        # Empty literal arrays can't carry the struct type, and LARGE
+        # literals invert the trade (ADVICE r15, measured r16): the
+        # ~3N-expression array-of-structs costs super-linear driver
+        # analysis per pass once N reaches the vocab caps — 1024 rows
+        # ≈ 12 s, 4096 ≈ 35 s per execution vs ~0.4 s for the classic
+        # path — so both ends fall back to createDataFrame.
         return spark.createDataFrame(rows, schema)
     structs = [
         F.struct(

@@ -205,3 +205,36 @@ def test_scan_fanout_opt_in_gate(spark, sf_dir):
     assert "RoundRobinPartitioning" not in (
         nat._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_inline_rows_matches_create_dataframe_and_validates(spark):
+    """ADVICE r15 hardening: inline_rows equals createDataFrame on the
+    supported schema class, raises on arity mismatches and on
+    parameterized/nested types instead of silently mis-parsing, and
+    falls back to createDataFrame above the literal-size cap."""
+    import pytest
+
+    from hummingbirddatapipeline_spark.tables import (
+        _INLINE_ROWS_MAX,
+        inline_rows,
+    )
+
+    rows = [("a", 1), ("b", None), (None, 3)]
+    got = inline_rows(spark, rows, "w string, n int")
+    exp = spark.createDataFrame(rows, "w string, n int")
+    assert got.schema == exp.schema
+    key = lambda t: repr(t)  # noqa: E731 — None-safe total order
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+    with pytest.raises(ValueError, match="3 values for"):
+        inline_rows(spark, [("a", 1, 99)], "w string, n int")
+    with pytest.raises(ValueError, match="primitivetype"):
+        inline_rows(spark, [(1.5,)], "d decimal(10,2)")
+    with pytest.raises(ValueError, match="primitivetype"):
+        inline_rows(spark, [([1],)], "xs array<int>")
+    # above the cap: classic path (plan carries no exploded literal)
+    big = [(f"w{i}", i) for i in range(_INLINE_ROWS_MAX + 1)]
+    df = inline_rows(spark, big, "w string, n int")
+    assert "explode" not in df._jdf.queryExecution().analyzed().toString()
+    assert df.count() == len(big)
