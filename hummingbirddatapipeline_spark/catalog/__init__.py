@@ -177,27 +177,21 @@ def _load_modules() -> None:
 # (Per-round window history lives in PLANS.md § "Driver-window
 # ledger"; this comment keeps only the CURRENT policy.)
 #
-# Round-15 window (r14 VERDICT item 1 + PLANS.md "Window math,
-# r14-r16"):
-# (a) the three rows the r14 VERDICT directed to the window head
-#     (similarity_ivfpq_topk, sample_interleave_order,
-#     similarity_sq8_fidelity). NOTE for the ledger: these were
-#     REGISTERED at the r12 bank drain (commit f7ff08f) and
-#     driver-sampled green in CORRECTNESS_r12 — the VERDICT's
-#     "decorator change" step was already done; what r15 owes them is
-#     the head slot, which this window grants;
-# (b) the changed-this-round re-samples: er_fellegi_sunter_scores
-#     (ADVICE r14 empty-target u-guard + agree-branch definedness
-#     guard) and multimodal_phash_groups (ADVICE r14: auto-switch
-#     cache is now a bounded, releasable persist() instead of an
-#     unreleased eager localCheckpoint);
-# (c) ALL 25 remaining r10-stale rows (the verdict's done-condition:
-#     zero r10-stale rows after r15), alphabetical;
-# (d) the 20 alphabetically-first r11-stale rows (back-fill; the five
-#     displaced by (a)+(b) — sample_split_leakfree,
-#     sample_split_ngram_overlap, sample_unimax_budget,
-#     scoring_990_model, scoring_customer_health — shift to r16 per
-#     the ledger rule, see PLANS.md "Window math, r15-r17").
+# Round-16 window (PLANS.md "Window math, r15-r17"):
+# (a) the changed-this-round re-samples (r16 optimization round): the
+#     six oracled rows whose operator internals changed — the LM
+#     tokenizer checkpoints (text_bigram_logprob,
+#     text_perplexity_buckets, text_unigram_logprob), the incremental
+#     dedup best-match/verify rewrite (dedup_incremental_batch,
+#     stream_dedup_incremental) and the verify prefilter behind
+#     dedup_minhash_near_dups. (text_bpe_segment, scoring_990_model
+#     and scoring_customer_health also changed; they already sit in
+#     the (b) r11-stale class below.)
+# (b) ALL 23 remaining r11-stale rows, alphabetical (the write-ahead's
+#     done-condition: zero r11-stale rows after r16);
+# (c) the 21 alphabetically-first r12-stale rows (back-fill; the six
+#     displaced by (a) shift to r17 per the ledger rule — displacement
+#     takes the NEWEST back-fill names).
 #
 # Rotation policy (relaxed per the r11 VERDICT): a never-sampled row
 # must enter the window within ONE round of registration — it may sit
@@ -207,67 +201,66 @@ def _load_modules() -> None:
 # the CORRECTNESS_r*.json history). Everything else outside the window
 # must be last-sample-green.
 DRIVER_WINDOW: list[str] = [
-    # (a) r14 VERDICT item 1 head rows
-    "similarity_ivfpq_topk",
-    "sample_interleave_order",
-    "similarity_sq8_fidelity",
-    # (b) changed-this-round re-samples (ADVICE r14 fixes)
-    "er_fellegi_sunter_scores",
-    "multimodal_phash_groups",
-    # (c) the 25 remaining r10-stale rows, alphabetical
-    "feature_impute_median_balance",
-    "feature_psi_price_drift",
-    "feature_winsorize_prices",
-    "layout_shard_manifest",
-    "multimodal_byte_features",
-    "multimodal_frame_plan",
-    "safe_divide_discount_rate",
-    "sample_weighted_aes",
-    "scoring_ipeds_model",
-    "search_topk_substring",
-    "similarity_kmeans_refine",
-    "similarity_pca_top1",
-    "sketch_approx_distinct_users",
-    "sketch_topk_heavy_hitters",
-    "sketch_value_quantiles",
-    "text_chunk_documents",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_pack_chunks",
-    "text_quality",
-    "text_repetition_stats",
-    "text_substring_dup",
-    "text_token_stats",
-    "text_winnow_fingerprints",
-    "topk_orders_by_price",
-    # (d) r11-stale back-fill, alphabetical
-    "anti_join_idle_customers",
-    "asof_latest_order_per_customer",
-    "bucket_customer_balance",
-    "classify_and_prioritize",
-    "conditional_counters",
-    "dedup_representatives_by_score",
-    "distinct_customers_per_nation",
-    "embedding_quantize_roundtrip",
-    "events_rolling_window_feats",
-    "events_touch_attribution",
-    "extract_context_window",
-    "extract_multi_pattern",
-    "feature_profile_drift",
-    "feature_quantile_transform",
-    "feature_target_encode",
-    "merge_cdc_apply",
-    "pivot_nation_revenue_by_year",
-    "q1_pricing_summary",
-    "sample_contrastive_negatives",
-    "sample_doremi_reweight",
+    # (a) changed-this-round re-samples (r16 optimization work)
+    "text_bigram_logprob",
+    "text_perplexity_buckets",
+    "text_unigram_logprob",
+    "dedup_incremental_batch",
+    "stream_dedup_incremental",
+    "dedup_minhash_near_dups",
+    # (b) the 23 remaining r11-stale rows, alphabetical
+    "sample_split_leakfree",
+    "sample_split_ngram_overlap",
+    "sample_unimax_budget",
+    "scoring_990_model",
+    "scoring_customer_health",
+    "search_hybrid_rrf",
+    "semi_join_active_customers",
+    "similarity_cosine_topk",
+    "similarity_hamming_topk",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_pq_topk",
+    "stream_dedup_union",
+    "stream_enrich_nation_counts",
+    "stream_hourly_tumbling",
+    "stream_interval_join_pairs",
+    "stream_sessionization",
+    "text_bm25_topk",
+    "text_bpe_segment",
+    "text_cdc_chunks",
+    "text_dedup_representatives",
+    "text_winnow_containment",
+    "unpivot_returnflag_metrics",
+    # (c) r12-stale back-fill, alphabetical (first 21; the last 6 of
+    # the write-ahead's 27 shift to r17)
+    "curation_bloom_screen",
+    "curation_gate_kappa",
+    "curation_logreg_train",
+    "curation_quality_borda",
+    "dedup_cluster_histogram",
+    "dedup_cross_source_matrix",
+    "dedup_label_propagation",
+    "dedup_lsh_candidate_profile",
+    "dedup_lsh_recall",
+    "dedup_minhash_estimate",
+    "dedup_source_overlap",
+    "dq_embedding_coverage",
+    "eval_auc_by_source",
+    "eval_calibration_bins",
+    "events_gap_report",
+    "events_mad_anomaly",
+    "events_sequence_examples",
+    "feature_hash_ngrams",
+    "layout_rendezvous_shards",
+    "merge_snapshot_delta",
+    "multimodal_patch_plan",
 ]
 
-# EMPTY this round: r15 registers no new rows (every catalog row —
-# including the three the r14 VERDICT called "the r15 bank" — has
-# been registered since the r12 drain and carries at least one green
-# driver sample; r15's job is the rotation above). Any row registered
-# after the window freeze goes here and MUST lead the r16 window.
+# EMPTY this round: r16 registers no new rows (optimization round —
+# the catalog surface is frozen; every row carries at least one green
+# driver sample). Any row registered after the window freeze goes
+# here and MUST lead the r17 window.
 DEFERRED_FIRST_SAMPLE: list[str] = []
 
 
