@@ -166,8 +166,19 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
+    # Pin the bucket-aggregate width (r16, guide §2.5): AQE coalesces
+    # this reduce side to ~1 partition by BYTES, but collect_list +
+    # array_sort over every bucket is per-row CPU (profiled: a 1.4 s
+    # single-task stage at sf0.1). A keyed repartition on the
+    # aggregate's own key replaces the implicit exchange at full width;
+    # distribution cannot change the aggregated result.
     buckets = (
-        banded.groupBy("band", "bucket")
+        banded.repartition(
+            banded.sparkSession.sparkContext.defaultParallelism,
+            "band",
+            "bucket",
+        )
+        .groupBy("band", "bucket")
         .agg(F.count("*").alias("sz"), F.collect_list(id_col).alias("ids"))
         .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
         .select(F.array_sort("ids").alias("ids"))
