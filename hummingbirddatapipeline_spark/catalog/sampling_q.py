@@ -468,7 +468,7 @@ def sample_split_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_ngram_overlap_multi,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fanout=True)
     pairs = shared_jaccard_pairs(spark, sf_dir)
     lf = split_leakfree(
         docs.select("doc_id"), pairs, val_fraction=0.10, seed="split0",
